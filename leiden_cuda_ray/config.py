@@ -1,0 +1,61 @@
+"""Engine + algorithm configuration.
+
+The reference exposes gamma / theta / max_iter knobs scattered across entry
+points (csrc/test/main.cpp:203, custom_leiden.py:693,
+examples/cugraph-cpp-api/leiden_cugraph.cpp:93-101); here they are one
+dataclass. PageRank parameters mirror the cuGraph call at
+examples/cugraph-cpp-api/leiden_cugraph.cpp:72-83.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class EngineConfig:
+    """Physical execution knobs (partitioning, batching)."""
+
+    # number of graph partitions; None => derived from edge count
+    num_partitions: int | None = None
+    # target edges per partition when deriving num_partitions
+    target_edges_per_partition: int = 2_000_000
+    # map_batches batch size for stateless text stages
+    batch_size: int = 4096
+    # cap on pairwise fan-out per (repo, commit) group (skew guard for
+    # giant commits; groups above the cap are sampled deterministically)
+    cocommit_cap: int = 64
+
+    def derive_partitions(self, num_edges: int) -> int:
+        if self.num_partitions is not None:
+            return max(1, self.num_partitions)
+        return max(1, -(-num_edges // self.target_edges_per_partition))
+
+
+@dataclass(frozen=True)
+class LeidenConfig:
+    gamma: float = 0.05          # csrc/test/main.cpp:203
+    theta: float = 1.0           # custom_leiden.py:350 (randomized-θ disabled)
+    max_levels: int = 20
+    max_supersteps: int = 200    # reference CUDA caps at 10 greedy supersteps
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class PageRankConfig:
+    alpha: float = 0.85          # leiden_cugraph.cpp:79
+    epsilon: float = 1e-6        # leiden_cugraph.cpp:80
+    max_iterations: int = 500    # leiden_cugraph.cpp:81
+
+
+@dataclass(frozen=True)
+class LabelPropConfig:
+    max_iterations: int = 100
+    seed: int = 42
+
+
+@dataclass(frozen=True)
+class LouvainConfig:
+    max_levels: int = 20
+    max_supersteps: int = 200
+    seed: int = 42
