@@ -1,0 +1,364 @@
+"""Distributed local-moving phase (Leiden phase 1 / Louvain sweeps).
+
+This is the BSP reformulation of the reference's parallel local moving
+(`move_nodes_fast_kernel`, csrc/src/leiden_kernel.cu:27-169), with the
+sequential queue semantics of custom_leiden.py:534-599 replaced — exactly as
+the CUDA code does — by supersteps of:
+
+ 1. community totals   (groupby(community).sum — L7/A3 analogue)
+ 2. gather shuffle     (groupby(dst, src_community).sum(weight) — the
+                        edge-parallel gather of leiden_kernel.cu:187-227)
+ 3. move selection     (objective delta, argmax per vertex; random-coloring
+                        defer rule of leiden_kernel.cu:66-76 with curand
+                        replaced by a deterministic hash priority)
+ 4. community claims   (the atomicCAS two-community try-locks of
+                        leiden_kernel.cu:144-159 become a deterministic
+                        per-community winner reduce: a move is applied iff it
+                        wins BOTH its source and target community)
+ 5. apply + frontier   (apply_node_moves_kernel, leiden_kernel.cu:302-349:
+                        movers deactivate, their out-of-community neighbors
+                        reactivate)
+
+Determinism: priorities are hash(vertex, superstep, seed); winners are
+(delta desc, vertex asc); candidate ties break to the lowest community id —
+so distributed runs with any partition count P produce identical results
+(SURVEY.md §7.4).
+
+Objectives (pluggable, §2.7 "user-extension surface"):
+  kind="cpm": ΔH = (k_v→new − γ·a_v·A_new) − (k_v→old − γ·a_v·(A_old − a_v))
+              (custom_leiden.py:262-280; identical to leiden_kernel.cu:135)
+  kind="mod": ΔQ = (k_v→new − k_v→old)/m + k_v·(T_old − T_new − k_v)/(2m²)
+              (algebraic reduction of move_modularity_change,
+              custom_louvain.py:124-160 — the community sum_in terms cancel)
+where k_v→C always counts the vertex's self-loop (custom_leiden.py:88-94).
+
+Scale note: the per-superstep community-totals array is assembled to a single
+dense object and broadcast (communities live in vertex-id space). At extreme
+vertex counts this becomes a sharded join of candidate tuples against
+hash-partitioned totals; the exchange structure is already in place for that.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from leiden_cuda_ray.algorithms.common import local_src_per_slot
+from leiden_cuda_ray.graph.build import Graph
+from leiden_cuda_ray.graph.runtime import (
+    fanout,
+    segmax_by_key,
+    segsum_by_key,
+    segsum_by_pair,
+    shard_by_owner,
+    vertex_priority,
+)
+
+
+@ray.remote
+def init_move_state(csr, init_comm=None, agg=None):
+    nv = csr["vhi"] - csr["vlo"]
+    comm = (np.arange(csr["vlo"], csr["vhi"], dtype=np.int64)
+            if init_comm is None else np.asarray(init_comm, np.int64))
+    return {
+        "comm": comm.copy(),
+        "agg": (np.ones(nv, np.int64) if agg is None
+                else np.asarray(agg, np.int64)),
+        "active": np.ones(nv, bool),
+    }
+
+
+@ray.remote
+def _comm_totals(state, csr, kind):
+    """Sparse per-partition community totals: Σ agg (cpm) or Σ deg_w (mod)."""
+    vals = (state["agg"].astype(np.float64) if kind == "cpm"
+            else csr["deg_w"])
+    return segsum_by_key(state["comm"], vals)
+
+
+@ray.remote
+def _assemble_totals(V, *parts):
+    dense = np.zeros(V, np.float64)
+    for ids, sums in parts:
+        np.add.at(dense, ids, sums)
+    return dense
+
+
+@ray.remote
+def _push_gather(csr, state, block, P, superstep, seed):
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    nonself = dst != src_g
+    d, c, w = segsum_by_pair(dst[nonself], state["comm"][src_slot][nonself],
+                             csr["weights"][nonself])
+    act = nonself & state["active"][src_slot]
+    prio = vertex_priority(src_g[act], superstep, seed)
+    d2, p2 = segmax_by_key(dst[act], prio)
+    s1 = shard_by_owner(d, block, P, c, w)
+    s2 = shard_by_owner(d2, block, P, p2)
+    out = [(s1[j], s2[j]) for j in range(P)]
+    if P == 1:
+        return out[0]
+    return tuple(out)
+
+
+@ray.remote
+def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, *shards):
+    """Select the best positive-delta move per eligible vertex.
+
+    Returns (moves dict, eligible mask). moves: v/old/new/delta arrays
+    (v global)."""
+    vlo = csr["vlo"]
+    nv = csr["vhi"] - vlo
+    comm = state["comm"]
+    agg = state["agg"].astype(np.float64)
+    active = state["active"]
+    self_w = csr["self_w"]
+
+    d = np.concatenate([s[0][0] for s in shards]) if shards else np.empty(0, np.int64)
+    c = np.concatenate([s[0][1] for s in shards]) if shards else np.empty(0, np.int64)
+    w = np.concatenate([s[0][2] for s in shards]) if shards else np.empty(0, np.float64)
+    d, c, w = segsum_by_pair(d, c, w)
+
+    d2 = np.concatenate([s[1][0] for s in shards]) if shards else np.empty(0, np.int64)
+    p2 = np.concatenate([s[1][1] for s in shards]) if shards else np.empty(0, np.uint64)
+    d2u, p2u = segmax_by_key(d2, p2)
+
+    max_nbr_prio = np.zeros(nv, np.uint64)
+    max_nbr_prio[d2u - vlo] = p2u
+    own_prio = vertex_priority(
+        np.arange(vlo, csr["vhi"], dtype=np.int64), superstep, seed)
+    eligible = active & ~(max_nbr_prio > own_prio)
+
+    # k_v→old per vertex (self-loop always counted: custom_leiden.py:88-94)
+    loc = d - vlo
+    k_old = self_w.copy()
+    own_rows = c == comm[loc]
+    k_old[loc[own_rows]] += w[own_rows]
+
+    cand = (~own_rows) & eligible[loc]
+    dl = loc[cand]
+    cc = c[cand]
+    k_new = w[cand] + self_w[dl]
+    a_v = agg[dl]
+    if kind == "cpm":
+        gamma = param
+        delta = ((k_new - gamma * a_v * comm_val[cc])
+                 - (k_old[dl] - gamma * a_v * (comm_val[comm[dl]] - a_v)))
+    else:
+        m = param
+        k_v = csr["deg_w"][dl]
+        delta = ((k_new - k_old[dl]) / m
+                 + k_v * (comm_val[comm[dl]] - comm_val[cc] - k_v)
+                 / (2.0 * m * m))
+
+    # best per vertex: delta desc, community asc; strictly positive only
+    if len(dl):
+        order = np.lexsort((cc, -delta, dl))
+        dls, ccs, ds_ = dl[order], cc[order], delta[order]
+        first = np.empty(len(dls), bool)
+        first[0] = True
+        np.not_equal(dls[1:], dls[:-1], out=first[1:])
+        pos = first & (ds_ > 1e-15)
+        mv_loc = dls[pos]
+        moves = {
+            "v": mv_loc + vlo,
+            "old": comm[mv_loc],
+            "new": ccs[pos],
+            "delta": ds_[pos],
+        }
+    else:
+        moves = {"v": np.empty(0, np.int64), "old": np.empty(0, np.int64),
+                 "new": np.empty(0, np.int64),
+                 "delta": np.empty(0, np.float64)}
+    return moves, eligible
+
+
+@ray.remote
+def _claim_push(moves_eligible, block, P):
+    moves, _ = moves_eligible
+    c = np.concatenate([moves["old"], moves["new"]])
+    v = np.concatenate([moves["v"], moves["v"]])
+    delta = np.concatenate([moves["delta"], moves["delta"]])
+    shards = shard_by_owner(c, block, P, v, delta)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
+
+
+@ray.remote
+def _resolve_claims(*origin_shards):
+    """Per-community winner: (delta desc, v asc). Returns per-origin
+    acceptance bools aligned with each origin's shard row order."""
+    cs, vs, ds, origin, row = [], [], [], [], []
+    for i, (c, v, delta) in enumerate(origin_shards):
+        cs.append(c)
+        vs.append(v)
+        ds.append(delta)
+        origin.append(np.full(len(c), i, np.int64))
+        row.append(np.arange(len(c), dtype=np.int64))
+    c = np.concatenate(cs) if cs else np.empty(0, np.int64)
+    if len(c) == 0:
+        return tuple(np.empty(0, bool) for _ in origin_shards)
+    v = np.concatenate(vs)
+    delta = np.concatenate(ds)
+    order = np.lexsort((v, -delta, c))
+    c_s, v_s = c[order], v[order]
+    first = np.empty(len(c_s), bool)
+    first[0] = True
+    np.not_equal(c_s[1:], c_s[:-1], out=first[1:])
+    win_c = c_s[first]
+    win_v = v_s[first]
+    pos = np.searchsorted(win_c, c)
+    accepted = win_v[pos] == v
+    out = []
+    o = np.concatenate(origin)
+    r = np.concatenate(row)
+    for i, shard in enumerate(origin_shards):
+        acc = np.empty(len(shard[0]), bool)
+        sel = o == i
+        acc[r[sel]] = accepted[sel]
+        out.append(acc)
+    return tuple(out) if len(origin_shards) > 1 else out[0]
+
+
+@ray.remote
+def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
+    """Apply claim-winning moves; emit frontier reactivations.
+
+    verdicts are variadic (Ray only resolves refs in direct args).
+    Returns (new_state, moved_count, *reactivation_shards)."""
+    moves, eligible = moves_eligible
+    vlo = csr["vlo"]
+    nv = csr["vhi"] - vlo
+    n_mv = len(moves["v"])
+
+    # reassemble acceptance from per-owner verdicts (shard order is the
+    # deterministic stable sort _claim_push used)
+    c_all = np.concatenate([moves["old"], moves["new"]])
+    acc_all = np.empty(2 * n_mv, bool)
+    if n_mv:
+        owner = np.minimum(c_all // block, P - 1) if P > 1 else \
+            np.zeros(2 * n_mv, np.int64)
+        order = np.argsort(owner, kind="stable")
+        flat = (np.concatenate(verdicts) if P > 1
+                else np.asarray(verdicts[0]))
+        acc_all[order] = flat
+        accepted = acc_all[:n_mv] & acc_all[n_mv:]
+    else:
+        accepted = np.empty(0, bool)
+
+    comm = state["comm"].copy()
+    active = state["active"].copy()
+    mv_loc = moves["v"] - vlo
+    comm[mv_loc[accepted]] = moves["new"][accepted]
+    # evaluated vertices rest; claim losers stay active to retry
+    active[eligible] = False
+    active[mv_loc[~accepted]] = True
+
+    # frontier: neighbors of movers not in the mover's new community
+    # (apply_node_moves_kernel, leiden_kernel.cu:340-347)
+    if accepted.any():
+        acc_loc = mv_loc[accepted]
+        new_c = moves["new"][accepted]
+        offs = csr["offsets"]
+        starts = offs[acc_loc]
+        lens = (offs[acc_loc + 1] - starts).astype(np.int64)
+        total = int(lens.sum())
+        slot_idx = (np.repeat(starts, lens)
+                    + (np.arange(total, dtype=np.int64)
+                       - np.repeat(np.cumsum(lens) - lens, lens)))
+        dsts = csr["indices"][slot_idx]
+        comms = np.repeat(new_c, lens)
+        keep = dsts != np.repeat(acc_loc + vlo, lens)
+        dsts, comms = dsts[keep], comms[keep]
+    else:
+        dsts = np.empty(0, np.int64)
+        comms = np.empty(0, np.int64)
+
+    new_state = {"comm": comm, "agg": state["agg"], "active": active}
+    shards = shard_by_owner(dsts, block, P, comms)
+    moved = int(accepted.sum())
+    if P == 1:
+        return new_state, moved, shards[0]
+    return (new_state, moved, *shards)
+
+
+@ray.remote
+def _absorb(state, vlo, *shards):
+    active = state["active"].copy()
+    comm = state["comm"]
+    for ids, comms in shards:
+        if len(ids) == 0:
+            continue
+        loc = ids - vlo
+        react = comm[loc] != comms
+        active[loc[react]] = True
+    new_state = {"comm": comm, "agg": state["agg"], "active": active}
+    return new_state, int(active.sum())
+
+
+def run_local_moving(graph: Graph, states: list, kind: str, param: float,
+                     seed: int, max_supersteps: int):
+    """Run the local-moving loop to frontier convergence.
+
+    states: per-partition move-state refs (init_move_state).
+    Returns (states, total_moves, supersteps)."""
+    P = graph.P
+    total_moves = 0
+    step = 0
+    for step in range(1, max_supersteps + 1):
+        totals_parts = [
+            _comm_totals.remote(states[i], graph.parts[i], kind)
+            for i in range(P)
+        ]
+        comm_val = _assemble_totals.remote(graph.V, *totals_parts)
+
+        gshards = fanout(
+            _push_gather,
+            [(graph.parts[i], states[i], graph.block, P, step, seed)
+             for i in range(P)], P)
+        evals = [
+            _eval_moves.remote(graph.parts[j], states[j], comm_val, kind,
+                               param, step, seed, *gshards[j])
+            for j in range(P)
+        ]
+        cshards = fanout(
+            _claim_push, [(evals[i], graph.block, P) for i in range(P)], P)
+        verdicts = [
+            _resolve_claims.options(num_returns=P if P > 1 else 1).remote(
+                *cshards[j])
+            for j in range(P)
+        ]
+        # verdicts[j][i] = acceptance for claims origin i sent to owner j;
+        # partition i needs row [j][i] for every j
+        if P > 1:
+            verd_lists = [[verdicts[j][i] for j in range(P)]
+                          for i in range(P)]
+        else:
+            verd_lists = [[verdicts[0]]]
+
+        applied = [
+            _apply_moves.options(num_returns=2 + P).remote(
+                graph.parts[i], states[i], evals[i], graph.block, P,
+                *verd_lists[i])
+            for i in range(P)
+        ]
+        new_states = [a[0] for a in applied]
+        moved_refs = [a[1] for a in applied]
+        react_shards = [[applied[i][2 + j] for i in range(P)]
+                        for j in range(P)]
+
+        absorbed = [
+            _absorb.options(num_returns=2).remote(
+                new_states[j], graph.ranges()[j][0], *react_shards[j])
+            for j in range(P)
+        ]
+        states = [a[0] for a in absorbed]
+        moved = sum(ray.get(moved_refs))
+        n_active = sum(ray.get([a[1] for a in absorbed]))
+        total_moves += moved
+        if n_active == 0:
+            break
+    return states, total_moves, step

@@ -1,0 +1,95 @@
+"""Distributed weighted PageRank (north-rule algorithm, SURVEY.md §2.8).
+
+Parameters mirror the cuGraph call the reference sketches
+(examples/cugraph-cpp-api/leiden_cugraph.cpp:72-83): alpha=0.85,
+epsilon=1e-6 (L1 convergence), max_iterations=500.
+
+Superstep (push model, no halo state needed):
+  per partition: contrib(u→v) = r_u · w(u,v) / wdeg_u for every local CSR
+  slot → partial-sum by dst (combiner) → shard by owner(dst);
+  per owner:     r'_v = (1−α)/V + α·(Σ shards_v + dangling/V); emits the L1
+  delta and its dangling mass for the NEXT superstep as scalar side outputs.
+Driver sees only P scalar refs per superstep.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import ray
+
+from leiden_cuda_ray.algorithms.common import local_src_per_slot
+from leiden_cuda_ray.config import PageRankConfig
+from leiden_cuda_ray.graph.build import Graph
+from leiden_cuda_ray.graph.runtime import fanout, segsum_by_key, shard_by_owner
+
+
+@ray.remote
+def _init_part(csr):
+    nv = csr["vhi"] - csr["vlo"]
+    return np.full(nv, 0.0, np.float64)  # placeholder; set to 1/V by caller
+
+
+@ray.remote
+def _push(csr, rank, block, P):
+    src_slot = local_src_per_slot(csr)
+    wdeg = csr["deg_w"]
+    safe = np.where(wdeg > 0, wdeg, 1.0)
+    contrib = rank[src_slot] * (csr["weights"] / safe[src_slot])
+    ids, sums = segsum_by_key(csr["indices"], contrib)
+    shards = shard_by_owner(ids, block, P, sums)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
+
+
+@ray.remote
+def _reduce(old_rank, csr, V, alpha, dangling_total, *shards):
+    vlo = csr["vlo"]
+    nv = csr["vhi"] - vlo
+    acc = np.zeros(nv, np.float64)
+    for ids, sums in shards:
+        np.add.at(acc, ids - vlo, sums)
+    new_rank = (1.0 - alpha) / V + alpha * (acc + dangling_total / V)
+    err = float(np.abs(new_rank - old_rank).sum())
+    dangling_next = float(new_rank[csr["deg_w"] == 0].sum())
+    return new_rank, err, dangling_next
+
+
+def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig()):
+    """Returns (rank_refs per partition, iterations, final L1 error)."""
+    P = graph.P
+    V = graph.V
+
+    @ray.remote
+    def _uniform(csr):
+        return np.full(csr["vhi"] - csr["vlo"], 1.0 / V, np.float64)
+
+    ranks = [_uniform.remote(graph.parts[i]) for i in range(P)]
+
+    @ray.remote
+    def _dangling(csr, rank):
+        return float(rank[csr["deg_w"] == 0].sum())
+
+    dangling_total = sum(ray.get(
+        [_dangling.remote(graph.parts[i], ranks[i]) for i in range(P)]))
+
+    it = 0
+    err = np.inf
+    for it in range(1, cfg.max_iterations + 1):
+        shards = fanout(
+            _push, [(graph.parts[i], ranks[i], graph.block, P)
+                    for i in range(P)], P)
+        outs = [
+            _reduce.options(num_returns=3).remote(
+                ranks[j], graph.parts[j], V, cfg.alpha, dangling_total,
+                *shards[j])
+            for j in range(P)
+        ]
+        ranks = [o[0] for o in outs]
+        errs = ray.get([o[1] for o in outs])
+        danglings = ray.get([o[2] for o in outs])
+        err = float(sum(errs))
+        dangling_total = float(sum(danglings))
+        if err < cfg.epsilon:
+            break
+    return ranks, it, err

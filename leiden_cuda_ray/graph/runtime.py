@@ -1,0 +1,124 @@
+"""Gather-scatter superstep machinery over CSR partitions.
+
+The push-model analogue of the reference's edge-parallel gather kernel
+(`edge_gather_new_neighbor_comm_weights_kernel`, csrc/src/leiden_kernel.cu:
+187-227): every superstep, each partition scans its local CSR once, partially
+aggregates per-destination messages (the combiner — mirrors the per-thread
+atomicAdd partials), and shards them by the destination's owner partition
+(`num_returns=P` fan-out — the all-to-all exchange Ray Data's shuffle uses
+internally). Owners merge shards and update their slice of vertex state.
+No per-row data touches the driver; the driver only sees scalar metrics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def shard_by_owner(ids: np.ndarray, block: int, P: int,
+                   *payloads: np.ndarray):
+    """Split (ids, *payloads) into P groups by owner(ids).
+
+    Returns a list of P tuples (ids_j, payload1_j, ...). Uses a single
+    argsort + searchsorted (no Python loop over rows).
+    """
+    if P == 1:
+        return [(ids, *payloads)]
+    owner = np.minimum(ids // block, P - 1)
+    order = np.argsort(owner, kind="stable")
+    owner_s = owner[order]
+    ids_s = ids[order]
+    pays = [p[order] for p in payloads]
+    bounds = np.searchsorted(owner_s, np.arange(P + 1))
+    out = []
+    for j in range(P):
+        sl = slice(bounds[j], bounds[j + 1])
+        out.append((ids_s[sl], *[p[sl] for p in pays]))
+    return out
+
+
+def fanout(remote_fn, per_part_args: list[tuple], P: int):
+    """Launch one task per partition, each returning P routed outputs.
+
+    remote_fn must return a tuple/list of length P (when P > 1).
+    Returns shards[j] = list over source partitions of the j-th output ref.
+    """
+    outs = []
+    for args in per_part_args:
+        if P == 1:
+            outs.append([remote_fn.options(num_returns=1).remote(*args)])
+        else:
+            outs.append(list(
+                remote_fn.options(num_returns=P).remote(*args)))
+    return [[outs[i][j] for i in range(len(per_part_args))]
+            for j in range(P)]
+
+
+def segsum_by_key(keys: np.ndarray, vals: np.ndarray):
+    """Group-sum vals by int64 keys → (unique_keys, sums). Vectorized."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.argsort(keys, kind="stable")
+    k = keys[order]
+    v = vals[order]
+    cut = np.empty(len(k), bool)
+    cut[0] = True
+    np.not_equal(k[1:], k[:-1], out=cut[1:])
+    starts = np.flatnonzero(cut)
+    sums = np.add.reduceat(v, starts)
+    return k[starts], sums
+
+
+def segsum_by_pair(key_a: np.ndarray, key_b: np.ndarray, vals: np.ndarray):
+    """Group-sum by (key_a, key_b) pairs → (a_unique, b_unique, sums)."""
+    if len(key_a) == 0:
+        return key_a, key_b, vals
+    order = np.lexsort((key_b, key_a))
+    a, b, v = key_a[order], key_b[order], vals[order]
+    cut = np.empty(len(a), bool)
+    cut[0] = True
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=cut[1:])
+    starts = np.flatnonzero(cut)
+    return a[starts], b[starts], np.add.reduceat(v, starts)
+
+
+def segmin_by_key(keys: np.ndarray, vals: np.ndarray):
+    """Group-min vals by int64 keys → (unique_keys, mins)."""
+    if len(keys) == 0:
+        return keys, vals
+    order = np.lexsort((vals, keys))
+    k = keys[order]
+    v = vals[order]
+    cut = np.empty(len(k), bool)
+    cut[0] = True
+    np.not_equal(k[1:], k[:-1], out=cut[1:])
+    return k[cut], v[cut]
+
+
+def segmax_by_key(keys: np.ndarray, vals: np.ndarray):
+    if len(keys) == 0:
+        return keys, vals
+    order = np.lexsort((-vals, keys))
+    k = keys[order]
+    v = vals[order]
+    cut = np.empty(len(k), bool)
+    cut[0] = True
+    np.not_equal(k[1:], k[:-1], out=cut[1:])
+    return k[cut], v[cut]
+
+
+def vertex_priority(ids: np.ndarray, superstep: int, seed: int) -> np.ndarray:
+    """Deterministic per-(vertex, superstep) uniform priority.
+
+    Replaces the reference's curand draw (csrc/src/leiden_kernel.cu:8-23)
+    with a splitmix64-style hash so distributed runs are reproducible
+    (SURVEY.md §4 "Ordering assumptions")."""
+    x = (ids.astype(np.uint64)
+         + np.uint64(0x9E3779B97F4A7C15) * np.uint64(superstep + 1)
+         + np.uint64(0xBF58476D1CE4E5B9) * np.uint64(seed + 1))
+    x ^= x >> np.uint64(30)
+    x *= np.uint64(0xBF58476D1CE4E5B9)
+    x ^= x >> np.uint64(27)
+    x *= np.uint64(0x94D049BB133111EB)
+    x ^= x >> np.uint64(31)
+    return x

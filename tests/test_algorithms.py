@@ -1,0 +1,295 @@
+"""Graph algorithms vs independent oracles (SURVEY.md §5 test plan)."""
+
+import numpy as np
+import pytest
+import ray
+
+from leiden_cuda_ray.config import LabelPropConfig, LeidenConfig, LouvainConfig, PageRankConfig
+from leiden_cuda_ray.graph.build import build_graph_from_arrays
+from leiden_cuda_ray.sources.fixtures import (
+    clique_ring_edges,
+    clique_ring_weighted_edges,
+    weighted_triangle_edges,
+)
+
+
+def _sym(src, dst, w):
+    off = src != dst
+    return (np.concatenate([src, dst[off]]), np.concatenate([dst, src[off]]),
+            np.concatenate([w, w[off]]))
+
+
+def _dense_adj(src, dst, w, V):
+    A = np.zeros((V, V))
+    s, d, ww = _sym(src, dst, w)
+    A[s, d] = ww
+    return A
+
+
+def pagerank_oracle(src, dst, w, V, alpha=0.85, eps=1e-6, iters=500):
+    A = _dense_adj(src, dst, w, V)
+    deg = A.sum(axis=1)
+    r = np.full(V, 1.0 / V)
+    for _ in range(iters):
+        dangling = r[deg == 0].sum()
+        contrib = np.zeros(V)
+        nz = deg > 0
+        contrib = (A[nz] / deg[nz, None] * r[nz, None]).sum(axis=0)
+        new_r = (1 - alpha) / V + alpha * (contrib + dangling / V)
+        if np.abs(new_r - r).sum() < eps:
+            r = new_r
+            break
+        r = new_r
+    return r
+
+
+def cc_oracle(src, dst, V):
+    parent = np.arange(V)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(src, dst):
+        parent[find(a)] = find(b)
+    roots = np.array([find(v) for v in range(V)])
+    # min-id labeling
+    lab = {}
+    for v in range(V):
+        lab.setdefault(roots[v], v)
+    return np.array([lab[roots[v]] for v in range(V)])
+
+
+def lp_oracle(src, dst, w, V, max_iter=100):
+    A = _dense_adj(src, dst, w, V)
+    np.fill_diagonal(A, 0.0)
+    label = np.arange(V)
+    for _ in range(max_iter):
+        new = label.copy()
+        for v in range(V):
+            wsum = {}
+            for u in np.flatnonzero(A[v]):
+                wsum[label[u]] = wsum.get(label[u], 0.0) + A[v, u]
+            if wsum:
+                best = max(wsum.items(), key=lambda kv: (kv[1], -kv[0]))
+                new[v] = best[0]
+        if np.array_equal(new, label):
+            return new
+        label = new
+    return label
+
+
+def triangles_oracle(src, dst, V):
+    A = _dense_adj(src, dst, np.ones(len(src)), V) > 0
+    np.fill_diagonal(A, False)
+    counts = np.zeros(V, np.int64)
+    for a in range(V):
+        for b in range(a + 1, V):
+            if not A[a, b]:
+                continue
+            for c in range(b + 1, V):
+                if A[a, c] and A[b, c]:
+                    counts[a] += 1
+                    counts[b] += 1
+                    counts[c] += 1
+    return counts
+
+
+def _gather_state(refs):
+    return np.concatenate(ray.get(refs))
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pagerank_clique_ring(P):
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    ranks, iters, err = pagerank(g)
+    r = _gather_state(ranks)
+    oracle = pagerank_oracle(src, dst, w, 20)
+    assert np.allclose(r, oracle, atol=1e-6)
+    assert abs(r.sum() - 1.0) < 1e-9
+
+
+def test_pagerank_with_isolated_vertex():
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+
+    src = np.array([0, 1], np.int64)
+    dst = np.array([1, 2], np.int64)
+    w = np.ones(2)
+    g = build_graph_from_arrays(src, dst, w, V=5, P=2)  # vertices 3,4 isolated
+    ranks, _, _ = pagerank(g)
+    r = _gather_state(ranks)
+    oracle = pagerank_oracle(src, dst, w, 5)
+    assert np.allclose(r, oracle, atol=1e-6)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_connected_components(P):
+    from leiden_cuda_ray.algorithms.components import connected_components
+
+    # two components: ring bridge removed variant
+    src, dst, w = clique_ring_edges()
+    keep = ~((src % 4 == 3) & (dst % 4 == 0))  # drop bridges
+    src2, dst2 = src[keep], dst[keep]
+    g = build_graph_from_arrays(src2, dst2, w[keep], V=20, P=P)
+    labels, steps = connected_components(g)
+    lab = _gather_state(labels)
+    oracle = cc_oracle(src2, dst2, 20)
+    assert np.array_equal(lab, oracle)
+    assert len(np.unique(lab)) == 5  # five disconnected cliques
+
+
+def test_connected_single_component():
+    from leiden_cuda_ray.algorithms.components import connected_components
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=2)
+    labels, _ = connected_components(g)
+    lab = _gather_state(labels)
+    assert np.all(lab == 0)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_label_propagation_matches_oracle(P):
+    from leiden_cuda_ray.algorithms.labelprop import label_propagation
+
+    src, dst, w = clique_ring_weighted_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    labels, steps, _ = label_propagation(g)
+    lab = _gather_state(labels)
+    oracle = lp_oracle(src, dst, w, 20)
+    assert np.array_equal(lab, oracle)
+
+
+def test_label_propagation_deterministic_across_P():
+    from leiden_cuda_ray.algorithms.labelprop import label_propagation
+
+    src, dst, w = clique_ring_edges()
+    labs = []
+    for P in (1, 2, 4):
+        g = build_graph_from_arrays(src, dst, w, P=P)
+        refs, _, _ = label_propagation(g)
+        labs.append(_gather_state(refs))
+    assert np.array_equal(labs[0], labs[1])
+    assert np.array_equal(labs[1], labs[2])
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_triangles_clique_ring(P):
+    from leiden_cuda_ray.algorithms.triangles import triangle_counts
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    counts, total = triangle_counts(g)
+    c = _gather_state(counts)
+    oracle = triangles_oracle(src, dst, 20)
+    assert np.array_equal(c, oracle)
+    assert total == 20  # 5 cliques x C(4,3)=4 triangles
+
+
+def test_triangles_weighted_triangle():
+    from leiden_cuda_ray.algorithms.triangles import triangle_counts
+
+    src, dst, w = weighted_triangle_edges()
+    g = build_graph_from_arrays(src, dst, w, P=1)
+    counts, total = triangle_counts(g)
+    assert total == 1
+    assert np.array_equal(_gather_state(counts), [1, 1, 1])
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_leiden_clique_ring(P):
+    """The reference validation answer: five 4-cliques (FIXTURES.md F3)."""
+    from leiden_cuda_ray.algorithms.leiden import leiden
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    refs, info = leiden(g, LeidenConfig(gamma=0.1))
+    comm = _gather_state(refs)
+    # communities == the 5 cliques
+    groups = {}
+    for v, c in enumerate(comm):
+        groups.setdefault(c, set()).add(v)
+    expected = [{0, 1, 2, 3}, {4, 5, 6, 7}, {8, 9, 10, 11},
+                {12, 13, 14, 15}, {16, 17, 18, 19}]
+    assert sorted(groups.values(), key=min) == expected
+
+
+def test_leiden_deterministic_across_P():
+    from leiden_cuda_ray.algorithms.leiden import leiden
+
+    src, dst, w = clique_ring_weighted_edges()
+    results = []
+    for P in (1, 2):
+        g = build_graph_from_arrays(src, dst, w, P=P)
+        refs, _ = leiden(g, LeidenConfig(gamma=0.05))
+        results.append(_gather_state(refs))
+    assert np.array_equal(results[0], results[1])
+
+
+def test_leiden_cpm_positive_on_cliques():
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.objectives import score
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=2)
+    refs, info = leiden(g, LeidenConfig(gamma=0.1))
+    s = score(g, refs, gamma=0.1)
+    # 5 cliques: W_in = 5*6 = 30; penalty = 5 * 0.1 * 4*3/2 = 3
+    assert s["num_communities"] == 5
+    assert s["cpm"] == pytest.approx(30 - 3.0)
+    # singleton partition CPM = 0; clique partition must beat it
+    assert s["cpm"] > 0
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_louvain_two_cliques(P):
+    """Two 4-cliques + bridge (the custom_louvain.py:376-391 fixture shape):
+    modularity keeps the cliques separate (merge ΔQ = −0.068 < 0)."""
+    from leiden_cuda_ray.algorithms.louvain import louvain
+
+    src, dst, w = clique_ring_edges(n_cliques=2, clique_size=4)
+    # drop the second bridge so there is exactly one bridge (7-0 removed)
+    keep = ~((src == 7) & (dst == 0))
+    g = build_graph_from_arrays(src[keep], dst[keep], w[keep], V=8, P=P)
+    refs, info = louvain(g, LouvainConfig())
+    comm = _gather_state(refs)
+    groups = {}
+    for v, c in enumerate(comm):
+        groups.setdefault(c, set()).add(v)
+    assert sorted(groups.values(), key=min) == [{0, 1, 2, 3}, {4, 5, 6, 7}]
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_louvain_clique_ring_level0(P):
+    """Level-0 moving recovers the 5 cliques; coarse levels may merge
+    adjacent cliques (the reference's per-level m + once-counted coarse
+    self-loop convention makes that ΔQ=+0.00245 > 0 — resolution limit),
+    so the final partition must be a union of whole cliques."""
+    from leiden_cuda_ray.algorithms.louvain import louvain
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    refs, info = louvain(g, LouvainConfig())
+    comm = _gather_state(refs)
+    assert info["levels"][0]["communities"] == 5
+    # each clique stays intact inside one final community
+    for c in range(5):
+        clique = comm[c * 4:(c + 1) * 4]
+        assert len(set(clique)) == 1
+
+
+def test_louvain_deterministic_across_P():
+    from leiden_cuda_ray.algorithms.louvain import louvain
+
+    src, dst, w = clique_ring_edges()
+    results = []
+    for P in (1, 2):
+        g = build_graph_from_arrays(src, dst, w, P=P)
+        refs, _ = louvain(g, LouvainConfig())
+        results.append(_gather_state(refs))
+    assert np.array_equal(results[0], results[1])
