@@ -83,10 +83,23 @@ def _split_by_ranges(full_ref, graph: Graph):
     return [_slice.remote(full_ref, vlo, vhi) for vlo, vhi in graph.ranges()]
 
 
-def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig()):
+class CheckpointCrash(RuntimeError):
+    """Raised by the crash_after test hook after a checkpoint is published."""
+
+
+def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
+           checkpointer=None, resume: bool = False,
+           crash_after: int | None = None):
     """Returns (root community refs per partition of the INPUT graph, info).
 
     info: {"levels": [...per-level dicts...], "num_communities": int}
+
+    checkpointer: state.Checkpointer — persists per-superstep vertex state,
+    the per-level graph, and dendrogram maps; with resume=True the run
+    continues from the latest published manifest mid-level and produces a
+    result bit-identical to an uninterrupted run (deterministic supersteps).
+    crash_after: TEST HOOK — raise CheckpointCrash after that many
+    checkpoints have been published (simulates a mid-iteration kill).
     """
     cur = graph
     init_comm = None
@@ -94,17 +107,55 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig()):
     maps = []
     levels_info = []
 
-    for level in range(cfg.max_levels):
-        states = [
-            init_move_state.remote(
-                cur.parts[i],
-                None if init_comm is None else init_comm[i],
-                None if aggs is None else aggs[i])
-            for i in range(cur.P)
-        ]
+    start_level = 0
+    resume_states = None
+    resume_step = 1
+    resume_moves = 0
+    if resume and checkpointer is not None:
+        man = checkpointer.latest()
+        if man is not None:
+            start_level = man["level"]
+            maps = [checkpointer.load_map(l) for l in range(start_level)]
+            cur = checkpointer.load_level_graph(start_level)
+            resume_states = checkpointer.load_states(
+                start_level, man["superstep"])
+            resume_step = man["superstep"] + 1
+            resume_moves = man["metrics"].get("total_moves", 0)
+
+    n_ckpts = 0
+
+    def _cb_for(level):
+        if checkpointer is None:
+            return None
+
+        def cb(step, states, metrics):
+            nonlocal n_ckpts
+            checkpointer.save_superstep(level, step, cur, states, metrics)
+            n_ckpts += 1
+            if crash_after is not None and n_ckpts >= crash_after:
+                raise CheckpointCrash(f"crashed after {n_ckpts} checkpoints")
+        return cb
+
+    for level in range(start_level, cfg.max_levels):
+        if resume_states is not None:
+            states = resume_states
+            resume_states = None
+            start_step, tot0 = resume_step, resume_moves
+        else:
+            if checkpointer is not None:
+                checkpointer.save_level_graph(level, cur)
+            states = [
+                init_move_state.remote(
+                    cur.parts[i],
+                    None if init_comm is None else init_comm[i],
+                    None if aggs is None else aggs[i])
+                for i in range(cur.P)
+            ]
+            start_step, tot0 = 1, 0
         states, moves, steps = run_local_moving(
             cur, states, "cpm", cfg.gamma, cfg.seed + 1000 * level,
-            cfg.max_supersteps)
+            cfg.max_supersteps, start_step=start_step, total_moves=tot0,
+            ckpt_cb=_cb_for(level))
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))
@@ -116,8 +167,8 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig()):
             break
 
         assigns, rq_refs = refine_level(cur, states, cfg.gamma)
-        if aggs is None:
-            aggs = [_ones_agg.remote(p) for p in cur.parts]
+        # agg counts ride in the move state (set at init, constant per level)
+        aggs = [_get_agg.remote(s) for s in states]
         new_graph, level_map, uniq = coarsen(cur, assigns, aggs)
         if new_graph.V == cur.V:
             # refinement merged nothing: no further coarsening possible
@@ -128,6 +179,8 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig()):
         # are vertex ids there, matching the singleton convention
         init_comm = _split_by_ranges(init_full, new_graph)
         maps.append(level_map)
+        if checkpointer is not None:
+            checkpointer.save_map(level, level_map)
         aggs = new_graph.agg_refs
         cur = new_graph
     else:  # max_levels exhausted without break
@@ -144,5 +197,5 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig()):
 
 
 @ray.remote
-def _ones_agg(csr):
-    return np.ones(csr["vhi"] - csr["vlo"], np.int64)
+def _get_agg(state):
+    return state["agg"]

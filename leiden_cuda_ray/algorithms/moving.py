@@ -300,15 +300,18 @@ def _absorb(state, vlo, *shards):
 
 
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
-                     seed: int, max_supersteps: int):
+                     seed: int, max_supersteps: int,
+                     start_step: int = 1, total_moves: int = 0,
+                     ckpt_cb=None):
     """Run the local-moving loop to frontier convergence.
 
     states: per-partition move-state refs (init_move_state).
+    start_step/total_moves allow resuming mid-level from a checkpoint;
+    ckpt_cb(step, states, metrics) is called after each applied superstep.
     Returns (states, total_moves, supersteps)."""
     P = graph.P
-    total_moves = 0
-    step = 0
-    for step in range(1, max_supersteps + 1):
+    step = start_step - 1
+    for step in range(start_step, max_supersteps + 1):
         totals_parts = [
             _comm_totals.remote(states[i], graph.parts[i], kind)
             for i in range(P)
@@ -359,6 +362,9 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         moved = sum(ray.get(moved_refs))
         n_active = sum(ray.get([a[1] for a in absorbed]))
         total_moves += moved
+        if ckpt_cb is not None:
+            ckpt_cb(step, states, {"moves": moved, "active": n_active,
+                                   "total_moves": total_moves})
         if n_active == 0:
             break
     return states, total_moves, step

@@ -1,0 +1,89 @@
+"""Checkpoint/resume: kill after superstep k, resume, identical final state
+(FIXTURES.md checkpoint manifest fixture)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+import ray
+
+from leiden_cuda_ray.algorithms.leiden import CheckpointCrash, leiden
+from leiden_cuda_ray.config import LeidenConfig
+from leiden_cuda_ray.graph.build import build_graph_from_arrays
+from leiden_cuda_ray.sources.fixtures import clique_ring_edges
+from leiden_cuda_ray.state.checkpoint import Checkpointer
+
+
+def _final(refs):
+    return np.concatenate(ray.get(refs))
+
+
+def test_kill_and_resume_bitwise_identical(tmp_path):
+    src, dst, w = clique_ring_edges()
+    cfg = LeidenConfig(gamma=0.1)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    refs, info = leiden(g1, cfg)
+    expected = _final(refs)
+
+    ck = Checkpointer(str(tmp_path), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g2, cfg, checkpointer=ck, crash_after=3)
+
+    man = ck.latest()
+    assert man is not None and man["algorithm"] == "leiden"
+    assert set(man) >= {"level", "superstep", "partition_lineage", "metrics"}
+    # every lineage file exists (torn writes never published)
+    for path in man["partition_lineage"].values():
+        assert os.path.exists(path)
+
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    refs3, info3 = leiden(g3, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs3), expected)
+
+
+def test_resume_mid_coarse_level(tmp_path):
+    """Crash deep enough that resume starts at a coarse level (level >= 1)."""
+    src, dst, w = clique_ring_edges()
+    cfg = LeidenConfig(gamma=0.1)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+
+    # count total checkpoints of a full run, then crash near the end
+    ck_probe = Checkpointer(str(tmp_path / "probe"), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    leiden(g2, cfg, checkpointer=ck_probe)
+    # find max level reached with supersteps
+    total_states = 0
+    lvl = 0
+    while os.path.isdir(ck_probe.dir + f"/level_{lvl}"):
+        total_states += len([d for d in os.listdir(ck_probe.dir + f"/level_{lvl}")
+                             if d.startswith("state_")])
+        lvl += 1
+    assert lvl >= 2, "fixture should coarsen at least once"
+
+    ck = Checkpointer(str(tmp_path / "real"), "leiden")
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g3, cfg, checkpointer=ck, crash_after=total_states - 1)
+    assert ck.latest()["level"] >= 1
+
+    g4 = build_graph_from_arrays(src, dst, w, P=2)
+    refs4, _ = leiden(g4, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs4), expected)
+
+
+def test_checkpointed_run_unchanged(tmp_path):
+    """Checkpointing must not perturb the result."""
+    src, dst, w = clique_ring_edges()
+    cfg = LeidenConfig(gamma=0.05)
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+    ck = Checkpointer(str(tmp_path), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    got = _final(leiden(g2, cfg, checkpointer=ck)[0])
+    assert np.array_equal(got, expected)
+    assert ck.latest()["metrics"]["active"] == 0  # converged state published
