@@ -1,0 +1,334 @@
+"""Deduplication operators (north-rule training-data ops).
+
+- exact:      hash text → groupby(hash) keep min id (hash-partitioned; the
+              full text never crosses the shuffle — only its 128-bit digest)
+- MinHash+LSH: char-shingles → minhash signatures (vectorized permutation
+              mins) → band buckets → groupby(band) emits candidate pairs with
+              estimated Jaccard computed from the in-group signatures
+- SimHash:    64-bit sign-of-weighted-token-hash fingerprint + banded
+              near-dup pairing by Hamming distance
+- n-gram Jaccard: exact verification of candidate pairs
+- embedding:  cosine near-dup via random-hyperplane LSH buckets
+
+Candidate-pair semantics: pairs (doc_a < doc_b) are emitted at most once
+(cross-band duplicates collapsed by a groupby max). Dedup keeps the minimum
+doc id of each duplicate group (greedy: a doc is dropped if it pairs with any
+smaller-id doc — at threshold<1 this approximates the transitive closure;
+use the connected-components algorithm over the pair edges when exact
+closure is required)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ray.data.aggregate import Max, Min
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _hash_batch_text(batch: pa.Table, text_col: str) -> np.ndarray:
+    return np.array([
+        hashlib.blake2b(t.encode(), digest_size=16).hexdigest()
+        for t in batch.column(text_col).to_pylist()], dtype=object)
+
+
+def exact_dedup_keepers(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """→ Dataset[<id_col>] of kept rows (min id per identical text)."""
+    def add_hash(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_col: batch.column(id_col),
+            "text_hash": pa.array(_hash_batch_text(batch, text_col)),
+        })
+
+    hashed = ds.select_columns([id_col, text_col]).map_batches(
+        add_hash, batch_format="pyarrow", zero_copy_batch=True)
+    return (hashed.groupby("text_hash")
+            .aggregate(Min(id_col, alias_name=id_col))
+            .select_columns([id_col]))
+
+
+# ---------------------------------------------------------------- MinHash ---
+
+def _perm_params(num_perm: int, seed: int):
+    rs = np.random.RandomState(seed)
+    a = rs.randint(1, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    b = rs.randint(0, (1 << 61) - 1, size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of the char k-shingles (vectorized rolling view)."""
+    data = text.encode("utf-8", errors="ignore")
+    if len(data) < k:
+        data = data + b"\x00" * (k - len(data))
+    arr = np.frombuffer(data, np.uint8)
+    win = np.lib.stride_tricks.sliding_window_view(arr, min(k, len(arr)))
+    # polynomial hash per window (vectorized across windows)
+    weights = np.uint64(1099511628211) ** np.arange(win.shape[1],
+                                                    dtype=np.uint64)
+    h = (win.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+    return np.unique(h)
+
+
+def minhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
+                       num_perm: int = 64, shingle: int = 5, seed: int = 42):
+    """→ Dataset[<id_col>, sig:list<int64>] MinHash signatures."""
+    a, b = _perm_params(num_perm, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sigs = []
+        for t in batch.column(text_col).to_pylist():
+            h = _shingle_hashes(t, shingle)
+            # (a*h + b) mod p, min over shingles, per permutation
+            vals = (a[None, :] * h[:, None] + b[None, :]) % _MERSENNE
+            sigs.append(vals.min(axis=0).astype(np.int64))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "sig": pa.array([s.tolist() for s in sigs],
+                            pa.list_(pa.int64())),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
+                        threshold: float = 0.5):
+    """Signatures → candidate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
+
+    Band buckets: groupby(band, band_hash); each group carries its members'
+    signatures so the Jaccard estimate is computed in-group (no extra join).
+    Cross-band duplicate pairs collapse via groupby(doc_a, doc_b).max."""
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        sigs = batch.column("sig").to_pylist()
+        out_band, out_hash, out_id, out_sig = [], [], [], []
+        for i, sig in enumerate(sigs):
+            s = np.asarray(sig, np.int64)
+            r = len(s) // bands
+            for bidx in range(bands):
+                chunk = s[bidx * r:(bidx + 1) * r]
+                h = hashlib.blake2b(chunk.tobytes(),
+                                    digest_size=8).hexdigest()
+                out_band.append(bidx)
+                out_hash.append(h)
+                out_id.append(ids[i])
+                out_sig.append(sig)
+        return pa.table({
+            "band": pa.array(out_band, pa.int32()),
+            "bucket": pa.array(out_hash, pa.string()),
+            id_col: pa.array(out_id, pa.int64()),
+            "sig": pa.array(out_sig, pa.list_(pa.int64())),
+        })
+
+    banded = sig_ds.map_batches(to_bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [],
+                                 "est_jaccard": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64,
+                 "est_jaccard": np.float64})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        sigs = np.stack([np.asarray(s, np.int64) for s in g["sig"]])
+        iu, ju = np.triu_indices(len(ids), 1)
+        est = (sigs[iu] == sigs[ju]).mean(axis=1)
+        keep = est >= threshold
+        return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+                             "est_jaccard": est[keep]})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        emit_pairs, batch_format="pandas")
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def minhash_dedup_keepers(ds, id_col: str = "doc_id", text_col: str = "text",
+                          num_perm: int = 64, bands: int = 16,
+                          threshold: float = 0.8, seed: int = 42):
+    """→ Dataset[<id_col>] of keepers after MinHash near-dup removal."""
+    sigs = minhash_signatures(ds, id_col, text_col, num_perm, seed=seed)
+    pairs = lsh_candidate_pairs(sigs, id_col, bands, threshold)
+    # project+rename via an Arrow map_batches: Ray's Project operator can't
+    # rename pandas blocks coming out of map_groups
+    dropped = pairs.map_batches(
+        lambda t: pa.table({id_col: t.column("doc_b")}),
+        batch_format="pyarrow")
+    return ds.select_columns([id_col]).join(
+        dropped, join_type="left_anti", num_partitions=8, on=(id_col,))
+
+
+# ---------------------------------------------------------------- SimHash ---
+
+def simhash(ds, id_col: str = "doc_id", text_col: str = "text"):
+    """→ Dataset[<id_col>, simhash:int64] 64-bit token SimHash."""
+    def fn(batch: pa.Table) -> pa.Table:
+        out = []
+        for t in batch.column(text_col).to_pylist():
+            toks = t.split()
+            if not toks:
+                out.append(0)
+                continue
+            hs = np.array([int.from_bytes(hashlib.blake2b(
+                w.encode(), digest_size=8).digest(), "big")
+                for w in toks], dtype=np.uint64)
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64))
+                    & np.uint64(1)).astype(np.int64)
+            v = np.where((2 * bits - 1).sum(axis=0) >= 0, 1, 0).astype(
+                np.uint64)
+            out.append(int((v << np.arange(64, dtype=np.uint64)).sum(
+                dtype=np.uint64)))
+        return pa.table({
+            id_col: batch.column(id_col),
+            "simhash": pa.array(np.array(out, np.uint64).astype(np.int64),
+                                pa.int64()),
+        })
+
+    return ds.select_columns([id_col, text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
+    """Banded Hamming near-dup pairs from 64-bit simhashes (4×16-bit bands:
+    any pair within Hamming ≤ 3 shares at least one exact band)."""
+    def to_bands(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col))
+        sh = np.asarray(batch.column("simhash")).astype(np.uint64)
+        bands, buckets, oids, hashes = [], [], [], []
+        for b in range(4):
+            chunk = (sh >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            bands.extend([b] * len(ids))
+            buckets.extend(chunk.tolist())
+            oids.extend(ids.tolist())
+            hashes.extend(sh.tolist())
+        return pa.table({
+            "band": pa.array(bands, pa.int32()),
+            "bucket": pa.array(buckets, pa.int64()),
+            id_col: pa.array(oids, pa.int64()),
+            "sh": pa.array(np.array(hashes, np.uint64).astype(np.int64),
+                           pa.int64()),
+        })
+
+    banded = sim_ds.map_batches(to_bands, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"doc_a": [], "doc_b": [],
+                                 "hamming": []}).astype(
+                {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
+        g = group.sort_values(id_col).drop_duplicates(id_col)
+        ids = g[id_col].to_numpy()
+        sh = g["sh"].to_numpy().astype(np.uint64)
+        iu, ju = np.triu_indices(len(ids), 1)
+        x = sh[iu] ^ sh[ju]
+        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
+        keep = ham <= 64
+        return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+                             "hamming": ham[keep]})
+
+    pairs = banded.groupby(["band", "bucket"]).map_groups(
+        emit, batch_format="pandas")
+    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming"))
+    return uniq.filter(
+        lambda row: row["hamming"] <= max_hamming)
+
+
+# ------------------------------------------------------- n-gram Jaccard -----
+
+def ngram_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
+                         text_col: str = "text", shingle: int = 5,
+                         num_partitions: int = 8):
+    """Exact char-shingle Jaccard for candidate pairs (two hash joins to
+    attach both texts, then a vectorized per-pair set intersection)."""
+    docs = docs_ds.select_columns([id_col, text_col])
+    j1 = pairs_ds.join(docs, join_type="inner",
+                       num_partitions=num_partitions,
+                       on=("doc_a",), right_on=(id_col,),
+                       right_suffix="_a")
+    t_a = text_col if text_col in j1.columns() else text_col + "_a"
+    j1 = j1.rename_columns({t_a: "text_a"})
+    if id_col in j1.columns():
+        j1 = j1.drop_columns([id_col])
+    j2 = j1.join(docs, join_type="inner", num_partitions=num_partitions,
+                 on=("doc_b",), right_on=(id_col,), right_suffix="_b")
+    t_b = text_col if text_col in j2.columns() else text_col + "_b"
+    j2 = j2.rename_columns({t_b: "text_b"})
+
+    def verify(batch: pa.Table) -> pa.Table:
+        ja = []
+        for a, b in zip(batch.column("text_a").to_pylist(),
+                        batch.column("text_b").to_pylist()):
+            sa = set(_shingle_hashes(a, shingle).tolist())
+            sb = set(_shingle_hashes(b, shingle).tolist())
+            inter = len(sa & sb)
+            union = len(sa | sb) or 1
+            ja.append(inter / union)
+        return pa.table({
+            "doc_a": batch.column("doc_a"),
+            "doc_b": batch.column("doc_b"),
+            "jaccard": pa.array(ja, pa.float64()),
+        })
+
+    return j2.map_batches(verify, batch_format="pyarrow")
+
+
+# ------------------------------------------------------- embedding dups -----
+
+def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95, n_planes: int = 8,
+                        seed: int = 42):
+    """Cosine near-dup pairs via random-hyperplane LSH buckets.
+
+    Pairs in the same sign-pattern bucket are verified exactly; at the given
+    plane count a near-dup pair collides with high probability (run with two
+    seeds and union for higher recall)."""
+    rs = np.random.RandomState(seed)
+    planes = None  # lazily sized from the first batch's dim
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        nonlocal planes
+        vecs = np.stack([np.asarray(v, np.float64)
+                         for v in batch.column(vec_col).to_pylist()])
+        if planes is None:
+            planes = np.random.RandomState(seed).randn(vecs.shape[1],
+                                                       n_planes)
+        signs = (vecs @ planes) > 0
+        bucket = (signs.astype(np.uint64)
+                  << np.arange(n_planes, dtype=np.uint64)).sum(axis=1)
+        norms = np.linalg.norm(vecs, axis=1)
+        unit = vecs / np.maximum(norms, 1e-12)[:, None]
+        return pa.table({
+            "bucket": pa.array(bucket.astype(np.int64), pa.int64()),
+            id_col: batch.column(id_col),
+            "unit": pa.array([u.tolist() for u in unit],
+                             pa.list_(pa.float64())),
+        })
+
+    buckets = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"vec_a": [], "vec_b": [],
+                                 "cosine": []}).astype(
+                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64})
+        g = group.sort_values(id_col)
+        ids = g[id_col].to_numpy()
+        U = np.stack([np.asarray(u, np.float64) for u in g["unit"]])
+        S = U @ U.T
+        iu, ju = np.triu_indices(len(ids), 1)
+        cos = S[iu, ju]
+        keep = cos >= threshold
+        return pd.DataFrame({"vec_a": ids[iu][keep], "vec_b": ids[ju][keep],
+                             "cosine": cos[keep]})
+
+    return buckets.groupby("bucket").map_groups(emit, batch_format="pandas")

@@ -1,0 +1,183 @@
+"""Similarity search over an embedding column (north-rule training-data op).
+
+- knn_brute: the baseline — per-batch cosine top-k against a broadcast query
+  matrix (numpy matmul inside an actor pool; queries are loaded once per
+  actor in __init__, not per batch), then a global per-query top-k merge.
+- knn_ivf: the scale path — deterministic coarse quantizer (seeded sample +
+  one Lloyd refinement), vectors bucketed by nearest centroid, queries probe
+  the n_probe nearest buckets only.
+
+Outputs (query_id, neighbor_id, rank, score) with rank 1..k ordered by
+(score desc, neighbor_id asc) — the deterministic tie-break keeps results
+oracle-comparable."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _to_matrix(col) -> np.ndarray:
+    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+
+
+def _normalize(M: np.ndarray) -> np.ndarray:
+    return M / np.maximum(np.linalg.norm(M, axis=1), 1e-12)[:, None]
+
+
+class _BruteScorer:
+    """Actor-pool stage: queries normalized ONCE per actor in __init__."""
+
+    def __init__(self, queries_ref, k: int, id_col: str, vec_col: str):
+        import ray
+
+        q = queries_ref
+        if hasattr(q, "hex"):  # an ObjectRef
+            q = ray.get(q)
+        self.Q = _normalize(np.asarray(q, np.float64))
+        self.k = k
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        X = _normalize(_to_matrix(batch.column(self.vec_col)))
+        ids = np.asarray(batch.column(self.id_col))
+        S = self.Q @ X.T  # (n_queries, batch)
+        k = min(self.k, S.shape[1])
+        # per-query partial top-k within this batch (combiner before shuffle)
+        part = np.argpartition(-S, k - 1, axis=1)[:, :k]
+        qidx = np.repeat(np.arange(S.shape[0]), k)
+        vidx = part.ravel()
+        return pa.table({
+            "query_id": pa.array(qidx, pa.int64()),
+            "neighbor_id": pa.array(ids[vidx], pa.int64()),
+            "score": pa.array(S[qidx, vidx], pa.float64()),
+        })
+
+
+def _topk_merge(k: int):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["score", "neighbor_id"],
+                              ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g[["query_id", "neighbor_id", "rank", "score"]]
+    return fn
+
+
+def knn_brute(emb_ds, queries: np.ndarray, k: int = 5,
+              id_col: str = "vec_id", vec_col: str = "embedding",
+              concurrency: int = 2):
+    """→ Dataset[query_id, neighbor_id, rank, score]."""
+    import ray
+
+    qref = ray.put(np.asarray(queries, np.float64))
+    scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        _BruteScorer,
+        fn_constructor_args=(qref, k, id_col, vec_col),
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pandas")
+
+
+def deterministic_centroids(emb_ds, n_centroids: int,
+                            vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            seed: int = 42) -> np.ndarray:
+    """Seeded coarse quantizer: hash-sampled seeds + one Lloyd refinement
+    (streamed through map_batches partial sums — no full materialize)."""
+    sample = emb_ds.select_columns([id_col, vec_col]).filter(
+        lambda row: (hash((row[id_col], seed)) % 997) < 200)
+    seeds = _to_matrix(pa.Table.from_pandas(
+        sample.limit(n_centroids * 4).to_pandas()).column(vec_col))
+    if len(seeds) < n_centroids:
+        raise ValueError("not enough vectors to seed centroids")
+    C = seeds[:n_centroids].copy()
+
+    def partial(batch: pa.Table) -> pa.Table:
+        X = _to_matrix(batch.column(vec_col))
+        assign = np.argmin(
+            ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+        return pa.table({
+            "centroid": pa.array(np.arange(len(C)), pa.int64()),
+            "sum": pa.array([s.tolist() for s in sums],
+                            pa.list_(pa.float64())),
+            "count": pa.array(counts, pa.float64()),
+        })
+
+    parts = emb_ds.select_columns([vec_col]).map_batches(
+        partial, batch_format="pyarrow").to_pandas()
+    sums = np.zeros_like(C)
+    counts = np.zeros(len(C))
+    for _, row in parts.iterrows():
+        sums[row["centroid"]] += np.asarray(row["sum"])
+        counts[row["centroid"]] += row["count"]
+    nz = counts > 0
+    C[nz] = sums[nz] / counts[nz, None]
+    return C
+
+
+def knn_ivf(emb_ds, queries: np.ndarray, k: int = 5, n_centroids: int = 8,
+            n_probe: int = 2, id_col: str = "vec_id",
+            vec_col: str = "embedding", seed: int = 42):
+    """IVF approximate k-NN: probe only the n_probe nearest buckets.
+
+    → Dataset[query_id, neighbor_id, rank, score]."""
+    import ray
+
+    C = deterministic_centroids(emb_ds, n_centroids, vec_col, id_col, seed)
+    Q = np.asarray(queries, np.float64)
+    qdist = ((Q[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+    probes = np.argsort(qdist, axis=1)[:, :n_probe]  # (nq, n_probe)
+    cref = ray.put(C)
+    pref = ray.put(probes)
+    qref = ray.put(_normalize(Q))
+
+    class Scorer:
+        def __init__(self):
+            self.C = ray.get(cref)
+            self.probes = ray.get(pref)
+            self.Qn = ray.get(qref)
+            # query lists per bucket
+            self.bucket_queries = {}
+            for qi, row in enumerate(self.probes):
+                for b in row:
+                    self.bucket_queries.setdefault(int(b), []).append(qi)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _to_matrix(batch.column(vec_col))
+            ids = np.asarray(batch.column(id_col))
+            assign = np.argmin(
+                ((X[:, None, :] - self.C[None, :, :]) ** 2).sum(axis=2),
+                axis=1)
+            Xn = _normalize(X)
+            out_q, out_id, out_s = [], [], []
+            for b in np.unique(assign):
+                qs = self.bucket_queries.get(int(b))
+                if not qs:
+                    continue
+                mask = assign == b
+                S = self.Qn[qs] @ Xn[mask].T
+                kk = min(k, S.shape[1])
+                part = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+                for row_i, qi in enumerate(qs):
+                    sel = part[row_i]
+                    out_q.extend([qi] * len(sel))
+                    out_id.extend(ids[mask][sel].tolist())
+                    out_s.extend(S[row_i, sel].tolist())
+            return pa.table({
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_id, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            })
+
+    scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        Scorer, batch_format="pyarrow", concurrency=2)
+    return scored.groupby("query_id").map_groups(
+        _topk_merge(k), batch_format="pandas")

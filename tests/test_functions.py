@@ -1,0 +1,182 @@
+"""Training-data operators: dedup, similarity, text analysis, multimodal."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray
+import ray.data
+
+
+@pytest.fixture(scope="module")
+def docs_ds():
+    rows = [
+        {"doc_id": 0, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 1, "text": "the quick brown fox jumps over the lazy dog"},
+        {"doc_id": 2, "text": "the quick brown fox jumped over the lazy dog"},
+        {"doc_id": 3, "text": "completely different content about graphs"},
+        {"doc_id": 4, "text": "der schnelle braune fuchs springt und ist nicht langsam"},
+        {"doc_id": 5, "text": ""},
+    ]
+    return ray.data.from_arrow(pa.Table.from_pylist(rows))
+
+
+def test_exact_dedup(docs_ds):
+    from leiden_cuda_ray.functions.dedup import exact_dedup_keepers
+
+    keep = sorted(r["doc_id"] for r in exact_dedup_keepers(docs_ds).take_all())
+    assert keep == [0, 2, 3, 4, 5]  # doc 1 is an exact dup of 0
+
+
+def test_minhash_finds_near_dups(docs_ds):
+    from leiden_cuda_ray.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    sigs = minhash_signatures(docs_ds)
+    pairs = lsh_candidate_pairs(sigs, threshold=0.5).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got  # exact dup pair
+    assert (0, 2) in got or (1, 2) in got  # near dup (one word changed)
+    assert (0, 3) not in got  # unrelated
+
+
+def test_minhash_dedup_keepers(docs_ds):
+    from leiden_cuda_ray.functions.dedup import minhash_dedup_keepers
+
+    keep = sorted(r["doc_id"]
+                  for r in minhash_dedup_keepers(docs_ds,
+                                                 threshold=0.95).take_all())
+    assert 0 in keep and 1 not in keep  # exact dup dropped, min id kept
+    assert 3 in keep and 4 in keep
+
+
+def test_simhash_near_dup(docs_ds):
+    from leiden_cuda_ray.functions.dedup import simhash, simhash_dup_pairs
+
+    sh = simhash(docs_ds)
+    rows = {r["doc_id"]: r["simhash"] for r in sh.take_all()}
+    assert rows[0] == rows[1]  # identical text, identical simhash
+    pairs = simhash_dup_pairs(sh, max_hamming=16).to_pandas()
+    got = set(map(tuple, pairs[["doc_a", "doc_b"]].to_numpy()))
+    assert (0, 1) in got
+
+
+def test_ngram_jaccard_verify(docs_ds):
+    from leiden_cuda_ray.functions.dedup import (
+        lsh_candidate_pairs, minhash_signatures, ngram_jaccard_verify)
+
+    pairs = lsh_candidate_pairs(minhash_signatures(docs_ds), threshold=0.5)
+    verified = ngram_jaccard_verify(pairs, docs_ds).to_pandas()
+    exact = verified[(verified.doc_a == 0) & (verified.doc_b == 1)]
+    assert len(exact) == 1 and exact.jaccard.iloc[0] == pytest.approx(1.0)
+
+
+def test_embedding_dup_pairs():
+    from leiden_cuda_ray.functions.dedup import embedding_dup_pairs
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 16)
+    vecs = np.vstack([base, base[0] + 1e-4 * rng.randn(16)])  # 8 is dup of 0
+    rows = [{"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(vecs)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_dup_pairs(ds, threshold=0.99).to_pandas()
+    got = set(map(tuple, pairs[["vec_a", "vec_b"]].to_numpy()))
+    assert (0, 8) in got
+
+
+def test_knn_brute_matches_numpy():
+    from leiden_cuda_ray.functions.similarity import knn_brute
+
+    rng = np.random.RandomState(1)
+    X = rng.randn(100, 16)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(X)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    Q = X[:3]
+    res = knn_brute(ds, Q, k=5).to_pandas()
+    Xn = X / np.linalg.norm(X, axis=1)[:, None]
+    Qn = Q / np.linalg.norm(Q, axis=1)[:, None]
+    S = Qn @ Xn.T
+    for qi in range(3):
+        expect = np.lexsort((np.arange(100), -S[qi]))[:5]
+        got = res[res.query_id == qi].sort_values("rank").neighbor_id.to_numpy()
+        assert np.array_equal(got, expect)
+        assert got[0] == qi  # self is nearest
+
+
+def test_knn_ivf_recall():
+    from leiden_cuda_ray.functions.similarity import knn_brute, knn_ivf
+
+    rng = np.random.RandomState(2)
+    centers = rng.randn(4, 16) * 5
+    X = np.vstack([c + rng.randn(50, 16) * 0.3 for c in centers])
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in enumerate(X)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    Q = X[[0, 60, 120]]
+    exact = knn_brute(ds, Q, k=5).to_pandas()
+    approx = knn_ivf(ds, Q, k=5, n_centroids=4, n_probe=2).to_pandas()
+    # recall@5 over the 3 queries
+    hits = 0
+    for qi in range(3):
+        e = set(exact[exact.query_id == qi].neighbor_id)
+        a = set(approx[approx.query_id == qi].neighbor_id)
+        hits += len(e & a)
+    assert hits >= 12  # >= 80% recall on well-separated clusters
+
+
+def test_token_stats_and_language_id(docs_ds):
+    from leiden_cuda_ray.functions.text import language_id, token_stats
+
+    stats = {r["doc_id"]: r for r in token_stats(docs_ds).take_all()}
+    assert stats[0]["n_tokens"] == 9
+    assert stats[5]["n_tokens"] == 0
+    assert stats[0]["n_chars"] == len(
+        "the quick brown fox jumps over the lazy dog")
+
+    langs = {r["doc_id"]: r["lang_pred"] for r in language_id(docs_ds).take_all()}
+    assert langs[0] == "en"
+    assert langs[4] == "de"
+    assert langs[5] == "unknown"
+
+
+def test_quality_and_fingerprints(docs_ds):
+    from leiden_cuda_ray.functions.text import fingerprints, quality_score
+
+    q = {r["doc_id"]: r["quality"] for r in quality_score(docs_ds).take_all()}
+    assert q[0] > q[5]  # real sentence beats empty text
+    fp = {r["doc_id"]: r["fingerprint"] for r in fingerprints(docs_ds).take_all()}
+    assert fp[0] == fp[1]  # identical docs, identical fingerprint
+    assert fp[0] != fp[3]
+
+
+def test_multimodal_decode_stub():
+    from leiden_cuda_ray.functions.multimodal import (
+        DecodeImage, decode_images, make_fake_media_dataset)
+
+    ds = make_fake_media_dataset(n=12)
+    out = decode_images(ds, concurrency=2, batch_size=4).to_pandas()
+    assert len(out) == 12
+    assert set(out.columns) == {"media_id", "height", "width", "channels",
+                                "features"}
+    assert (out.height >= 64).all() and (out.height < 256).all()
+    feats = np.stack(out.features.to_numpy())
+    assert feats.shape == (12, 32)
+    assert np.allclose(feats.sum(axis=1), 1.0)
+    # real decode contract: explicit NotImplementedError without codecs
+    with pytest.raises(NotImplementedError):
+        DecodeImage(fake=False)
+
+
+def test_multimodal_frames_and_audio():
+    from leiden_cuda_ray.functions.multimodal import (
+        AudioFeatures, SampleFrames, make_fake_media_dataset)
+
+    vids = make_fake_media_dataset(n=3, media_type="video")
+    frames = vids.map_batches(SampleFrames, batch_format="pyarrow",
+                              concurrency=1).to_pandas()
+    assert len(frames) == 12  # 3 videos x 4 frames
+    assert set(frames.frame_index) == {0, 1, 2, 3}
+
+    auds = make_fake_media_dataset(n=3, media_type="audio")
+    feats = auds.map_batches(AudioFeatures, batch_format="pyarrow",
+                             concurrency=1).to_pandas()
+    assert np.stack(feats.features.to_numpy()).shape == (3, 16)
