@@ -1,16 +1,12 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+entry(): flagship pipeline (corpus → edges → Leiden + PageRank) on sf0.001.
+queries(): one entry per implemented pipeline/operator (SURVEY.md §2).
+oracle_sql(): DuckDB-equivalent SQL for each SQL-expressible query; graph
+algorithms / hash-based operators are rows-only by design (no entry).
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Ray is initialised by the driver BEFORE this module is imported: nothing
+here calls ray.init()/ray.shutdown().
 """
 
 from __future__ import annotations
@@ -18,27 +14,359 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+
+# corpus parquet path embedded in the oracle SQL (driver compares at sf0.01;
+# the queries ensure this file exists deterministically before running)
+_CORPUS_001 = "/tmp/graft_corpus/sf0.01/corpus.parquet"
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship: sf0.001 corpus → edge table → Leiden + PageRank scores."""
+    import ray
+
+    from leiden_cuda_ray.algorithms.common import state_to_dataset
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+    from leiden_cuda_ray.config import LeidenConfig
+    from leiden_cuda_ray.graph.build import build_graph_from_dataset
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+    from leiden_cuda_ray.sources.corpus import ensure_corpus_for_sf_dir
+
+    corpus = ensure_corpus_for_sf_dir("/root/testdata/sf0.001")
+    edges, numbering, V = derive_edges(corpus)
+    graph = build_graph_from_dataset(edges, V,
+                                     spill_dir="/tmp/graft_graph/entry")
+    comm_refs, info = leiden(graph, LeidenConfig(gamma=0.05))
+    ranks, _, _ = pagerank(graph)
+    comm_ds = state_to_dataset(graph, comm_refs, "community")
+    rank_ds = state_to_dataset(graph, ranks, "pagerank", pa.float64())
+    joined = comm_ds.join(rank_ds, join_type="inner", num_partitions=2,
+                          on=("vertex",))
+    return joined.join(numbering, join_type="inner", num_partitions=2,
+                       on=("vertex",))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from leiden_cuda_ray.functions import dedup, similarity, text
+    from leiden_cuda_ray.pipelines import corpus_queries as cq
+    from leiden_cuda_ray.pipelines import relational as rel
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def _docs(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/documents.parquet")
+
+    def _emb(sf_dir):
+        import ray.data
+
+        return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+
+    def q_exact_dedup(sf_dir):
+        return dedup.exact_dedup_keepers(_docs(sf_dir))
+
+    def q_doc_stats(sf_dir):
+        return text.token_stats(_docs(sf_dir))
+
+    def q_language_id(sf_dir):
+        return text.language_id(_docs(sf_dir)).select_columns(
+            ["doc_id", "lang_pred"])
+
+    def q_quality(sf_dir):
+        return text.quality_score(_docs(sf_dir))
+
+    def q_fingerprints(sf_dir):
+        return text.fingerprints(_docs(sf_dir))
+
+    def q_simhash(sf_dir):
+        return dedup.simhash(_docs(sf_dir))
+
+    def q_minhash_pairs(sf_dir):
+        sigs = dedup.minhash_signatures(_docs(sf_dir))
+        return dedup.lsh_candidate_pairs(sigs, threshold=0.5).select_columns(
+            ["doc_a", "doc_b"])
+
+    def q_embedding_dups(sf_dir):
+        # testdata embeddings have no true near-dups (max cosine ≈ 0.51);
+        # 0.45 surfaces the same-cluster "near" pairs. The arrow projection
+        # keeps a typed schema even for empty results.
+        pairs = dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.45)
+
+        def proj(batch):
+            import pandas as pd
+
+            return pa.table({
+                "vec_a": pa.array(batch["vec_a"], pa.int64()),
+                "vec_b": pa.array(batch["vec_b"], pa.int64()),
+            })
+
+        return pairs.map_batches(proj, batch_format="pandas")
+
+    def _first10_queries(sf_dir):
+        rows = sorted(
+            _emb(sf_dir).filter(lambda r: r["vec_id"] < 10).take_all(),
+            key=lambda r: r["vec_id"])
+        return np.stack([np.asarray(r["embedding"], np.float64)
+                         for r in rows])
+
+    def q_knn(sf_dir):
+        Q = _first10_queries(sf_dir)
+        res = similarity.knn_brute(_emb(sf_dir), Q, k=5)
+
+        def fix(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "query_id": batch.column("query_id"),
+                "neighbor_id": batch.column("neighbor_id"),
+                "rank": batch.column("rank"),
+            })
+
+        return res.map_batches(fix, batch_format="pyarrow")
+
+    def q_knn_ivf(sf_dir):
+        Q = _first10_queries(sf_dir)
+        res = similarity.knn_ivf(_emb(sf_dir), Q, k=5, n_centroids=8,
+                                 n_probe=3)
+        return res.map_batches(
+            lambda t: pa.table({"query_id": t.column("query_id"),
+                                "neighbor_id": t.column("neighbor_id"),
+                                "rank": t.column("rank")}),
+            batch_format="pyarrow")
+
+    return {
+        # relational operator surface (TPC-H-ish tables)
+        "pricing_summary": rel.pricing_summary,
+        "top_customers": rel.top_customers,
+        "nation_order_counts": rel.nation_order_counts,
+        "brand_item_counts": rel.brand_item_counts,
+        "high_value_orders": rel.high_value_orders,
+        "distinct_segments": rel.distinct_segments,
+        "supplier_balance_by_nation": rel.supplier_balance_by_nation,
+        "part_type_stats": rel.part_type_stats,
+        "events_hourly": rel.events_hourly,
+        "sessionize_events": rel.sessionize_events,
+        # documents / embeddings operators
+        "exact_dedup": q_exact_dedup,
+        "doc_stats": q_doc_stats,
+        "language_id": q_language_id,
+        "quality_score": q_quality,
+        "fingerprints": q_fingerprints,
+        "simhash": q_simhash,
+        "minhash_pairs": q_minhash_pairs,
+        "embedding_dups": q_embedding_dups,
+        "knn_brute": q_knn,
+        "knn_ivf": q_knn_ivf,
+        # corpus pipeline + graph algorithms
+        "corpus_sha256": cq.corpus_sha256,
+        "cocommit_pairs": cq.cocommit_pairs,
+        "import_pairs": cq.import_pairs,
+        "degree_topk": cq.degree_topk,
+        "graph_pagerank": cq.graph_pagerank,
+        "graph_components": cq.graph_components,
+        "graph_labelprop": cq.graph_labelprop,
+        "graph_triangles": cq.graph_triangles,
+        "graph_leiden": cq.graph_leiden,
+        "graph_louvain": cq.graph_louvain,
+    }
+
+
+# --------------------------------------------------------------- oracles ----
+
+_CORPUS_CTE = f"""
+corpus AS (SELECT * FROM read_parquet('{_CORPUS_001}')),
+files AS (
+  SELECT DISTINCT repo, path,
+         regexp_extract(path, '([^/]+)\\.[^.]*$', 1) AS stem
+  FROM corpus),
+imp_stmts AS (
+  SELECT repo AS src_repo, path AS src_path, lang, stmt
+  FROM (
+    SELECT repo, path, lang,
+           unnest(regexp_extract_all(content,
+             CASE lang
+               WHEN 'python' THEN 'from (\\w+)\\.(\\w+) import'
+               WHEN 'c'      THEN '#include "(\\w+)/(\\w+)\\.h"'
+               ELSE 'require\\("(\\w+)/(\\w+)"\\)'
+             END)) AS stmt
+    FROM corpus)),
+imp_targets AS (
+  SELECT src_repo, src_path,
+         regexp_extract(stmt, '(\\w+)[./]', 1) AS dst_repo,
+         CASE lang
+           WHEN 'python' THEN regexp_extract(stmt, '\\.(\\w+) import', 1)
+           WHEN 'c'      THEN regexp_extract(stmt, '/(\\w+)\\.h', 1)
+           ELSE               regexp_extract(stmt, '/(\\w+)"', 1)
+         END AS dst_stem
+  FROM imp_stmts),
+import_edges AS (
+  SELECT DISTINCT t.src_repo, t.src_path, f.repo AS dst_repo,
+         f.path AS dst_path
+  FROM imp_targets t
+  JOIN files f ON f.repo = t.dst_repo AND f.stem = t.dst_stem),
+cocommit_edges AS (
+  SELECT a.repo AS src_repo, a.path AS src_path,
+         b.repo AS dst_repo, b.path AS dst_path, COUNT(*) AS weight
+  FROM corpus a JOIN corpus b
+    ON a.repo = b.repo AND a."commit" = b."commit" AND a.path < b.path
+  GROUP BY 1, 2, 3, 4),
+all_pairs AS (
+  SELECT src_repo, src_path, dst_repo, dst_path FROM import_edges
+  UNION ALL
+  SELECT src_repo, src_path, dst_repo, dst_path FROM cocommit_edges),
+canon AS (
+  SELECT DISTINCT
+    LEAST(src_repo || '|' || src_path, dst_repo || '|' || dst_path)
+      AS key_a,
+    GREATEST(src_repo || '|' || src_path, dst_repo || '|' || dst_path)
+      AS key_b
+  FROM all_pairs)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    # the corpus parquet must exist before DuckDB reads it
+    from leiden_cuda_ray.sources.corpus import ensure_corpus_for_sf_dir
+
+    ensure_corpus_for_sf_dir("/root/testdata/sf0.01")
+
+    return {
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   ROUND(SUM(l_quantity), 6) AS sum_qty,
+                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
+                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
+                     AS sum_disc_price,
+                   COUNT(*) AS "count_order"
+            FROM lineitem
+            WHERE l_shipdate <= TIMESTAMP '2000-01-01'
+            GROUP BY l_returnflag, l_linestatus""",
+        "top_customers": """
+            SELECT c.c_custkey, c.c_name,
+                   ROUND(SUM(o.o_totalprice), 6) AS total_spent
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_custkey, c.c_name
+            ORDER BY SUM(o.o_totalprice) DESC, c.c_custkey ASC
+            LIMIT 10""",
+        "nation_order_counts": """
+            SELECT n.n_name, COUNT(*) AS order_count
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            GROUP BY n.n_name""",
+        "brand_item_counts": """
+            SELECT p.p_brand, COUNT(*) AS n_items
+            FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY p.p_brand""",
+        "high_value_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice
+            FROM orders WHERE o_totalprice > 400000.0""",
+        "distinct_segments": """
+            SELECT DISTINCT c_mktsegment FROM customer""",
+        "supplier_balance_by_nation": """
+            SELECT s_nationkey, ROUND(SUM(s_acctbal), 6) AS total_balance,
+                   COUNT(*) AS n_suppliers
+            FROM supplier GROUP BY s_nationkey""",
+        "part_type_stats": """
+            SELECT p_type, COUNT(*) AS n_parts,
+                   ROUND(AVG(p_retailprice), 6) AS avg_price
+            FROM part GROUP BY p_type""",
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY 1, 2""",
+        "sessionize_events": """
+            WITH gaps AS (
+              SELECT user_id, event_id, ts,
+                     CASE WHEN ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                          OR LAG(ts) OVER w IS NULL
+                          THEN 1 ELSE 0 END AS brk
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+            sess AS (
+              SELECT user_id,
+                     SUM(brk) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) - 1 AS session_id
+              FROM gaps)
+            SELECT user_id, session_id, COUNT(*) AS n_events
+            FROM sess GROUP BY user_id, session_id""",
+        "exact_dedup": """
+            SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "doc_stats": """
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents""",
+        "knn_brute": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding
+                       FROM embeddings WHERE vec_id < 10),
+            scored AS (
+              SELECT ROW_NUMBER() OVER (ORDER BY q.query_id) - 1 AS rn0,
+                     q.query_id, v.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, v.embedding) AS s
+              FROM q CROSS JOIN embeddings v),
+            ranked AS (
+              SELECT query_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                                        ORDER BY s DESC, neighbor_id ASC)
+                       AS rank
+              FROM scored)
+            SELECT DENSE_RANK() OVER (ORDER BY query_id) - 1 AS query_id,
+                   neighbor_id, rank
+            FROM ranked WHERE rank <= 5""",
+        "corpus_sha256": f"""
+            SELECT repo, path, "commit", sha256(content) AS sha256
+            FROM read_parquet('{_CORPUS_001}')""",
+        "cocommit_pairs": f"""
+            SELECT a.repo AS src_repo, a.path AS src_path,
+                   b.repo AS dst_repo, b.path AS dst_path,
+                   COUNT(*) AS weight
+            FROM read_parquet('{_CORPUS_001}') a
+            JOIN read_parquet('{_CORPUS_001}') b
+              ON a.repo = b.repo AND a."commit" = b."commit"
+             AND a.path < b.path
+            GROUP BY 1, 2, 3, 4""",
+        "import_pairs": f"""
+            WITH {_CORPUS_CTE}
+            SELECT src_repo, src_path, dst_repo, dst_path
+            FROM import_edges""",
+        "degree_topk": f"""
+            WITH {_CORPUS_CTE},
+            both_dirs AS (
+              SELECT key_a AS key FROM canon
+              UNION ALL SELECT key_b FROM canon),
+            deg AS (
+              SELECT key, COUNT(*) AS degree FROM both_dirs GROUP BY key)
+            SELECT split_part(key, '|', 1) AS repo,
+                   split_part(key, '|', 2) AS path, degree
+            FROM deg
+            ORDER BY degree DESC, repo ASC, path ASC
+            LIMIT 10""",
+        "graph_triangles": f"""
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (  -- oriented low id -> high id, both input orders folded
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            contrib AS (
+              SELECT x AS v FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri)
+            SELECT vid.v AS vertex,
+                   COALESCE(t.n, 0) AS triangles
+            FROM vid
+            LEFT JOIN (SELECT v, COUNT(*) AS n FROM contrib GROUP BY v) t
+              ON t.v = vid.v""",
+    }

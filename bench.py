@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline pipelines over $GRAFT_SF_DIR.
+
+Default single run (the driver's per-round BENCH_r{N}.json source): times the
+flagship stages over the synthetic source-repo corpus for the sf tier and
+prints ONE JSON line:
+    {"metric": "edges_per_sec_per_superstep", "value": N, "unit": "...",
+     "queries": {...per-stage seconds...}, "sf": S, "num_cpus": N}
+
+The headline metric follows BASELINE.md: symmetrized-edge throughput per
+superstep across Leiden local moving + PageRank,
+    value = sym_edges * (leiden_supersteps + pagerank_iters) / (t_leiden + t_pr).
+
+--scaling: runs the identical job twice in FRESH subprocesses at
+num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for the
+north rule's N vs 4N cluster sizes) and reports both throughputs plus
+scaling efficiency (T32/T8)/4.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_single() -> dict:
+    import ray
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False)
+
+    import numpy as np
+
+    from leiden_cuda_ray.algorithms.components import connected_components
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+    from leiden_cuda_ray.algorithms.triangles import triangle_counts
+    from leiden_cuda_ray.config import LeidenConfig
+    from leiden_cuda_ray.graph.build import build_graph_from_dataset
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+    from leiden_cuda_ray.sources.corpus import ensure_corpus_for_sf_dir, corpus_path_for_sf_dir
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        sf = float(tier.replace("sf", ""))
+    except ValueError:
+        sf = 0.1
+
+    queries: dict[str, float] = {}
+
+    t0 = time.perf_counter()
+    corpus = ensure_corpus_for_sf_dir(sf_dir)
+    queries["gen_corpus"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    edges, numbering, V = derive_edges(corpus)
+    spill = f"/tmp/graft_graph/bench_{tier}_{num_cpus}"
+    graph = build_graph_from_dataset(edges, V, spill_dir=spill)
+    ray.get(graph.parts)  # force build completion for honest timing
+    queries["derive_and_build"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    comm_refs, info = leiden(graph, LeidenConfig(gamma=0.05))
+    ray.get(comm_refs)
+    t_leiden = time.perf_counter() - t0
+    queries["leiden"] = t_leiden
+    leiden_supersteps = sum(l["supersteps"] for l in info["levels"])
+
+    t0 = time.perf_counter()
+    ranks, pr_iters, _err = pagerank(graph)
+    ray.get(ranks)
+    t_pr = time.perf_counter() - t0
+    queries["pagerank"] = t_pr
+
+    t0 = time.perf_counter()
+    labels, _ = connected_components(graph)
+    ray.get(labels)
+    queries["connected_components"] = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    counts, total_tri = triangle_counts(graph)
+    ray.get(counts)
+    queries["triangles"] = time.perf_counter() - t0
+
+    # documents-side headline ops at this tier
+    import ray.data
+
+    from leiden_cuda_ray.functions import dedup, text
+
+    docs_path = f"{sf_dir}/documents.parquet"
+    if os.path.exists(docs_path):
+        t0 = time.perf_counter()
+        docs = ray.data.read_parquet(docs_path)
+        sigs = dedup.minhash_signatures(docs)
+        dedup.lsh_candidate_pairs(sigs, threshold=0.5).count()
+        queries["minhash_lsh"] = time.perf_counter() - t0
+
+        t0 = time.perf_counter()
+        text.token_stats(ray.data.read_parquet(docs_path)).count()
+        queries["token_stats"] = time.perf_counter() - t0
+
+    supersteps = leiden_supersteps + pr_iters
+    value = graph.sym_edges * supersteps / (t_leiden + t_pr)
+
+    result = {
+        "metric": "edges_per_sec_per_superstep",
+        "value": value,
+        "unit": "sec",
+        "queries": {k: round(v, 4) for k, v in queries.items()},
+        "sf": sf,
+        "num_cpus": num_cpus,
+        "sym_edges": graph.sym_edges,
+        "V": graph.V,
+        "P": graph.P,
+        "leiden_supersteps": leiden_supersteps,
+        "pagerank_iters": pr_iters,
+        "leiden_levels": len(info["levels"]),
+        "num_communities": info["num_communities"],
+        "triangles": total_tri,
+    }
+    ray.shutdown()
+    return result
+
+
+def run_scaling() -> dict:
+    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    out = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--single-json"],
+            capture_output=True, text=True, env=env, cwd=os.path.dirname(
+                os.path.abspath(__file__)))
+        lines = [l for l in proc.stdout.strip().splitlines() if
+                 l.startswith("{")]
+        if not lines:
+            raise RuntimeError(
+                f"bench subprocess (cpus={cpus}) produced no JSON:\n"
+                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+        out[cpus] = json.loads(lines[-1])
+    t8 = out[8]["value"]
+    t32 = out[32]["value"]
+    return {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": (t32 / t8) / 4.0,
+        "unit": "ratio",
+        "throughput_8": t8,
+        "throughput_32": t32,
+        "queries": {"cpus8": out[8]["queries"], "cpus32": out[32]["queries"]},
+        "sf": out[8]["sf"],
+        "num_cpus": [8, 32],
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_single()))

@@ -1,0 +1,196 @@
+"""Corpus-derived graph queries (the engine's flagship surface).
+
+Each callable takes sf_dir (the driver's testdata directory), ensures the
+deterministic synthetic corpus for that tier exists under /tmp/graft_corpus
+(BASELINE.json input_hint schema; generated, never downloaded), and runs a
+Ray pipeline over it. The graph is built once per sf_dir and cached
+(module-level) so the six algorithm queries share partitions.
+
+Vertex ids are the rank in (repo, path) sort order — reproducible in SQL as
+row_number() OVER (ORDER BY repo, path) - 1, which is what the DuckDB
+oracles use."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data
+from ray.data.aggregate import Count
+
+from leiden_cuda_ray.algorithms.common import state_to_dataset
+from leiden_cuda_ray.config import LeidenConfig, LouvainConfig
+from leiden_cuda_ray.sources.corpus import (
+    ensure_corpus_for_sf_dir,
+    read_corpus,
+)
+from leiden_cuda_ray.stages.cocommit import cocommit_edges
+from leiden_cuda_ray.stages.edges import canonicalize_edges
+from leiden_cuda_ray.stages.hashing import with_sha256
+from leiden_cuda_ray.stages.imports import extract_imports, file_table, resolve_imports
+
+_GRAPH_CACHE: dict = {}
+
+
+def corpus_sha256(sf_dir: str):
+    """(repo, path, commit, sha256) — the per-row content invariant."""
+    path = ensure_corpus_for_sf_dir(sf_dir)
+    ds = with_sha256(read_corpus(path))
+    return ds.select_columns(["repo", "path", "commit", "sha256"])
+
+
+def cocommit_pairs(sf_dir: str):
+    """Uncapped co-commit pairs with co-occurrence weight (SQL-oracle-able;
+    the capped skew-guarded variant is what the graph build uses)."""
+    path = ensure_corpus_for_sf_dir(sf_dir)
+    corpus = read_corpus(path, columns=["repo", "commit", "path"])
+    pairs = cocommit_edges(corpus, cap=1 << 30)
+    return pairs.groupby(
+        ["src_repo", "src_path", "dst_repo", "dst_path"]).aggregate(
+        Count(alias_name="weight"))
+
+
+def import_pairs(sf_dir: str):
+    """Resolved distinct import edges (src file → dst file)."""
+    path = ensure_corpus_for_sf_dir(sf_dir)
+    corpus = read_corpus(path, columns=["repo", "path", "lang", "content"])
+    ft = file_table(read_corpus(path, columns=["repo", "path"]))
+    resolved = resolve_imports(extract_imports(corpus), ft)
+    return resolved.groupby(
+        ["src_repo", "src_path", "dst_repo", "dst_path"]).count(
+    ).drop_columns(["count()"])
+
+
+def _edge_union(sf_dir: str):
+    """Distinct canonical neighbor pairs (import ∪ co-commit), as key strings."""
+    imp = import_pairs(sf_dir)
+    cc = cocommit_pairs(sf_dir).drop_columns(["weight"])
+    both = imp.union(cc)
+
+    def canon(batch: pa.Table) -> pa.Table:
+        a = pc.binary_join_element_wise(batch.column("src_repo"),
+                                        batch.column("src_path"), "|")
+        b = pc.binary_join_element_wise(batch.column("dst_repo"),
+                                        batch.column("dst_path"), "|")
+        a_np = np.asarray(a, dtype=object)
+        b_np = np.asarray(b, dtype=object)
+        lo = np.minimum(a_np, b_np)
+        hi = np.maximum(a_np, b_np)
+        return pa.table({"key_a": pa.array(lo, pa.string()),
+                         "key_b": pa.array(hi, pa.string())})
+
+    return (both.map_batches(canon, batch_format="pyarrow")
+            .groupby(["key_a", "key_b"]).count()
+            .drop_columns(["count()"]))
+
+
+def degree_topk(sf_dir: str, k: int = 10):
+    """Top-k files by distinct-neighbor degree (the reference's top-10
+    degree report, examples/test1.py:31-35)."""
+    edges = _edge_union(sf_dir)
+
+    def both_dirs(batch: pa.Table) -> pa.Table:
+        return pa.table({"key": pa.chunked_array(
+            [batch.column("key_a").combine_chunks(),
+             batch.column("key_b").combine_chunks()])})
+
+    deg = (edges.map_batches(both_dirs, batch_format="pyarrow")
+           .groupby("key").aggregate(Count(alias_name="degree")))
+
+    def split_key(batch: pa.Table) -> pa.Table:
+        keys = batch.column("key").to_pylist()
+        repos = [k.split("|", 1)[0] for k in keys]
+        paths = [k.split("|", 1)[1] for k in keys]
+        return pa.table({
+            "repo": pa.array(repos, pa.string()),
+            "path": pa.array(paths, pa.string()),
+            "degree": batch.column("degree"),
+        })
+
+    return (deg.map_batches(split_key, batch_format="pyarrow")
+            .sort(["degree", "repo", "path"],
+                  descending=[True, False, False])
+            .limit(k))
+
+
+def _build_graph(sf_dir: str):
+    if sf_dir in _GRAPH_CACHE:
+        return _GRAPH_CACHE[sf_dir]
+    from leiden_cuda_ray.graph.build import build_graph_from_dataset
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+
+    path = ensure_corpus_for_sf_dir(sf_dir)
+    edges, numbering, V = derive_edges(path)
+    import os
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    graph = build_graph_from_dataset(
+        edges, V, spill_dir=f"/tmp/graft_graph/{tier}")
+    _GRAPH_CACHE[sf_dir] = (graph, numbering)
+    return _GRAPH_CACHE[sf_dir]
+
+
+def _with_names(sf_dir: str, ds):
+    _, numbering = _build_graph(sf_dir)
+    return ds.join(numbering, join_type="inner", num_partitions=4,
+                   on=("vertex",))
+
+
+def graph_pagerank(sf_dir: str):
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+
+    graph, _ = _build_graph(sf_dir)
+    ranks, iters, err = pagerank(graph)
+    return state_to_dataset(graph, ranks, "pagerank", pa.float64())
+
+
+def graph_components(sf_dir: str):
+    from leiden_cuda_ray.algorithms.components import connected_components
+
+    graph, _ = _build_graph(sf_dir)
+    labels, _ = connected_components(graph)
+    return state_to_dataset(graph, labels, "component")
+
+
+def graph_labelprop(sf_dir: str):
+    from leiden_cuda_ray.algorithms.labelprop import label_propagation
+
+    graph, _ = _build_graph(sf_dir)
+    labels, _, _ = label_propagation(graph)
+    return state_to_dataset(graph, labels, "label")
+
+
+def graph_triangles(sf_dir: str):
+    from leiden_cuda_ray.algorithms.triangles import triangle_counts
+
+    graph, _ = _build_graph(sf_dir)
+    counts, _total = triangle_counts(graph)
+    return state_to_dataset(graph, counts, "triangles")
+
+
+def graph_leiden(sf_dir: str):
+    from leiden_cuda_ray.algorithms.leiden import leiden
+
+    graph, _ = _build_graph(sf_dir)
+    refs, _info = leiden(graph, LeidenConfig(gamma=0.05))
+    return state_to_dataset(graph, refs, "community")
+
+
+def graph_louvain(sf_dir: str):
+    from leiden_cuda_ray.algorithms.louvain import louvain
+
+    graph, _ = _build_graph(sf_dir)
+    refs, _info = louvain(graph, LouvainConfig())
+    return state_to_dataset(graph, refs, "community")
+
+
+def sf_of(sf_dir: str) -> float:
+    import os
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    try:
+        return float(tier.replace("sf", ""))
+    except ValueError:
+        return 0.001

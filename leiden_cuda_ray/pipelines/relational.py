@@ -1,0 +1,196 @@
+"""Relational demo pipelines over the driver's TPC-H-ish tables.
+
+These exercise the engine's relational operator surface (SURVEY.md §2.7:
+grouped aggregates, joins, sort/top-k, distinct, filter/project, windowed
+aggregation) with DuckDB-checkable semantics. Aggregated doubles are rounded
+to 6 decimals on BOTH sides so order-of-addition float noise cannot flip the
+driver's value hash; column names match the oracle SQL exactly.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+from ray.data.aggregate import Count, Mean, Sum
+
+
+def _read(sf_dir: str, table: str, columns=None):
+    return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
+                                 columns=columns)
+
+
+def _round_cols(ds, cols, digits: int = 6):
+    def fn(batch: pa.Table) -> pa.Table:
+        for c in cols:
+            batch = batch.set_column(
+                batch.column_names.index(c), c,
+                pc.round(batch.column(c), ndigits=digits))
+        return batch
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def pricing_summary(sf_dir: str):
+    """TPC-H Q1-style pricing summary (filter → grouped aggregates)."""
+    import datetime
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_shipdate"])
+    cutoff = datetime.datetime(2000, 1, 1)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("l_shipdate"),
+                             pa.scalar(cutoff, type=pa.timestamp("us")))
+        t = batch.filter(keep)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        return pa.table({
+            "l_returnflag": t.column("l_returnflag"),
+            "l_linestatus": t.column("l_linestatus"),
+            "l_quantity": t.column("l_quantity"),
+            "l_extendedprice": t.column("l_extendedprice"),
+            "disc_price": disc_price,
+        })
+
+    agg = (li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
+                      Sum("l_extendedprice", alias_name="sum_base_price"),
+                      Sum("disc_price", alias_name="sum_disc_price"),
+                      Count(alias_name="count_order")))
+    return _round_cols(agg, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+
+def top_customers(sf_dir: str, k: int = 10):
+    """orders ⋈ customer, grouped sum, deterministic top-k."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
+    spent = orders.groupby("o_custkey").aggregate(
+        Sum("o_totalprice", alias_name="total_spent"))
+    joined = spent.join(cust, join_type="inner", num_partitions=4,
+                        on=("o_custkey",), right_on=("c_custkey",))
+    out = joined.sort(["total_spent", "o_custkey"],
+                      descending=[True, False]).limit(k)
+
+    def proj(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": batch.column("o_custkey"),
+            "c_name": batch.column("c_name"),
+            "total_spent": pc.round(batch.column("total_spent"), ndigits=6),
+        })
+
+    return out.map_batches(proj, batch_format="pyarrow")
+
+
+def nation_order_counts(sf_dir: str):
+    """customer ⋈ nation ⋈ orders → orders per nation (multi-join)."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(sf_dir, "orders", ["o_custkey"])
+    oc = orders.join(cust, join_type="inner", num_partitions=4,
+                     on=("o_custkey",), right_on=("c_custkey",))
+
+    def cast_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int32()),
+        })
+
+    on_nation = oc.map_batches(cast_key, batch_format="pyarrow")
+    joined = on_nation.join(nation, join_type="inner", num_partitions=4,
+                            on=("c_nationkey",), right_on=("n_nationkey",))
+    return joined.groupby("n_name").aggregate(
+        Count(alias_name="order_count"))
+
+
+def brand_item_counts(sf_dir: str):
+    """lineitem ⋈ part → items per brand."""
+    li = _read(sf_dir, "lineitem", ["l_partkey"])
+    part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+    joined = li.join(part, join_type="inner", num_partitions=4,
+                     on=("l_partkey",), right_on=("p_partkey",))
+    return joined.groupby("p_brand").aggregate(Count(alias_name="n_items"))
+
+
+def high_value_orders(sf_dir: str, threshold: float = 400000.0):
+    """filter + project (no aggregation)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch.column("o_totalprice"),
+                          pa.scalar(threshold))
+        return batch.filter(keep)
+
+    return orders.map_batches(fn, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+def distinct_segments(sf_dir: str):
+    """distinct (exact dedup on a column)."""
+    cust = _read(sf_dir, "customer", ["c_mktsegment"])
+    return cust.groupby("c_mktsegment").count().drop_columns(["count()"])
+
+
+def supplier_balance_by_nation(sf_dir: str):
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+    agg = sup.groupby("s_nationkey").aggregate(
+        Sum("s_acctbal", alias_name="total_balance"),
+        Count(alias_name="n_suppliers"))
+    return _round_cols(agg, ["total_balance"])
+
+
+def part_type_stats(sf_dir: str):
+    part = _read(sf_dir, "part", ["p_type", "p_retailprice"])
+    agg = part.groupby("p_type").aggregate(
+        Count(alias_name="n_parts"),
+        Mean("p_retailprice", alias_name="avg_price"))
+    return _round_cols(agg, ["avg_price"])
+
+
+def events_hourly(sf_dir: str):
+    """windowed (tumbling 1h) event counts per type."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+    def trunc(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch.column("event_type"),
+            "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
+        })
+
+    return (ev.map_batches(trunc, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["event_type", "hour"])
+            .aggregate(Count(alias_name="n_events")))
+
+
+def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+    """per-user sessionization: a session breaks after a 30-min silence.
+
+    groupby(user).map_groups with a sorted cumulative-gap scan — the Ray
+    shape for streaming/window semantics (SURVEY.md §2.7: the engine's only
+    'window' op; the reference is pure batch)."""
+    ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    gap = np.timedelta64(gap_minutes, "m")
+
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        ts = g["ts"].to_numpy()
+        new_sess = np.ones(len(g), bool)
+        if len(g) > 1:
+            new_sess[1:] = (ts[1:] - ts[:-1]) > gap
+        sess = np.cumsum(new_sess) - 1
+        out = g[["user_id"]].iloc[:1].copy()
+        return pd.DataFrame({
+            "user_id": g["user_id"].to_numpy(),
+            "session_id": sess.astype(np.int64),
+            "event_id": g["event_id"].to_numpy(),
+        })
+
+    per_event = ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+    return per_event.groupby(["user_id", "session_id"]).aggregate(
+        Count(alias_name="n_events"))
