@@ -155,7 +155,8 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
         states, moves, steps = run_local_moving(
             cur, states, "cpm", cfg.gamma, cfg.seed + 1000 * level,
             cfg.max_supersteps, start_step=start_step, total_moves=tot0,
-            ckpt_cb=_cb_for(level))
+            ckpt_cb=_cb_for(level),
+            lock_communities=cfg.lock_communities)
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))

@@ -36,7 +36,7 @@ def louvain(graph: Graph, cfg: LouvainConfig = LouvainConfig()):
                   for i in range(cur.P)]
         states, moves, steps = run_local_moving(
             cur, states, "mod", cur.m, cfg.seed + 1000 * level,
-            cfg.max_supersteps)
+            cfg.max_supersteps, lock_communities=cfg.lock_communities)
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))

@@ -70,31 +70,42 @@ def init_move_state(csr, init_comm=None, agg=None):
 
 @ray.remote
 def _comm_totals(state, csr, kind):
-    """Sparse per-partition community totals: Σ agg (cpm) or Σ deg_w (mod)."""
+    """Sparse per-partition community totals: Σ agg (cpm) or Σ deg_w (mod),
+    plus member counts (needed by the singleton-chase guard)."""
     vals = (state["agg"].astype(np.float64) if kind == "cpm"
             else csr["deg_w"])
-    return segsum_by_key(state["comm"], vals)
+    ids, sums = segsum_by_key(state["comm"], vals)
+    idc, cnts = segsum_by_key(state["comm"],
+                              np.ones(len(state["comm"]), np.float64))
+    return (ids, sums), (idc, cnts)
 
 
 @ray.remote
 def _assemble_totals(V, *parts):
     dense = np.zeros(V, np.float64)
-    for ids, sums in parts:
+    counts = np.zeros(V, np.int64)
+    for (ids, sums), (idc, cnts) in parts:
         np.add.at(dense, ids, sums)
-    return dense
+        np.add.at(counts, idc, cnts.astype(np.int64))
+    return dense, counts
 
 
 @ray.remote
-def _push_gather(csr, state, block, P, superstep, seed):
+def _push_gather(csr, state, block, P, superstep, seed, lock):
     src_slot = local_src_per_slot(csr)
     src_g = src_slot + csr["vlo"]
     dst = csr["indices"]
     nonself = dst != src_g
     d, c, w = segsum_by_pair(dst[nonself], state["comm"][src_slot][nonself],
                              csr["weights"][nonself])
-    act = nonself & state["active"][src_slot]
-    prio = vertex_priority(src_g[act], superstep, seed)
-    d2, p2 = segmax_by_key(dst[act], prio)
+    if lock:
+        # coloring needs the max active-neighbor priority per dst
+        act = nonself & state["active"][src_slot]
+        prio = vertex_priority(src_g[act], superstep, seed)
+        d2, p2 = segmax_by_key(dst[act], prio)
+    else:
+        d2 = np.empty(0, np.int64)
+        p2 = np.empty(0, np.uint64)
     s1 = shard_by_owner(d, block, P, c, w)
     s2 = shard_by_owner(d2, block, P, p2)
     out = [(s1[j], s2[j]) for j in range(P)]
@@ -104,11 +115,31 @@ def _push_gather(csr, state, block, P, superstep, seed):
 
 
 @ray.remote
-def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, *shards):
+def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, lock,
+                *shards):
     """Select the best positive-delta move per eligible vertex.
 
-    Returns (moves dict, eligible mask). moves: v/old/new/delta arrays
-    (v global)."""
+    Conflict avoidance:
+    - lock=True: random-coloring defer (a vertex yields to any higher-
+      priority active neighbor, leiden_kernel.cu:66-76); claims resolve the
+      rest.
+    - lock=False: direction gating — even supersteps only admit moves to a
+      SMALLER community id, odd supersteps to a larger one. Adjacent
+      simultaneous swap cycles (A→comm(B) while B→comm(A)) are impossible
+      within a superstep, no priority exchange is needed, and roughly half
+      of all desired moves proceed each round instead of one independent
+      set. A vertex whose best move is gated stays active and retries next
+      superstep. Deterministic for any P.
+
+    Singleton-chase guard (lock=False): a singleton moving into another
+    singleton is only admitted on DOWN steps, so singleton chains walk
+    monotonically down the community-id order and must terminate — the
+    classic parallel-Louvain limit cycle (A→{B} while B→{C} while C→…,
+    alternating forever) is impossible.
+
+    Returns (moves dict, rest mask). moves: v/old/new/delta arrays
+    (v global); `rest` = vertices to deactivate after this superstep."""
+    comm_val, comm_cnt = comm_val
     vlo = csr["vlo"]
     nv = csr["vhi"] - vlo
     comm = state["comm"]
@@ -121,15 +152,19 @@ def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, *shards):
     w = np.concatenate([s[0][2] for s in shards]) if shards else np.empty(0, np.float64)
     d, c, w = segsum_by_pair(d, c, w)
 
-    d2 = np.concatenate([s[1][0] for s in shards]) if shards else np.empty(0, np.int64)
-    p2 = np.concatenate([s[1][1] for s in shards]) if shards else np.empty(0, np.uint64)
-    d2u, p2u = segmax_by_key(d2, p2)
-
-    max_nbr_prio = np.zeros(nv, np.uint64)
-    max_nbr_prio[d2u - vlo] = p2u
-    own_prio = vertex_priority(
-        np.arange(vlo, csr["vhi"], dtype=np.int64), superstep, seed)
-    eligible = active & ~(max_nbr_prio > own_prio)
+    if lock:
+        d2 = np.concatenate([s[1][0] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        p2 = np.concatenate([s[1][1] for s in shards]) if shards else \
+            np.empty(0, np.uint64)
+        d2u, p2u = segmax_by_key(d2, p2)
+        max_nbr_prio = np.zeros(nv, np.uint64)
+        max_nbr_prio[d2u - vlo] = p2u
+        own_prio = vertex_priority(
+            np.arange(vlo, csr["vhi"], dtype=np.int64), superstep, seed)
+        eligible = active & ~(max_nbr_prio > own_prio)
+    else:
+        eligible = active
 
     # k_v→old per vertex (self-loop always counted: custom_leiden.py:88-94)
     loc = d - vlo
@@ -153,26 +188,44 @@ def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, *shards):
                  + k_v * (comm_val[comm[dl]] - comm_val[cc] - k_v)
                  / (2.0 * m * m))
 
-    # best per vertex: delta desc, community asc; strictly positive only
+    rest = eligible.copy()
     if len(dl):
-        order = np.lexsort((cc, -delta, dl))
-        dls, ccs, ds_ = dl[order], cc[order], delta[order]
-        first = np.empty(len(dls), bool)
-        first[0] = True
-        np.not_equal(dls[1:], dls[:-1], out=first[1:])
-        pos = first & (ds_ > 1e-15)
-        mv_loc = dls[pos]
-        moves = {
-            "v": mv_loc + vlo,
-            "old": comm[mv_loc],
-            "new": ccs[pos],
-            "delta": ds_[pos],
-        }
+        positive = delta > 1e-15
+        if not lock:
+            down = cc < comm[dl]
+            ss = (comm_cnt[cc] == 1) & (comm_cnt[comm[dl]] == 1)
+            allowed = positive & np.where(
+                superstep % 2 == 0, down, (~down) & ~ss)
+            # gated-but-positive vertices must retry next superstep
+            gated = np.zeros(nv, bool)
+            gated[dl[positive & ~allowed]] = True
+            rest &= ~gated
+        else:
+            allowed = positive
+        dl2, cc2, ds2 = dl[allowed], cc[allowed], delta[allowed]
+        if len(dl2):
+            order = np.lexsort((cc2, -ds2, dl2))
+            dls, ccs, ds_ = dl2[order], cc2[order], ds2[order]
+            first = np.empty(len(dls), bool)
+            first[0] = True
+            np.not_equal(dls[1:], dls[:-1], out=first[1:])
+            mv_loc = dls[first]
+            moves = {
+                "v": mv_loc + vlo,
+                "old": comm[mv_loc],
+                "new": ccs[first],
+                "delta": ds_[first],
+            }
+        else:
+            moves = {"v": np.empty(0, np.int64),
+                     "old": np.empty(0, np.int64),
+                     "new": np.empty(0, np.int64),
+                     "delta": np.empty(0, np.float64)}
     else:
         moves = {"v": np.empty(0, np.int64), "old": np.empty(0, np.int64),
                  "new": np.empty(0, np.int64),
                  "delta": np.empty(0, np.float64)}
-    return moves, eligible
+    return moves, rest
 
 
 @ray.remote
@@ -234,11 +287,13 @@ def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
     nv = csr["vhi"] - vlo
     n_mv = len(moves["v"])
 
-    # reassemble acceptance from per-owner verdicts (shard order is the
-    # deterministic stable sort _claim_push used)
-    c_all = np.concatenate([moves["old"], moves["new"]])
-    acc_all = np.empty(2 * n_mv, bool)
-    if n_mv:
+    if not verdicts:  # lock-free mode: every proposed move is applied
+        accepted = np.ones(n_mv, bool)
+    elif n_mv:
+        # reassemble acceptance from per-owner verdicts (shard order is the
+        # deterministic stable sort _claim_push used)
+        c_all = np.concatenate([moves["old"], moves["new"]])
+        acc_all = np.empty(2 * n_mv, bool)
         owner = np.minimum(c_all // block, P - 1) if P > 1 else \
             np.zeros(2 * n_mv, np.int64)
         order = np.argsort(owner, kind="stable")
@@ -302,15 +357,37 @@ def _absorb(state, vlo, *shards):
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                      seed: int, max_supersteps: int,
                      start_step: int = 1, total_moves: int = 0,
-                     ckpt_cb=None):
+                     ckpt_cb=None, lock_communities: bool = False):
     """Run the local-moving loop to frontier convergence.
 
     states: per-partition move-state refs (init_move_state).
     start_step/total_moves allow resuming mid-level from a checkpoint;
     ckpt_cb(step, states, metrics) is called after each applied superstep.
+
+    lock_communities=True reproduces the CUDA reference's per-community
+    try-locks (at most ONE membership change per community per superstep,
+    leiden_kernel.cu:144-159) as a deterministic claims reduce. The default
+    False skips the claims exchange entirely: in BSP the community totals
+    are recomputed from scratch next superstep, so the lock's consistency
+    role disappears and the hash-priority coloring alone prevents adjacent
+    conflicting moves — communities can absorb many vertices per superstep,
+    cutting superstep counts by an order of magnitude on large groups.
+    Both modes are deterministic for any partition count P.
+
+    Stall guard: limit cycles of the simultaneous-move dynamics (periodic
+    move patterns that never converge) are detected by the frontier size —
+    if `active` hasn't reached a new minimum for `stall_window` supersteps,
+    the level is declared converged-enough and the loop breaks
+    (deterministic: depends only on the metric stream). The CUDA reference
+    bounds the same risk with a hard 10-superstep cap
+    (leiden_kernel.cu:1211-1213).
+
     Returns (states, total_moves, supersteps)."""
     P = graph.P
     step = start_step - 1
+    stall_window = 20
+    best_active = None
+    since_best = 0
     for step in range(start_step, max_supersteps + 1):
         totals_parts = [
             _comm_totals.remote(states[i], graph.parts[i], kind)
@@ -320,27 +397,32 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
 
         gshards = fanout(
             _push_gather,
-            [(graph.parts[i], states[i], graph.block, P, step, seed)
-             for i in range(P)], P)
+            [(graph.parts[i], states[i], graph.block, P, step, seed,
+              lock_communities) for i in range(P)], P)
         evals = [
             _eval_moves.remote(graph.parts[j], states[j], comm_val, kind,
-                               param, step, seed, *gshards[j])
+                               param, step, seed, lock_communities,
+                               *gshards[j])
             for j in range(P)
         ]
-        cshards = fanout(
-            _claim_push, [(evals[i], graph.block, P) for i in range(P)], P)
-        verdicts = [
-            _resolve_claims.options(num_returns=P if P > 1 else 1).remote(
-                *cshards[j])
-            for j in range(P)
-        ]
-        # verdicts[j][i] = acceptance for claims origin i sent to owner j;
-        # partition i needs row [j][i] for every j
-        if P > 1:
-            verd_lists = [[verdicts[j][i] for j in range(P)]
-                          for i in range(P)]
+        if lock_communities:
+            cshards = fanout(
+                _claim_push, [(evals[i], graph.block, P)
+                              for i in range(P)], P)
+            verdicts = [
+                _resolve_claims.options(
+                    num_returns=P if P > 1 else 1).remote(*cshards[j])
+                for j in range(P)
+            ]
+            # verdicts[j][i] = acceptance for claims origin i sent to owner
+            # j; partition i needs row [j][i] for every j
+            if P > 1:
+                verd_lists = [[verdicts[j][i] for j in range(P)]
+                              for i in range(P)]
+            else:
+                verd_lists = [[verdicts[0]]]
         else:
-            verd_lists = [[verdicts[0]]]
+            verd_lists = [[] for _ in range(P)]
 
         applied = [
             _apply_moves.options(num_returns=2 + P).remote(
@@ -367,4 +449,11 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                                    "total_moves": total_moves})
         if n_active == 0:
             break
+        if best_active is None or n_active < best_active:
+            best_active = n_active
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= stall_window:
+                break
     return states, total_moves, step

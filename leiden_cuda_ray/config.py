@@ -39,6 +39,10 @@ class LeidenConfig:
     max_levels: int = 20
     max_supersteps: int = 200    # reference CUDA caps at 10 greedy supersteps
     seed: int = 42
+    # True reproduces the CUDA per-community try-locks (one membership
+    # change per community per superstep); False (default) lets communities
+    # absorb many vertices per superstep — see moving.run_local_moving
+    lock_communities: bool = False
 
 
 @dataclass(frozen=True)
@@ -59,3 +63,4 @@ class LouvainConfig:
     max_levels: int = 20
     max_supersteps: int = 200
     seed: int = 42
+    lock_communities: bool = False

@@ -48,14 +48,17 @@ class Graph:
 
 
 def _derive_P(num_sym_edges: int, P: int | None,
-              target: int = 2_000_000) -> int:
+              target: int = 250_000) -> int:
+    """Partition count: enough partitions that every CPU has superstep work
+    (up to one per CPU) but no partition drops below ~`target` edges —
+    below that, task-launch overhead dominates the numpy kernels."""
     if P is not None:
         return max(1, P)
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4))
     by_edges = max(1, -(-num_sym_edges // target))
-    return int(min(max(by_edges, 1), max(cpus, 1) * 2, 512))
+    return int(max(1, min(by_edges, cpus, 512)))
 
 
 def build_graph_from_arrays(src, dst, w, V: int | None = None,
@@ -122,6 +125,9 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
     P = _derive_P(n_sym, P)
     block = max(1, -(-V // P))
 
+    # the spill layout depends on the partitioning: key the directory by it
+    # so a re-run with different V/P/block never reads a stale layout
+    spill_dir = os.path.join(spill_dir, f"V{V}_P{P}_B{block}")
     done_marker = os.path.join(spill_dir, "_BUILD_DONE")
     if not os.path.exists(done_marker):
         sym = symmetrize(edges_ds)

@@ -35,6 +35,10 @@ def build_partition_csr(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
     w = np.asarray(w, np.float64)
+    if len(src) and (src.min() < vlo or src.max() >= vhi):
+        raise ValueError(
+            f"partition [{vlo},{vhi}) received src ids outside its range "
+            f"[{src.min()},{src.max()}] — stale spill or wrong partitioning")
     local = src - vlo
     order = np.lexsort((dst, local))  # row-major, rows sorted by dst
     local, dst, w = local[order], dst[order], w[order]

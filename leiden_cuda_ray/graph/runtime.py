@@ -113,12 +113,13 @@ def vertex_priority(ids: np.ndarray, superstep: int, seed: int) -> np.ndarray:
     Replaces the reference's curand draw (csrc/src/leiden_kernel.cu:8-23)
     with a splitmix64-style hash so distributed runs are reproducible
     (SURVEY.md §4 "Ordering assumptions")."""
-    x = (ids.astype(np.uint64)
-         + np.uint64(0x9E3779B97F4A7C15) * np.uint64(superstep + 1)
-         + np.uint64(0xBF58476D1CE4E5B9) * np.uint64(seed + 1))
-    x ^= x >> np.uint64(30)
-    x *= np.uint64(0xBF58476D1CE4E5B9)
-    x ^= x >> np.uint64(27)
-    x *= np.uint64(0x94D049BB133111EB)
-    x ^= x >> np.uint64(31)
+    with np.errstate(over="ignore"):  # uint64 wrap-around is the point
+        x = (ids.astype(np.uint64)
+             + np.uint64(0x9E3779B97F4A7C15) * np.uint64(superstep + 1)
+             + np.uint64(0xBF58476D1CE4E5B9) * np.uint64(seed + 1))
+        x ^= x >> np.uint64(30)
+        x *= np.uint64(0xBF58476D1CE4E5B9)
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
     return x

@@ -35,7 +35,10 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
     """
     # column-pruned reads: never ship `content` to stages that don't need it
     corpus_meta = read_corpus(corpus_path, columns=["repo", "path"])
-    ft = file_table(corpus_meta)
+    # materialize shared intermediates: Datasets are lazy, so every consumer
+    # would otherwise re-execute the upstream chain (ft feeds the numbering
+    # AND the import resolution join)
+    ft = file_table(corpus_meta).materialize()
     numbering, num_vertices = build_vertex_numbering(ft)
     numbering = numbering.materialize()  # small (V rows), reused by 2 joins
 
@@ -72,5 +75,6 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
                          "weight": np.ones(int(keep.sum()), np.float64)})
 
     int_edges = with_both.map_batches(_project, batch_format="pyarrow")
-    edges = canonicalize_edges(int_edges, sum_weights=True)
+    # materialized: the graph build consumes this twice (stats + spill)
+    edges = canonicalize_edges(int_edges, sum_weights=True).materialize()
     return edges, numbering, num_vertices

@@ -201,14 +201,15 @@ def test_triangles_weighted_triangle():
     assert np.array_equal(_gather_state(counts), [1, 1, 1])
 
 
-@pytest.mark.parametrize("P", [1, 3])
-def test_leiden_clique_ring(P):
-    """The reference validation answer: five 4-cliques (FIXTURES.md F3)."""
+@pytest.mark.parametrize("P,lock", [(1, False), (3, False), (2, True)])
+def test_leiden_clique_ring(P, lock):
+    """The reference validation answer: five 4-cliques (FIXTURES.md F3) —
+    in both the lock-free default and the CUDA-style community-lock mode."""
     from leiden_cuda_ray.algorithms.leiden import leiden
 
     src, dst, w = clique_ring_edges()
     g = build_graph_from_arrays(src, dst, w, P=P)
-    refs, info = leiden(g, LeidenConfig(gamma=0.1))
+    refs, info = leiden(g, LeidenConfig(gamma=0.1, lock_communities=lock))
     comm = _gather_state(refs)
     # communities == the 5 cliques
     groups = {}

@@ -52,23 +52,22 @@ def test_resume_mid_coarse_level(tmp_path):
     g1 = build_graph_from_arrays(src, dst, w, P=2)
     expected = _final(leiden(g1, cfg)[0])
 
-    # count total checkpoints of a full run, then crash near the end
+    # count level-0 checkpoints of a full run, then crash one superstep
+    # into level 1
     ck_probe = Checkpointer(str(tmp_path / "probe"), "leiden")
     g2 = build_graph_from_arrays(src, dst, w, P=2)
     leiden(g2, cfg, checkpointer=ck_probe)
-    # find max level reached with supersteps
-    total_states = 0
     lvl = 0
     while os.path.isdir(ck_probe.dir + f"/level_{lvl}"):
-        total_states += len([d for d in os.listdir(ck_probe.dir + f"/level_{lvl}")
-                             if d.startswith("state_")])
         lvl += 1
     assert lvl >= 2, "fixture should coarsen at least once"
+    level0_states = len([d for d in os.listdir(ck_probe.dir + "/level_0")
+                         if d.startswith("state_")])
 
     ck = Checkpointer(str(tmp_path / "real"), "leiden")
     g3 = build_graph_from_arrays(src, dst, w, P=2)
     with pytest.raises(CheckpointCrash):
-        leiden(g3, cfg, checkpointer=ck, crash_after=total_states - 1)
+        leiden(g3, cfg, checkpointer=ck, crash_after=level0_states + 1)
     assert ck.latest()["level"] >= 1
 
     g4 = build_graph_from_arrays(src, dst, w, P=2)
