@@ -18,8 +18,11 @@ import numpy as np
 import pyarrow as pa
 
 # corpus parquet path embedded in the oracle SQL (driver compares at sf0.01;
-# the queries ensure this file exists deterministically before running)
-_CORPUS_001 = "/tmp/graft_corpus/sf0.01/corpus.parquet"
+# the queries ensure this file exists deterministically before running) —
+# derived from the same helper the Ray pipelines use so they never diverge
+from leiden_cuda_ray.sources.corpus import corpus_path_for_sf_dir as _cp
+
+_CORPUS_001 = _cp("/root/testdata/sf0.01")
 
 
 def entry() -> Any:
@@ -144,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_balance_by_nation": rel.supplier_balance_by_nation,
         "part_type_stats": rel.part_type_stats,
         "events_hourly": rel.events_hourly,
+        "events_json_stats": rel.events_json_stats,
         "sessionize_events": rel.sessionize_events,
         # documents / embeddings operators
         "exact_dedup": q_exact_dedup,
@@ -274,6 +278,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, date_trunc('hour', ts) AS hour,
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2""",
+        "events_json_stats": """
+            SELECT event_type,
+                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                     AS sum_k,
+                   COUNT(*) AS n_events
+            FROM events GROUP BY event_type""",
         "sessionize_events": """
             WITH gaps AS (
               SELECT user_id, event_id, ts,

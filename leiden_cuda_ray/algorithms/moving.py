@@ -385,7 +385,7 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     Returns (states, total_moves, supersteps)."""
     P = graph.P
     step = start_step - 1
-    stall_window = 20
+    stall_window = 8
     best_active = None
     since_best = 0
     for step in range(start_step, max_supersteps + 1):

@@ -37,7 +37,7 @@ class LeidenConfig:
     gamma: float = 0.05          # csrc/test/main.cpp:203
     theta: float = 1.0           # custom_leiden.py:350 (randomized-θ disabled)
     max_levels: int = 20
-    max_supersteps: int = 200    # reference CUDA caps at 10 greedy supersteps
+    max_supersteps: int = 100    # reference CUDA caps at 10 greedy supersteps
     seed: int = 42
     # True reproduces the CUDA per-community try-locks (one membership
     # change per community per superstep); False (default) lets communities

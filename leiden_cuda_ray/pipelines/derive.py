@@ -24,7 +24,7 @@ from leiden_cuda_ray.stages.numbering import build_vertex_numbering
 
 
 def derive_edges(corpus_path: str, cocommit_cap: int = 64,
-                 num_join_partitions: int = 8,
+                 num_join_partitions: int | None = None,
                  include_imports: bool = True,
                  include_cocommit: bool = True):
     """Returns (edges_ds, numbering_ds, num_vertices).
@@ -33,6 +33,11 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
                   unique pairs, weight = co-occurrence count
     numbering_ds: Dataset[repo, path, vertex] (dense ids by sorted key rank)
     """
+    if num_join_partitions is None:
+        import ray
+
+        num_join_partitions = max(
+            8, int(ray.cluster_resources().get("CPU", 8)))
     # column-pruned reads: never ship `content` to stages that don't need it
     corpus_meta = read_corpus(corpus_path, columns=["repo", "path"])
     # materialize shared intermediates: Datasets are lazy, so every consumer

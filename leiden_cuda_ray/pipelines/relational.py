@@ -168,6 +168,33 @@ def events_hourly(sf_dir: str):
             .aggregate(Count(alias_name="n_events")))
 
 
+def events_json_stats(sf_dir: str):
+    """JSON extraction over the events props column (string/JSON functions —
+    the engine's only JSON op; vectorized via polars' JSON path kernel)."""
+    ev = _read(sf_dir, "events", ["event_type", "props"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        try:
+            import polars as pl
+
+            k = (pl.from_arrow(batch.column("props"))
+                 .str.json_path_match("$.k").cast(pl.Int64))
+            karr = pa.array(k.to_list(), pa.int64())
+        except ImportError:
+            import json as _json
+
+            karr = pa.array(
+                [int(_json.loads(p)["k"])
+                 for p in batch.column("props").to_pylist()], pa.int64())
+        return pa.table({"event_type": batch.column("event_type"),
+                         "k": karr})
+
+    return (ev.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("event_type")
+            .aggregate(Sum("k", alias_name="sum_k"),
+                       Count(alias_name="n_events")))
+
+
 def sessionize_events(sf_dir: str, gap_minutes: int = 30):
     """per-user sessionization: a session breaks after a 30-min silence.
 
@@ -184,7 +211,6 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         if len(g) > 1:
             new_sess[1:] = (ts[1:] - ts[:-1]) > gap
         sess = np.cumsum(new_sess) - 1
-        out = g[["user_id"]].iloc[:1].copy()
         return pd.DataFrame({
             "user_id": g["user_id"].to_numpy(),
             "session_id": sess.astype(np.int64),

@@ -48,10 +48,12 @@ def corpus_params_for_sf(sf: float) -> CorpusParams:
         return CorpusParams(n_clusters=5, repos_per_cluster=4, files_per_repo=32,
                             imports_per_file=4, commits_per_repo=6,
                             giant_commit_files=48)
-    # bench tier (sf0.1): ~64k files, ~320k planted import edges
-    return CorpusParams(n_clusters=16, repos_per_cluster=8, files_per_repo=500,
-                        imports_per_file=5, commits_per_repo=25,
-                        giant_commit_files=256)
+    # bench tier (sf0.1): ~256k files, ~4M planted import statements — sized
+    # so per-partition superstep kernels dominate task-orchestration latency
+    # and CPU scaling is observable (BASELINE.md scaling criterion)
+    return CorpusParams(n_clusters=20, repos_per_cluster=8,
+                        files_per_repo=1000, imports_per_file=16,
+                        commits_per_repo=40, giant_commit_files=512)
 
 
 def _h(*parts: object) -> int:
@@ -160,14 +162,20 @@ def gen_corpus(out_path: str, params: CorpusParams | None = None,
     return out_path
 
 
+# bump when generator params/logic change: the cache is keyed by existence
+_CORPUS_VERSION = 2
+
+
 def corpus_path_for_sf_dir(sf_dir: str) -> str:
     """Canonical on-disk location of the synthetic corpus for a testdata dir.
 
-    Keyed only by the sf tier name so the oracle SQL can reference the same
-    literal path the Ray pipeline reads.
+    Keyed by the sf tier name + generator version so the oracle SQL (which
+    derives the same path via this helper) always reads the same file the
+    Ray pipeline reads, and stale caches are never reused after a generator
+    change.
     """
     tier = os.path.basename(os.path.normpath(sf_dir)) or "sf0.001"
-    return f"/tmp/graft_corpus/{tier}/corpus.parquet"
+    return f"/tmp/graft_corpus/{tier}/corpus_v{_CORPUS_VERSION}.parquet"
 
 
 def ensure_corpus_for_sf_dir(sf_dir: str) -> str:

@@ -59,6 +59,20 @@ def _symmetrize_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+def has_self_loops(ds) -> bool:
+    """Self-loop probe (examples/test1.py:40-42): any edge with src == dst.
+
+    Streaming filter + count — no materialization."""
+    def only_selfs(batch: pa.Table) -> pa.Table:
+        src = np.asarray(batch.column("src"), np.int64)
+        dst = np.asarray(batch.column("dst"), np.int64)
+        keep = src == dst
+        return pa.table({"src": src[keep]})
+
+    return ds.map_batches(only_selfs, batch_format="pyarrow",
+                          zero_copy_batch=True).count() > 0
+
+
 def symmetrize(canonical_ds):
     """Canonical (src<=dst, unique) edges → both directions, self-loops once.
 
