@@ -114,9 +114,8 @@ def _push_gather(csr, state, block, P, superstep, seed, lock):
     return tuple(out)
 
 
-@ray.remote
-def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, lock,
-                *shards):
+def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
+               shards):
     """Select the best positive-delta move per eligible vertex.
 
     Conflict avoidance:
@@ -229,6 +228,14 @@ def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, lock,
 
 
 @ray.remote
+def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, lock,
+                *shards):
+    """Remote wrapper around _eval_core (lock-mode wave)."""
+    return _eval_core(csr, state, comm_val, kind, param, superstep, seed,
+                      lock, shards)
+
+
+@ray.remote
 def _claim_push(moves_eligible, block, P):
     moves, _ = moves_eligible
     c = np.concatenate([moves["old"], moves["new"]])
@@ -276,37 +283,15 @@ def _resolve_claims(*origin_shards):
     return tuple(out) if len(origin_shards) > 1 else out[0]
 
 
-@ray.remote
-def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
-    """Apply claim-winning moves; emit frontier reactivations.
+def _apply_core(csr, state, moves, eligible, accepted, block, P):
+    """Apply accepted moves; emit frontier reactivation shards.
 
-    verdicts are variadic (Ray only resolves refs in direct args).
-    Returns (new_state, moved_count, *reactivation_shards)."""
-    moves, eligible = moves_eligible
+    Returns (new_state, moved_count, shards list)."""
     vlo = csr["vlo"]
-    nv = csr["vhi"] - vlo
-    n_mv = len(moves["v"])
-
-    if not verdicts:  # lock-free mode: every proposed move is applied
-        accepted = np.ones(n_mv, bool)
-    elif n_mv:
-        # reassemble acceptance from per-owner verdicts (shard order is the
-        # deterministic stable sort _claim_push used)
-        c_all = np.concatenate([moves["old"], moves["new"]])
-        acc_all = np.empty(2 * n_mv, bool)
-        owner = np.minimum(c_all // block, P - 1) if P > 1 else \
-            np.zeros(2 * n_mv, np.int64)
-        order = np.argsort(owner, kind="stable")
-        flat = (np.concatenate(verdicts) if P > 1
-                else np.asarray(verdicts[0]))
-        acc_all[order] = flat
-        accepted = acc_all[:n_mv] & acc_all[n_mv:]
-    else:
-        accepted = np.empty(0, bool)
+    mv_loc = moves["v"] - vlo
 
     comm = state["comm"].copy()
     active = state["active"].copy()
-    mv_loc = moves["v"] - vlo
     comm[mv_loc[accepted]] = moves["new"][accepted]
     # evaluated vertices rest; claim losers stay active to retry
     active[eligible] = False
@@ -334,14 +319,11 @@ def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
 
     new_state = {"comm": comm, "agg": state["agg"], "active": active}
     shards = shard_by_owner(dsts, block, P, comms)
-    moved = int(accepted.sum())
-    if P == 1:
-        return new_state, moved, shards[0]
-    return (new_state, moved, *shards)
+    return new_state, int(accepted.sum()), shards
 
 
-@ray.remote
-def _absorb(state, vlo, *shards):
+def _absorb_core(state, vlo, shards):
+    """Apply reactivation shards to the active mask (returns new state)."""
     active = state["active"].copy()
     comm = state["comm"]
     for ids, comms in shards:
@@ -350,8 +332,76 @@ def _absorb(state, vlo, *shards):
         loc = ids - vlo
         react = comm[loc] != comms
         active[loc[react]] = True
-    new_state = {"comm": comm, "agg": state["agg"], "active": active}
-    return new_state, int(active.sum())
+    return {"comm": comm, "agg": state["agg"], "active": active}
+
+
+@ray.remote
+def _eval_apply(csr, state, comm_val, kind, param, superstep, seed, block,
+                P, n_react, *shards):
+    """Fused fast-mode superstep kernel: absorb the PREVIOUS superstep's
+    reactivation shards, evaluate, and apply in one task — two exchange
+    waves per superstep (totals‖gather → eval_apply) instead of five.
+
+    shards = (*reactivation_shards_prev, *gather_shards).
+    Returns (new_state, moved, active_count, *reactivation_shards)."""
+    react = shards[:n_react]
+    gshards = shards[n_react:]
+    if n_react:
+        state = _absorb_core(state, csr["vlo"], react)
+    moves, rest = _eval_core(csr, state, comm_val, kind, param, superstep,
+                             seed, False, gshards)
+    accepted = np.ones(len(moves["v"]), bool)
+    new_state, moved, out_shards = _apply_core(
+        csr, state, moves, rest, accepted, block, P)
+    n_active = int(new_state["active"].sum())
+    if P == 1:
+        return new_state, moved, n_active, out_shards[0]
+    return (new_state, moved, n_active, *out_shards)
+
+
+@ray.remote
+def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
+    """Apply claim-winning moves; emit frontier reactivations (lock mode).
+
+    verdicts are variadic (Ray only resolves refs in direct args).
+    Returns (new_state, moved_count, *reactivation_shards)."""
+    moves, eligible = moves_eligible
+    n_mv = len(moves["v"])
+
+    if not verdicts:  # lock-free mode: every proposed move is applied
+        accepted = np.ones(n_mv, bool)
+    elif n_mv:
+        # reassemble acceptance from per-owner verdicts (shard order is the
+        # deterministic stable sort _claim_push used)
+        c_all = np.concatenate([moves["old"], moves["new"]])
+        acc_all = np.empty(2 * n_mv, bool)
+        owner = np.minimum(c_all // block, P - 1) if P > 1 else \
+            np.zeros(2 * n_mv, np.int64)
+        order = np.argsort(owner, kind="stable")
+        flat = (np.concatenate(verdicts) if P > 1
+                else np.asarray(verdicts[0]))
+        acc_all[order] = flat
+        accepted = acc_all[:n_mv] & acc_all[n_mv:]
+    else:
+        accepted = np.empty(0, bool)
+
+    new_state, moved, shards = _apply_core(
+        csr, state, moves, eligible, accepted, block, P)
+    if P == 1:
+        return new_state, moved, shards[0]
+    return (new_state, moved, *shards)
+
+
+@ray.remote
+def _absorb(state, vlo, *shards):
+    new_state = _absorb_core(state, vlo, shards)
+    return new_state, int(new_state["active"].sum())
+
+
+@ray.remote
+def _absorb_only(state, vlo, *shards):
+    """Absorb pending reactivations (checkpoint-time state normalization)."""
+    return _absorb_core(state, vlo, shards)
 
 
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
@@ -383,6 +433,9 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     (leiden_kernel.cu:1211-1213).
 
     Returns (states, total_moves, supersteps)."""
+    if not lock_communities:
+        return _run_fast(graph, states, kind, param, seed, max_supersteps,
+                         start_step, total_moves, ckpt_cb)
     P = graph.P
     step = start_step - 1
     stall_window = 8
@@ -448,6 +501,140 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves})
         if n_active == 0:
+            break
+        if best_active is None or n_active < best_active:
+            best_active = n_active
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= stall_window:
+                break
+    return states, total_moves, step
+
+
+@ray.remote(num_returns=3)
+def _run_level_task(csr, state, kind, param, seed, max_supersteps,
+                    start_step, total_moves):
+    """Whole-level loop for a single-partition graph in ONE task.
+
+    Coarse Leiden/Louvain levels shrink to a few thousand vertices; running
+    their supersteps as distributed waves is pure scheduling latency. This
+    executes the identical fast-mode control flow (same kernels, same
+    metric stream, same termination decisions as _run_fast with P=1) fully
+    in-process, so results are bit-identical to the distributed path."""
+    V = csr["vhi"]
+    assert csr["vlo"] == 0
+    step = start_step - 1
+    stall_window = 8
+    best_active = None
+    since_best = 0
+    prev_moved = None
+    src_slot = local_src_per_slot(csr)
+    dst = csr["indices"]
+    nonself = dst != (src_slot + csr["vlo"])
+    for step in range(start_step, max_supersteps + 1):
+        vals = (state["agg"].astype(np.float64) if kind == "cpm"
+                else csr["deg_w"])
+        dense = np.zeros(V, np.float64)
+        np.add.at(dense, state["comm"], vals)
+        counts = np.bincount(state["comm"], minlength=V).astype(np.int64)
+
+        d, c, w = segsum_by_pair(
+            dst[nonself], state["comm"][src_slot][nonself],
+            csr["weights"][nonself])
+        gshard = ((d, c, w), (np.empty(0, np.int64),
+                              np.empty(0, np.uint64)))
+        moves, rest = _eval_core(csr, state, (dense, counts), kind, param,
+                                 step, seed, False, (gshard,))
+        accepted = np.ones(len(moves["v"]), bool)
+        state, moved, shards = _apply_core(csr, state, moves, rest,
+                                           accepted, 1, 1)
+        n_active = int(state["active"].sum())  # pre-absorb, as _run_fast
+        state = _absorb_core(state, 0, shards)
+        total_moves += moved
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+        # moved == 0 => no new reactivations, and last step's pending ones
+        # were absorbed before this eval: a zero frontier is final
+        if moved == 0 and n_active == 0:
+            break
+        if best_active is None or n_active < best_active:
+            best_active = n_active
+            since_best = 0
+        else:
+            since_best += 1
+            if since_best >= stall_window:
+                break
+    return state, total_moves, step
+
+
+def _run_fast(graph: Graph, states: list, kind: str, param: float,
+              seed: int, max_supersteps: int, start_step: int,
+              total_moves: int, ckpt_cb):
+    """Fast-mode loop: two waves per superstep (totals‖gather → eval_apply),
+    reactivation shards carried into the NEXT superstep's kernel instead of
+    an absorb wave. Termination: two consecutive zero-move supersteps (both
+    gating parities admitted nothing and no reactivations are pending) or
+    the stall guard on the post-apply active count. With a checkpoint
+    callback an absorb wave normalizes the saved state each superstep so
+    resume sees no pending shards; the metric stream (and therefore every
+    control-flow decision) is identical with and without checkpointing."""
+    P = graph.P
+    if P == 1 and ckpt_cb is None:
+        state, tot, step = _run_level_task.remote(
+            graph.parts[0], states[0], kind, param, seed, max_supersteps,
+            start_step, total_moves)
+        tot, step = ray.get([tot, step])
+        return [state], int(tot), int(step)
+    step = start_step - 1
+    stall_window = 8
+    best_active = None
+    since_best = 0
+    prev_moved = None
+    react: list[list] = [[] for _ in range(P)]
+    for step in range(start_step, max_supersteps + 1):
+        totals_parts = [
+            _comm_totals.remote(states[i], graph.parts[i], kind)
+            for i in range(P)
+        ]
+        comm_val = _assemble_totals.remote(graph.V, *totals_parts)
+        gshards = fanout(
+            _push_gather,
+            [(graph.parts[i], states[i], graph.block, P, step, seed, False)
+             for i in range(P)], P)
+        outs = [
+            _eval_apply.options(num_returns=3 + P).remote(
+                graph.parts[j], states[j], comm_val, kind, param, step,
+                seed, graph.block, P, len(react[j]), *react[j],
+                *gshards[j])
+            for j in range(P)
+        ]
+        states = [o[0] for o in outs]
+        moved_refs = [o[1] for o in outs]
+        act_refs = [o[2] for o in outs]
+        react = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
+
+        moved = sum(ray.get(moved_refs))
+        n_active = sum(ray.get(act_refs))
+        total_moves += moved
+
+        if ckpt_cb is not None:
+            states = [
+                _absorb_only.remote(states[j], graph.ranges()[j][0],
+                                    *react[j])
+                for j in range(P)
+            ]
+            react = [[] for _ in range(P)]
+            ckpt_cb(step, states, {"moves": moved, "active": n_active,
+                                   "total_moves": total_moves})
+
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+        # moved == 0 => no new reactivations, and last step's pending ones
+        # were absorbed before this eval: a zero frontier is final
+        if moved == 0 and n_active == 0:
             break
         if best_active is None or n_active < best_active:
             best_active = n_active
