@@ -373,10 +373,12 @@ def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
     elif n_mv:
         # reassemble acceptance from per-owner verdicts (shard order is the
         # deterministic stable sort _claim_push used)
+        from leiden_cuda_ray.graph.csr import owner_of
+
         c_all = np.concatenate([moves["old"], moves["new"]])
         acc_all = np.empty(2 * n_mv, bool)
-        owner = np.minimum(c_all // block, P - 1) if P > 1 else \
-            np.zeros(2 * n_mv, np.int64)
+        owner = (owner_of(c_all, block, P) if P > 1
+                 else np.zeros(2 * n_mv, np.int64))
         order = np.argsort(owner, kind="stable")
         flat = (np.concatenate(verdicts) if P > 1
                 else np.asarray(verdicts[0]))

@@ -31,7 +31,9 @@ class Graph:
 
     V: int
     P: int
-    block: int
+    # int => uniform contiguous ranges; int64 array of P+1 boundaries =>
+    # edge-balanced contiguous ranges (degree-skew mitigation)
+    block: object
     parts: list  # list[ObjectRef[dict]] — CSR partition dicts
     m: float     # total undirected edge weight (each edge once, self once)
     sym_edges: int  # number of symmetrized directed rows
@@ -83,8 +85,8 @@ def build_graph_from_arrays(src, dst, w, V: int | None = None,
         m = float((w[~self_mask].sum() / 2.0) + w[self_mask].sum())
         src_s, dst_s, w_s = src, dst, w
 
-    P = _derive_P(len(src_s), P)
-    block = max(1, -(-V // P))
+    P = min(_derive_P(len(src_s), P), max(1, V))
+    block = _balanced_bounds(np.bincount(src_s, minlength=V), V, P)
 
     @ray.remote
     def _build(pid, s, d, ww):
@@ -115,26 +117,30 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
     if spill_dir is None:
         spill_dir = f"/tmp/leiden_cuda_ray/graph_{os.getpid()}_{id(edges_ds)}"
 
-    stats = edges_ds.aggregate(_weight_agg())
-    m, n_canon, n_self = stats["edge_stats"]
+    stats = edges_ds.aggregate(_weight_agg(V))
+    m, n_canon, n_self, deg_hist = stats["edge_stats"]
     m = float(m)
     n_canon = int(n_canon)
     n_self = int(n_self)
     n_sym = 2 * (n_canon - n_self) + n_self
 
-    P = _derive_P(n_sym, P)
-    block = max(1, -(-V // P))
+    P = min(_derive_P(n_sym, P), max(1, V))
+    block = _balanced_bounds(deg_hist, V, P)
 
     # the spill layout depends on the partitioning: key the directory by it
-    # so a re-run with different V/P/block never reads a stale layout
-    spill_dir = os.path.join(spill_dir, f"V{V}_P{P}_B{block}")
+    # so a re-run with different V/P/bounds never reads a stale layout
+    import hashlib
+
+    bkey = hashlib.blake2b(np.asarray(block).tobytes(),
+                           digest_size=6).hexdigest()
+    spill_dir = os.path.join(spill_dir, f"V{V}_P{P}_B{bkey}")
     done_marker = os.path.join(spill_dir, "_BUILD_DONE")
     if not os.path.exists(done_marker):
         sym = symmetrize(edges_ds)
 
         def _tag(batch: pa.Table) -> pa.Table:
             s = np.asarray(batch.column("src"), np.int64)
-            pid = np.minimum(s // block, P - 1)
+            pid = owner_of(s, block, P)
             return batch.append_column("pid", pa.array(pid, pa.int64()))
 
         sym.map_batches(_tag, batch_format="pyarrow").write_parquet(
@@ -163,9 +169,14 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
     return Graph(V=V, P=P, block=block, parts=parts, m=m, sym_edges=n_sym)
 
 
-def _weight_agg():
+def _weight_agg(V: int):
     """One streaming pass over the canonical table:
-    (Σ weight, row count, self-loop count)."""
+    (Σ weight, row count, self-loop count, symmetrized-degree histogram).
+
+    The histogram feeds the edge-balanced partition boundaries (degree-skew
+    mitigation). Scale note: the dense V-sized accumulator would become a
+    quantile sketch of the src distribution at extreme V; everything else
+    is unchanged."""
     from ray.data.aggregate import AggregateFn
 
     def acc_block(acc, blk):
@@ -173,15 +184,43 @@ def _weight_agg():
         w = np.asarray(t.column("weight"), np.float64)
         s = np.asarray(t.column("src"), np.int64)
         d = np.asarray(t.column("dst"), np.int64)
+        selfs = s == d
+        hist = acc[3].copy()
+        np.add.at(hist, s, 1)
+        np.add.at(hist, d[~selfs], 1)
         return (acc[0] + float(w.sum()), acc[1] + len(w),
-                acc[2] + int((s == d).sum()))
+                acc[2] + int(selfs.sum()), hist)
 
     return AggregateFn(
-        init=lambda k: (0.0, 0, 0),
+        init=lambda k: (0.0, 0, 0, np.zeros(V, np.int64)),
         accumulate_block=acc_block,
-        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2],
+                            a[3] + b[3]),
         name="edge_stats",
     )
+
+
+def _balanced_bounds(deg_hist: np.ndarray, V: int, P: int) -> np.ndarray:
+    """Contiguous range boundaries cut at equal cumulative-degree quantiles.
+
+    Every partition then owns ≈ sym_edges/P CSR rows regardless of where
+    hub vertices sit in the id order (degree-based skew handling; the
+    reference acknowledges but never fixes its hub-scan imbalance,
+    report.txt:11). Returns int64 boundaries of length P+1."""
+    if P == 1:
+        return np.array([0, V], np.int64)
+    cum = np.concatenate([[0], np.cumsum(deg_hist, dtype=np.int64)])
+    total = cum[-1]
+    bounds = np.zeros(P + 1, np.int64)
+    bounds[P] = V
+    prev = 0
+    for i in range(1, P):
+        b = int(np.searchsorted(cum, total * i / P))
+        b = max(b, prev + 1)
+        b = min(b, V - (P - i))
+        bounds[i] = b
+        prev = b
+    return bounds
 
 
 def _as_table(blk) -> pa.Table:

@@ -16,13 +16,22 @@ from __future__ import annotations
 import numpy as np
 
 
-def owner_of(v: np.ndarray | int, block: int, P: int):
-    """Partition owning vertex v under contiguous block partitioning."""
+def owner_of(v: np.ndarray | int, block, P: int):
+    """Partition owning vertex v.
+
+    `block` is either an int (uniform contiguous ranges) or an int64 array
+    of P+1 range boundaries (edge-balanced contiguous ranges — the
+    degree-skew mitigation: boundaries are cut at equal cumulative-degree
+    quantiles so a partition of hub-heavy ids holds fewer vertices)."""
+    if isinstance(block, np.ndarray):
+        return np.searchsorted(block, np.asarray(v), side="right") - 1
     return np.minimum(np.asarray(v) // block, P - 1) if P > 1 else (
         np.zeros_like(np.asarray(v)) if not np.isscalar(v) else 0)
 
 
-def part_range(pid: int, block: int, P: int, V: int) -> tuple[int, int]:
+def part_range(pid: int, block, P: int, V: int) -> tuple[int, int]:
+    if isinstance(block, np.ndarray):
+        return int(block[pid]), int(block[pid + 1])
     vlo = pid * block
     vhi = V if pid == P - 1 else min(V, (pid + 1) * block)
     return vlo, vhi

@@ -15,16 +15,21 @@ from __future__ import annotations
 import numpy as np
 
 
-def shard_by_owner(ids: np.ndarray, block: int, P: int,
+def shard_by_owner(ids: np.ndarray, block, P: int,
                    *payloads: np.ndarray):
     """Split (ids, *payloads) into P groups by owner(ids).
 
-    Returns a list of P tuples (ids_j, payload1_j, ...). Uses a single
-    argsort + searchsorted (no Python loop over rows).
+    `block`: int (uniform ranges) or int64 boundary array of length P+1
+    (edge-balanced ranges, see csr.owner_of). Returns a list of P tuples
+    (ids_j, payload1_j, ...). Uses a single argsort + searchsorted (no
+    Python loop over rows).
     """
     if P == 1:
         return [(ids, *payloads)]
-    owner = np.minimum(ids // block, P - 1)
+    if isinstance(block, np.ndarray):
+        owner = np.searchsorted(block, ids, side="right") - 1
+    else:
+        owner = np.minimum(ids // block, P - 1)
     order = np.argsort(owner, kind="stable")
     owner_s = owner[order]
     ids_s = ids[order]

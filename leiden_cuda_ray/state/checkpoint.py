@@ -121,7 +121,10 @@ class Checkpointer:
     def save_level_graph(self, level: int, graph: Graph):
         gdir = os.path.join(self.dir, f"level_{level}", "graph")
         os.makedirs(gdir, exist_ok=True)
-        meta = {"V": graph.V, "P": graph.P, "block": graph.block,
+        blk = graph.block
+        meta = {"V": graph.V, "P": graph.P,
+                "block": blk.tolist() if isinstance(blk, np.ndarray)
+                else blk,
                 "m": graph.m, "sym_edges": graph.sym_edges}
         paths = ray.get([
             _write_graph_part.remote(
@@ -137,13 +140,16 @@ class Checkpointer:
         ldir = os.path.join(self.dir, f"level_{level}")
         with open(os.path.join(ldir, "graph_meta.json")) as f:
             meta = json.load(f)
+        blk = meta["block"]
+        if isinstance(blk, list):
+            blk = np.asarray(blk, np.int64)
         parts = [
             _read_graph_part.remote(
                 os.path.join(ldir, "graph", f"part_{i}.parquet"),
-                *part_range(i, meta["block"], meta["P"], meta["V"]))
+                *part_range(i, blk, meta["P"], meta["V"]))
             for i in range(meta["P"])
         ]
-        return Graph(V=meta["V"], P=meta["P"], block=meta["block"],
+        return Graph(V=meta["V"], P=meta["P"], block=blk,
                      parts=parts, m=meta["m"], sym_edges=meta["sym_edges"])
 
     # --- superstep state --------------------------------------------------
