@@ -45,10 +45,10 @@ def entry() -> Any:
     ranks, _, _ = pagerank(graph)
     comm_ds = state_to_dataset(graph, comm_refs, "community")
     rank_ds = state_to_dataset(graph, ranks, "pagerank", pa.float64())
-    joined = comm_ds.join(rank_ds, join_type="inner", num_partitions=2,
-                          on=("vertex",))
-    return joined.join(numbering, join_type="inner", num_partitions=2,
-                       on=("vertex",))
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    joined = hash_join(comm_ds, rank_ds, on=("vertex",))
+    return hash_join(joined, numbering, on=("vertex",))
 
 
 def queries() -> dict[str, Callable[[str], Any]]:

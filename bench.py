@@ -8,8 +8,11 @@ prints ONE JSON line:
      "queries": {...per-stage seconds...}, "sf": S, "num_cpus": N}
 
 The headline metric follows BASELINE.md: symmetrized-edge throughput per
-superstep across Leiden local moving + PageRank,
-    value = sym_edges * (leiden_supersteps + pagerank_iters) / (t_leiden + t_pr).
+superstep across Leiden LEVEL-0 local moving + PageRank (the same
+computation the reference CUDA benchmark times — its refinement kernels are
+dead code),
+    value = sym_edges * (local_moving_supersteps + pagerank_iters)
+            / (t_local_moving + t_pagerank).
 
 --scaling: runs the identical job twice in FRESH subprocesses at
 num_cpus=8 and num_cpus=32 on the same input (the sandbox stand-in for the
@@ -26,7 +29,7 @@ import sys
 import time
 
 
-def run_single() -> dict:
+def run_single(graph_only: bool = False) -> dict:
     import ray
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
@@ -65,8 +68,24 @@ def run_single() -> dict:
     ray.get(graph.parts)  # force build completion for honest timing
     queries["derive_and_build"] = time.perf_counter() - t0
 
+    # headline: LEVEL-0 local moving — the exact computation the reference
+    # CUDA benchmark times (its refinement kernels are dead code; the
+    # 10.662s youtube-links number is 10 local-moving supersteps,
+    # BASELINE.md). Distributed supersteps with no small-graph tail.
+    from leiden_cuda_ray.algorithms.moving import init_move_state, run_local_moving
+
+    cfg = LeidenConfig(gamma=0.05)
     t0 = time.perf_counter()
-    comm_refs, info = leiden(graph, LeidenConfig(gamma=0.05))
+    states = [init_move_state.remote(graph.parts[i])
+              for i in range(graph.P)]
+    states, lm_moves, lm_steps = run_local_moving(
+        graph, states, "cpm", cfg.gamma, cfg.seed, cfg.max_supersteps)
+    ray.get(states)
+    t_lm = time.perf_counter() - t0
+    queries["leiden_local_moving"] = t_lm
+
+    t0 = time.perf_counter()
+    comm_refs, info = leiden(graph, cfg)
     ray.get(comm_refs)
     t_leiden = time.perf_counter() - t0
     queries["leiden"] = t_leiden
@@ -78,15 +97,17 @@ def run_single() -> dict:
     t_pr = time.perf_counter() - t0
     queries["pagerank"] = t_pr
 
-    t0 = time.perf_counter()
-    labels, _ = connected_components(graph)
-    ray.get(labels)
-    queries["connected_components"] = time.perf_counter() - t0
+    total_tri = None
+    if not graph_only:
+        t0 = time.perf_counter()
+        labels, _ = connected_components(graph)
+        ray.get(labels)
+        queries["connected_components"] = time.perf_counter() - t0
 
-    t0 = time.perf_counter()
-    counts, total_tri = triangle_counts(graph)
-    ray.get(counts)
-    queries["triangles"] = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        counts, total_tri = triangle_counts(graph)
+        ray.get(counts)
+        queries["triangles"] = time.perf_counter() - t0
 
     # documents-side headline ops at this tier
     import ray.data
@@ -94,7 +115,7 @@ def run_single() -> dict:
     from leiden_cuda_ray.functions import dedup, text
 
     docs_path = f"{sf_dir}/documents.parquet"
-    if os.path.exists(docs_path):
+    if not graph_only and os.path.exists(docs_path):
         t0 = time.perf_counter()
         docs = ray.data.read_parquet(docs_path)
         sigs = dedup.minhash_signatures(docs)
@@ -105,8 +126,8 @@ def run_single() -> dict:
         text.token_stats(ray.data.read_parquet(docs_path)).count()
         queries["token_stats"] = time.perf_counter() - t0
 
-    supersteps = leiden_supersteps + pr_iters
-    value = graph.sym_edges * supersteps / (t_leiden + t_pr)
+    supersteps = lm_steps + pr_iters
+    value = graph.sym_edges * supersteps / (t_lm + t_pr)
 
     result = {
         "metric": "edges_per_sec_per_superstep",
@@ -118,6 +139,7 @@ def run_single() -> dict:
         "sym_edges": graph.sym_edges,
         "V": graph.V,
         "P": graph.P,
+        "local_moving_supersteps": lm_steps,
         "leiden_supersteps": leiden_supersteps,
         "pagerank_iters": pr_iters,
         "leiden_levels": len(info["levels"]),
@@ -129,13 +151,20 @@ def run_single() -> dict:
 
 
 def run_scaling() -> dict:
-    """Same job, fresh processes, num_cpus=8 vs 32 → scaling efficiency."""
+    """Same job, fresh processes, two parallelism levels (default 8 vs 32;
+    override with GRAFT_SCALING_CPUS=\"N,4N\") → scaling efficiency.
+
+    Scaling legs run --graph-only (Leiden local moving + PageRank — the
+    north-rule metric) on the identical cached input."""
+    pair = [int(x) for x in
+            os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")]
     out = {}
-    for cpus in (8, 32):
+    for cpus in pair:
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-json"],
+            [sys.executable, os.path.abspath(__file__), "--single-json",
+             "--graph-only"],
             capture_output=True, text=True, env=env, cwd=os.path.dirname(
                 os.path.abspath(__file__)))
         lines = [l for l in proc.stdout.strip().splitlines() if
@@ -145,17 +174,20 @@ def run_scaling() -> dict:
                 f"bench subprocess (cpus={cpus}) produced no JSON:\n"
                 f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
         out[cpus] = json.loads(lines[-1])
-    t8 = out[8]["value"]
-    t32 = out[32]["value"]
+    lo, hi = pair
+    t_lo = out[lo]["value"]
+    t_hi = out[hi]["value"]
+    factor = hi / lo
     return {
-        "metric": "scaling_efficiency_8_to_32",
-        "value": (t32 / t8) / 4.0,
+        "metric": f"scaling_efficiency_{lo}_to_{hi}",
+        "value": (t_hi / t_lo) / factor,
         "unit": "ratio",
-        "throughput_8": t8,
-        "throughput_32": t32,
-        "queries": {"cpus8": out[8]["queries"], "cpus32": out[32]["queries"]},
-        "sf": out[8]["sf"],
-        "num_cpus": [8, 32],
+        f"throughput_{lo}": t_lo,
+        f"throughput_{hi}": t_hi,
+        "queries": {f"cpus{lo}": out[lo]["queries"],
+                    f"cpus{hi}": out[hi]["queries"]},
+        "sf": out[lo]["sf"],
+        "num_cpus": pair,
     }
 
 
@@ -163,4 +195,4 @@ if __name__ == "__main__":
     if "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
     else:
-        print(json.dumps(run_single()))
+        print(json.dumps(run_single(graph_only="--graph-only" in sys.argv)))

@@ -160,8 +160,10 @@ def minhash_dedup_keepers(ds, id_col: str = "doc_id", text_col: str = "text",
     dropped = pairs.map_batches(
         lambda t: pa.table({id_col: t.column("doc_b")}),
         batch_format="pyarrow")
-    return ds.select_columns([id_col]).join(
-        dropped, join_type="left_anti", num_partitions=8, on=(id_col,))
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    return hash_join(ds.select_columns([id_col]), dropped, on=(id_col,),
+                     join_type="left_anti")
 
 
 # ---------------------------------------------------------------- SimHash ---
@@ -249,16 +251,16 @@ def ngram_jaccard_verify(pairs_ds, docs_ds, id_col: str = "doc_id",
     """Exact char-shingle Jaccard for candidate pairs (two hash joins to
     attach both texts, then a vectorized per-pair set intersection)."""
     docs = docs_ds.select_columns([id_col, text_col])
-    j1 = pairs_ds.join(docs, join_type="inner",
-                       num_partitions=num_partitions,
-                       on=("doc_a",), right_on=(id_col,),
-                       right_suffix="_a")
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    j1 = hash_join(pairs_ds, docs, on=("doc_a",), right_on=(id_col,),
+                   num_partitions=num_partitions, right_suffix="_a")
     t_a = text_col if text_col in j1.columns() else text_col + "_a"
     j1 = j1.rename_columns({t_a: "text_a"})
     if id_col in j1.columns():
         j1 = j1.drop_columns([id_col])
-    j2 = j1.join(docs, join_type="inner", num_partitions=num_partitions,
-                 on=("doc_b",), right_on=(id_col,), right_suffix="_b")
+    j2 = hash_join(j1, docs, on=("doc_b",), right_on=(id_col,),
+                   num_partitions=num_partitions, right_suffix="_b")
     t_b = text_col if text_col in j2.columns() else text_col + "_b"
     j2 = j2.rename_columns({t_b: "text_b"})
 

@@ -134,8 +134,9 @@ def _build_graph(sf_dir: str):
 
 def _with_names(sf_dir: str, ds):
     _, numbering = _build_graph(sf_dir)
-    return ds.join(numbering, join_type="inner", num_partitions=4,
-                   on=("vertex",))
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    return hash_join(ds, numbering, on=("vertex",))
 
 
 def graph_pagerank(sf_dir: str):

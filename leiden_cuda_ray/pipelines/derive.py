@@ -33,11 +33,6 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
                   unique pairs, weight = co-occurrence count
     numbering_ds: Dataset[repo, path, vertex] (dense ids by sorted key rank)
     """
-    if num_join_partitions is None:
-        import ray
-
-        num_join_partitions = max(
-            8, int(ray.cluster_resources().get("CPU", 8)))
     # column-pruned reads: never ship `content` to stages that don't need it
     corpus_meta = read_corpus(corpus_path, columns=["repo", "path"])
     # materialize shared intermediates: Datasets are lazy, so every consumer
@@ -62,14 +57,16 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
     for extra in pair_sets[1:]:
         pairs = pairs.union(extra)
 
-    with_src = pairs.join(
-        numbering, join_type="inner", num_partitions=num_join_partitions,
-        on=("src_repo", "src_path"), right_on=("repo", "path"),
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    with_src = hash_join(
+        pairs, numbering, on=("src_repo", "src_path"),
+        right_on=("repo", "path"), num_partitions=num_join_partitions,
         right_suffix="_n").rename_columns({"vertex": "src"})
-    with_both = with_src.select_columns(
-        ["src", "dst_repo", "dst_path"]).join(
-        numbering, join_type="inner", num_partitions=num_join_partitions,
-        on=("dst_repo", "dst_path"), right_on=("repo", "path"),
+    with_both = hash_join(
+        with_src.select_columns(["src", "dst_repo", "dst_path"]),
+        numbering, on=("dst_repo", "dst_path"), right_on=("repo", "path"),
+        num_partitions=num_join_partitions,
         right_suffix="_n").rename_columns({"vertex": "dst"})
 
     def _project(batch: pa.Table) -> pa.Table:

@@ -17,6 +17,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Mean, Sum
 
+from leiden_cuda_ray.stages.joins import hash_join
+
 
 def _read(sf_dir: str, table: str, columns=None):
     return ray.data.read_parquet(f"{sf_dir}/{table}.parquet",
@@ -72,8 +74,8 @@ def top_customers(sf_dir: str, k: int = 10):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_name"])
     spent = orders.groupby("o_custkey").aggregate(
         Sum("o_totalprice", alias_name="total_spent"))
-    joined = spent.join(cust, join_type="inner", num_partitions=4,
-                        on=("o_custkey",), right_on=("c_custkey",))
+    joined = hash_join(spent, cust, on=("o_custkey",),
+                       right_on=("c_custkey",))
     out = joined.sort(["total_spent", "o_custkey"],
                       descending=[True, False]).limit(k)
 
@@ -92,8 +94,8 @@ def nation_order_counts(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
     orders = _read(sf_dir, "orders", ["o_custkey"])
-    oc = orders.join(cust, join_type="inner", num_partitions=4,
-                     on=("o_custkey",), right_on=("c_custkey",))
+    oc = hash_join(orders, cust, on=("o_custkey",),
+                   right_on=("c_custkey",))
 
     def cast_key(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -101,8 +103,8 @@ def nation_order_counts(sf_dir: str):
         })
 
     on_nation = oc.map_batches(cast_key, batch_format="pyarrow")
-    joined = on_nation.join(nation, join_type="inner", num_partitions=4,
-                            on=("c_nationkey",), right_on=("n_nationkey",))
+    joined = hash_join(on_nation, nation, on=("c_nationkey",),
+                       right_on=("n_nationkey",))
     return joined.groupby("n_name").aggregate(
         Count(alias_name="order_count"))
 
@@ -111,8 +113,8 @@ def brand_item_counts(sf_dir: str):
     """lineitem ⋈ part → items per brand."""
     li = _read(sf_dir, "lineitem", ["l_partkey"])
     part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
-    joined = li.join(part, join_type="inner", num_partitions=4,
-                     on=("l_partkey",), right_on=("p_partkey",))
+    joined = hash_join(li, part, on=("l_partkey",),
+                       right_on=("p_partkey",))
     return joined.groupby("p_brand").aggregate(Count(alias_name="n_items"))
 
 

@@ -90,19 +90,19 @@ def file_table(corpus_ds):
     return t.groupby(["repo", "path", "stem"]).count().drop_columns(["count()"])
 
 
-def resolve_imports(imports_ds, file_table_ds, num_partitions: int = 8):
+def resolve_imports(imports_ds, file_table_ds,
+                    num_partitions: int | None = None):
     """Hash-join extracted targets to concrete files.
 
     Returns Dataset[src_repo, src_path, dst_repo, dst_path] — unresolved
     imports (targets outside the corpus) are dropped (inner join).
     """
-    joined = imports_ds.join(
-        file_table_ds,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("dst_repo", "dst_stem"),
-        right_on=("repo", "stem"),
-        right_suffix="_t",
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    joined = hash_join(
+        imports_ds, file_table_ds,
+        on=("dst_repo", "dst_stem"), right_on=("repo", "stem"),
+        num_partitions=num_partitions, right_suffix="_t",
     )
     cols = joined.columns()
     path_col = "path" if "path" in cols else "path_t"
