@@ -55,8 +55,15 @@ def _reduce(old_rank, csr, V, alpha, dangling_total, *shards):
     return new_rank, err, dangling_next
 
 
-def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig()):
-    """Returns (rank_refs per partition, iterations, final L1 error)."""
+def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig(),
+             checkpointer=None, resume: bool = False,
+             checkpoint_every: int = 5):
+    """Returns (rank_refs per partition, iterations, final L1 error).
+
+    checkpointer: state.Checkpointer — persists (vertex, pagerank) per
+    partition every `checkpoint_every` supersteps; resume=True continues
+    from the latest manifest (identical trajectory: the superstep index and
+    dangling mass are restored from the manifest)."""
     P = graph.P
     V = graph.V
 
@@ -65,17 +72,29 @@ def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig()):
         return np.full(csr["vhi"] - csr["vlo"], 1.0 / V, np.float64)
 
     ranks = [_uniform.remote(graph.parts[i]) for i in range(P)]
+    start_it = 1
 
     @ray.remote
     def _dangling(csr, rank):
         return float(rank[csr["deg_w"] == 0].sum())
 
-    dangling_total = sum(ray.get(
-        [_dangling.remote(graph.parts[i], ranks[i]) for i in range(P)]))
+    if resume and checkpointer is not None:
+        loaded = checkpointer.load_vector("pagerank")
+        if loaded is not None:
+            ranks, man = loaded
+            start_it = man["superstep"] + 1
+            dangling_total = man["metrics"]["dangling"]
+        else:
+            dangling_total = sum(ray.get(
+                [_dangling.remote(graph.parts[i], ranks[i])
+                 for i in range(P)]))
+    else:
+        dangling_total = sum(ray.get(
+            [_dangling.remote(graph.parts[i], ranks[i]) for i in range(P)]))
 
-    it = 0
+    it = start_it - 1
     err = np.inf
-    for it in range(1, cfg.max_iterations + 1):
+    for it in range(start_it, cfg.max_iterations + 1):
         shards = fanout(
             _push, [(graph.parts[i], ranks[i], graph.block, P)
                     for i in range(P)], P)
@@ -90,6 +109,11 @@ def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig()):
         danglings = ray.get([o[2] for o in outs])
         err = float(sum(errs))
         dangling_total = float(sum(danglings))
+        if checkpointer is not None and (it % checkpoint_every == 0
+                                         or err < cfg.epsilon):
+            checkpointer.save_vector(it, graph, ranks, "pagerank",
+                                     {"l1_error": err,
+                                      "dangling": dangling_total})
         if err < cfg.epsilon:
             break
     return ranks, it, err

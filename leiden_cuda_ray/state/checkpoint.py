@@ -81,6 +81,23 @@ def _read_graph_part(path, vlo, vhi):
 
 
 @ray.remote
+def _write_vector_part(path, vlo, arr, column):
+    ids = np.arange(vlo, vlo + len(arr), dtype=np.int64)
+    t = pa.table({"vertex": pa.array(ids, pa.int64()),
+                  column: pa.array(arr)})
+    tmp = path + ".tmp"
+    pq.write_table(t, tmp)
+    os.replace(tmp, path)
+    return path
+
+
+@ray.remote
+def _read_vector_part(path, column):
+    t = pq.read_table(path)
+    return np.asarray(t.column(column)).copy()
+
+
+@ray.remote
 def _write_map(path, arr):
     t = pa.table({"coarse": pa.array(arr, pa.int64())})
     tmp = path + ".tmp"
@@ -179,6 +196,36 @@ class Checkpointer:
         return [_read_state_part.remote(path)
                 for _, path in sorted(man["partition_lineage"].items(),
                                       key=lambda kv: int(kv[0]))]
+
+    # --- generic per-vertex vector state (pagerank ranks, cc labels, ...) -
+    def save_vector(self, superstep: int, graph: Graph, refs: list,
+                    column: str, metrics: dict):
+        sdir = os.path.join(self.dir, f"state_{superstep}")
+        os.makedirs(sdir, exist_ok=True)
+        lineage = {}
+        writes = []
+        for i in range(graph.P):
+            path = os.path.join(sdir, f"part_{i}.parquet")
+            lineage[str(i)] = path
+            writes.append(_write_vector_part.remote(
+                path, graph.ranges()[i][0], refs[i], column))
+        ray.get(writes)
+        self._publish({
+            "algorithm": self.algorithm,
+            "level": 0,
+            "superstep": superstep,
+            "partition_lineage": lineage,
+            "metrics": metrics,
+        })
+
+    def load_vector(self, column: str) -> tuple[list, dict] | None:
+        man = self.latest()
+        if man is None:
+            return None
+        refs = [_read_vector_part.remote(path, column)
+                for _, path in sorted(man["partition_lineage"].items(),
+                                      key=lambda kv: int(kv[0]))]
+        return refs, man
 
     # --- dendrogram maps --------------------------------------------------
     def save_map(self, level: int, map_ref):

@@ -75,6 +75,29 @@ def test_resume_mid_coarse_level(tmp_path):
     assert np.array_equal(_final(refs4), expected)
 
 
+def test_pagerank_checkpoint_resume(tmp_path):
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+    from leiden_cuda_ray.config import PageRankConfig
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=2)
+    full, iters, _ = pagerank(g)
+    expected = _final(full)
+
+    # run only a few iterations with checkpointing, then resume to the end
+    ck = Checkpointer(str(tmp_path), "pagerank")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    pagerank(g2, PageRankConfig(max_iterations=6), checkpointer=ck,
+             checkpoint_every=2)
+    man = ck.latest()
+    assert man is not None and man["superstep"] == 6
+
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    resumed, it3, err3 = pagerank(g3, checkpointer=ck, resume=True)
+    assert it3 == iters  # same trajectory, same convergence step
+    assert np.allclose(_final(resumed), expected, atol=0, rtol=0)
+
+
 def test_checkpointed_run_unchanged(tmp_path):
     """Checkpointing must not perturb the result."""
     src, dst, w = clique_ring_edges()
