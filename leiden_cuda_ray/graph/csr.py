@@ -32,7 +32,7 @@ def owner_of(v: np.ndarray | int, block, P: int):
 def part_range(pid: int, block, P: int, V: int) -> tuple[int, int]:
     if isinstance(block, np.ndarray):
         return int(block[pid]), int(block[pid + 1])
-    vlo = pid * block
+    vlo = min(pid * block, V)
     vhi = V if pid == P - 1 else min(V, (pid + 1) * block)
     return vlo, vhi
 

@@ -1,0 +1,148 @@
+"""Unit tests: hand-computed delta formulas on the weighted triangle
+(FIXTURES.md F3) and property tests for the exchange helpers."""
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from leiden_cuda_ray.algorithms.moving import _eval_core
+from leiden_cuda_ray.graph.csr import build_partition_csr, owner_of, part_range
+from leiden_cuda_ray.graph.runtime import (
+    segmax_by_key,
+    segmin_by_key,
+    segsum_by_key,
+    segsum_by_pair,
+    shard_by_owner,
+    vertex_priority,
+)
+from leiden_cuda_ray.sources.fixtures import weighted_triangle_edges
+
+
+def _triangle_csr_and_gather():
+    src, dst, w = weighted_triangle_edges()
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    csr = build_partition_csr(s, d, ww, 0, 3)
+    # gather rows (dst, comm_src, w) for singleton communities
+    rows_d, rows_c, rows_w = d, s.copy(), ww  # comm_src == src id
+    shard = ((rows_d, rows_c, rows_w),
+             (np.empty(0, np.int64), np.empty(0, np.uint64)))
+    state = {"comm": np.arange(3, dtype=np.int64),
+             "agg": np.ones(3, np.int64),
+             "active": np.ones(3, bool)}
+    return csr, state, (shard,)
+
+
+def test_cpm_delta_weighted_triangle():
+    """ΔH = (k_v→new − γ·a·A_new) − (k_v→old − γ·a·(A_old − a));
+    custom_leiden.py:262-280. Hand values: m=0.8, singletons, γ=0.1:
+    move 1→{0}: 0.3 − 0.1 = 0.2;  move 2→{1}: 0.4 − 0.1 = 0.3."""
+    csr, state, shards = _triangle_csr_and_gather()
+    comm_val = (np.ones(3, np.float64), np.ones(3, np.int64))
+    # even superstep => down moves admitted
+    moves, rest = _eval_core(csr, state, comm_val, "cpm", 0.1, 2, 42,
+                             False, shards)
+    got = dict(zip(moves["v"].tolist(),
+                   zip(moves["new"].tolist(), moves["delta"].tolist())))
+    assert got[1][0] == 0 and got[1][1] == pytest.approx(0.2)
+    assert got[2][0] == 1 and got[2][1] == pytest.approx(0.3)
+    assert 0 not in got  # vertex 0 has only up moves
+
+
+def test_modularity_delta_weighted_triangle():
+    """ΔQ = (k_new−k_old)/m + k_v(T_old−T_new−k_v)/(2m²)
+    (reduction of move_modularity_change, custom_louvain.py:124-160).
+    Hand: m=0.8, degrees k=(0.4,0.7,0.5); move 1→{0}:
+    0.3/0.8 + 0.7·(0.7−0.4−0.7)/(2·0.64) = 0.15625."""
+    csr, state, shards = _triangle_csr_and_gather()
+    T = np.array([0.4, 0.7, 0.5])
+    comm_val = (T, np.ones(3, np.int64))
+    moves, _ = _eval_core(csr, state, comm_val, "mod", 0.8, 2, 42,
+                          False, shards)
+    got = dict(zip(moves["v"].tolist(),
+                   zip(moves["new"].tolist(), moves["delta"].tolist())))
+    assert got[1][0] == 0 and got[1][1] == pytest.approx(0.15625)
+
+
+@given(st.lists(st.tuples(st.integers(0, 50), st.integers(0, 50),
+                          st.floats(0.1, 10)), min_size=0, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_segsum_by_pair_matches_dict(rows):
+    a = np.array([r[0] for r in rows], np.int64)
+    b = np.array([r[1] for r in rows], np.int64)
+    v = np.array([r[2] for r in rows], np.float64)
+    ka, kb, s = segsum_by_pair(a, b, v)
+    ref = {}
+    for x, y, val in rows:
+        ref[(x, y)] = ref.get((x, y), 0.0) + val
+    got = {(x, y): val for x, y, val in zip(ka, kb, s)}
+    assert set(got) == set(ref)
+    for k in ref:
+        assert got[k] == pytest.approx(ref[k])
+    # keys sorted lexicographically
+    assert list(zip(ka, kb)) == sorted(zip(ka, kb))
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.floats(-5, 5)),
+                min_size=0, max_size=100))
+@settings(max_examples=50, deadline=None)
+def test_segmin_segmax_segsum(rows):
+    k = np.array([r[0] for r in rows], np.int64)
+    v = np.array([r[1] for r in rows], np.float64)
+    ref_min, ref_max, ref_sum = {}, {}, {}
+    for x, val in rows:
+        ref_min[x] = min(ref_min.get(x, np.inf), val)
+        ref_max[x] = max(ref_max.get(x, -np.inf), val)
+        ref_sum[x] = ref_sum.get(x, 0.0) + val
+    for fn, ref in ((segmin_by_key, ref_min), (segmax_by_key, ref_max),
+                    (segsum_by_key, ref_sum)):
+        ks, vs = fn(k, v)
+        got = dict(zip(ks.tolist(), vs.tolist()))
+        assert set(got) == set(ref)
+        for key in ref:
+            assert got[key] == pytest.approx(ref[key])
+
+
+@given(st.lists(st.integers(0, 999), min_size=0, max_size=300),
+       st.integers(1, 7))
+@settings(max_examples=50, deadline=None)
+def test_shard_by_owner_partitions_everything(ids, P):
+    V = 1000
+    block = max(1, -(-V // P))
+    arr = np.array(ids, np.int64)
+    payload = arr * 2
+    shards = shard_by_owner(arr, block, P, payload)
+    assert len(shards) == P
+    total = 0
+    for j, (sid, spay) in enumerate(shards):
+        total += len(sid)
+        assert np.array_equal(spay, sid * 2)
+        if len(sid):
+            owners = owner_of(sid, block, P)
+            assert np.all(owners == j)
+    assert total == len(arr)
+
+
+@given(st.integers(1, 8), st.integers(10, 500))
+@settings(max_examples=50, deadline=None)
+def test_part_ranges_cover_id_space(P, V):
+    block = max(1, -(-V // P))
+    prev_hi = 0
+    for pid in range(P):
+        vlo, vhi = part_range(pid, block, P, V)
+        assert vlo == prev_hi
+        prev_hi = vhi
+    assert prev_hi == V
+
+
+def test_vertex_priority_deterministic_and_step_dependent():
+    ids = np.arange(1000, dtype=np.int64)
+    p1 = vertex_priority(ids, 3, 42)
+    p2 = vertex_priority(ids, 3, 42)
+    p3 = vertex_priority(ids, 4, 42)
+    assert np.array_equal(p1, p2)
+    assert not np.array_equal(p1, p3)
+    # uniform-ish: no massive collision clumps
+    assert len(np.unique(p1)) == 1000
