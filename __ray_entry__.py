@@ -107,8 +107,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return pairs.map_batches(proj, batch_format="pandas")
 
     def _first10_queries(sf_dir):
+        def keep(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return batch.filter(pc.less(batch.column("vec_id"), 10))
+
         rows = sorted(
-            _emb(sf_dir).filter(lambda r: r["vec_id"] < 10).take_all(),
+            _emb(sf_dir).map_batches(keep, batch_format="pyarrow",
+                                     zero_copy_batch=True).take_all(),
             key=lambda r: r["vec_id"])
         return np.stack([np.asarray(r["embedding"], np.float64)
                          for r in rows])
@@ -235,11 +241,16 @@ def oracle_sql() -> dict[str, str]:
 
     return {
         "pricing_summary": """
+            -- exact integer-cents aggregation, mirroring the engine: sums
+            -- are int64 (sub-2^53, exactly representable), one final divide
             SELECT l_returnflag, l_linestatus,
-                   ROUND(SUM(l_quantity), 6) AS sum_qty,
-                   ROUND(SUM(l_extendedprice), 6) AS sum_base_price,
-                   ROUND(SUM(l_extendedprice * (1 - l_discount)), 6)
-                     AS sum_disc_price,
+                   SUM(CAST(ROUND(l_quantity * 100) AS BIGINT)) / 100.0
+                     AS sum_qty,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) / 100.0
+                     AS sum_base_price,
+                   SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                       * CAST(ROUND((1 - l_discount) * 100) AS BIGINT))
+                     / 10000.0 AS sum_disc_price,
                    COUNT(*) AS "count_order"
             FROM lineitem
             WHERE l_shipdate <= TIMESTAMP '2000-01-01'
@@ -279,9 +290,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM events GROUP BY 1, 2""",
         "events_json_stats": """
+            -- outer CAST: DuckDB SUM(BIGINT) yields HUGEINT which fetches
+            -- as float64 and would hash-mismatch the engine's int64
             SELECT event_type,
-                   SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
-                     AS sum_k,
+                   CAST(SUM(CAST(json_extract_string(props, '$.k')
+                                 AS BIGINT)) AS BIGINT) AS sum_k,
                    COUNT(*) AS n_events
             FROM events GROUP BY event_type""",
         "sessionize_events": """
@@ -297,7 +310,8 @@ def oracle_sql() -> dict[str, str]:
                      SUM(brk) OVER (PARTITION BY user_id
                                     ORDER BY ts, event_id) - 1 AS session_id
               FROM gaps)
-            SELECT user_id, session_id, COUNT(*) AS n_events
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   COUNT(*) AS n_events
             FROM sess GROUP BY user_id, session_id""",
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
@@ -351,6 +365,27 @@ def oracle_sql() -> dict[str, str]:
             FROM deg
             ORDER BY degree DESC, repo ASC, path ASC
             LIMIT 10""",
+        "graph_components": f"""
+            -- min-label fixpoint: component(v) = min vertex id reachable
+            -- from v (the engine's labeling convention, components.py)
+            WITH RECURSIVE {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            sym AS (
+              SELECT u, w FROM e UNION SELECT w, u FROM e),
+            reach(v, lbl) AS (
+              SELECT v, v FROM vid
+              UNION
+              SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.w = r.v)
+            SELECT v AS vertex, MIN(lbl) AS component
+            FROM reach GROUP BY v""",
         "graph_triangles": f"""
             WITH {_CORPUS_CTE},
             vid AS (

@@ -69,8 +69,13 @@ def _coarse_init_comm(uniq, new_V, *rq_pairs):
     # map each refined comm to its group's min coarse id
     group_idx = np.cumsum(first) - 1
     label_per_row = c_s[np.flatnonzero(first)][group_idx]
-    out = np.empty(new_V, np.int64)
+    # sentinel init: coarse ids absent from rq_pairs (refine's singleton
+    # fallback) default to themselves — never uninitialized memory
+    out = np.full(new_V, -1, np.int64)
     out[c_s] = label_per_row
+    missing = out < 0
+    if missing.any():
+        out[missing] = np.flatnonzero(missing)
     return out
 
 
@@ -111,6 +116,7 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
     resume_states = None
     resume_step = 1
     resume_moves = 0
+    resume_ctl = None
     if resume and checkpointer is not None:
         man = checkpointer.latest()
         if man is not None:
@@ -121,6 +127,7 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
                 start_level, man["superstep"])
             resume_step = man["superstep"] + 1
             resume_moves = man["metrics"].get("total_moves", 0)
+            resume_ctl = man["metrics"]
 
     n_ckpts = 0
 
@@ -141,7 +148,9 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
             states = resume_states
             resume_states = None
             start_step, tot0 = resume_step, resume_moves
+            ctl0, resume_ctl = resume_ctl, None
         else:
+            ctl0 = None
             if checkpointer is not None:
                 checkpointer.save_level_graph(level, cur)
             states = [
@@ -156,7 +165,7 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
             cur, states, "cpm", cfg.gamma, cfg.seed + 1000 * level,
             cfg.max_supersteps, start_step=start_step, total_moves=tot0,
             ckpt_cb=_cb_for(level),
-            lock_communities=cfg.lock_communities)
+            lock_communities=cfg.lock_communities, resume_ctl=ctl0)
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))

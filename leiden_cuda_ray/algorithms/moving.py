@@ -409,12 +409,17 @@ def _absorb_only(state, vlo, *shards):
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                      seed: int, max_supersteps: int,
                      start_step: int = 1, total_moves: int = 0,
-                     ckpt_cb=None, lock_communities: bool = False):
+                     ckpt_cb=None, lock_communities: bool = False,
+                     resume_ctl: dict | None = None):
     """Run the local-moving loop to frontier convergence.
 
     states: per-partition move-state refs (init_move_state).
     start_step/total_moves allow resuming mid-level from a checkpoint;
     ckpt_cb(step, states, metrics) is called after each applied superstep.
+    resume_ctl: loop-control state (prev_moved / best_active / since_best)
+    saved in the checkpoint metrics — restoring it makes a crash+resume
+    take the stall-guard decisions at exactly the supersteps an
+    uninterrupted run would (the bit-identical-resume guarantee).
 
     lock_communities=True reproduces the CUDA reference's per-community
     try-locks (at most ONE membership change per community per superstep,
@@ -435,14 +440,15 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     (leiden_kernel.cu:1211-1213).
 
     Returns (states, total_moves, supersteps)."""
+    ctl = resume_ctl or {}
     if not lock_communities:
         return _run_fast(graph, states, kind, param, seed, max_supersteps,
-                         start_step, total_moves, ckpt_cb)
+                         start_step, total_moves, ckpt_cb, ctl)
     P = graph.P
     step = start_step - 1
     stall_window = 8
-    best_active = None
-    since_best = 0
+    best_active = ctl.get("best_active")
+    since_best = ctl.get("since_best", 0)
     for step in range(start_step, max_supersteps + 1):
         totals_parts = [
             _comm_totals.remote(states[i], graph.parts[i], kind)
@@ -499,18 +505,22 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         moved = sum(ray.get(moved_refs))
         n_active = sum(ray.get([a[1] for a in absorbed]))
         total_moves += moved
+        # stall-guard bookkeeping, computed up-front so the checkpoint can
+        # persist the exact loop-control state a resume must restore
+        if best_active is None or n_active < best_active:
+            next_best, next_since = n_active, 0
+        else:
+            next_best, next_since = best_active, since_best + 1
         if ckpt_cb is not None:
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
-                                   "total_moves": total_moves})
+                                   "total_moves": total_moves,
+                                   "best_active": next_best,
+                                   "since_best": next_since})
         if n_active == 0:
             break
-        if best_active is None or n_active < best_active:
-            best_active = n_active
-            since_best = 0
-        else:
-            since_best += 1
-            if since_best >= stall_window:
-                break
+        best_active, since_best = next_best, next_since
+        if since_best >= stall_window:
+            break
     return states, total_moves, step
 
 
@@ -573,7 +583,7 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
 
 def _run_fast(graph: Graph, states: list, kind: str, param: float,
               seed: int, max_supersteps: int, start_step: int,
-              total_moves: int, ckpt_cb):
+              total_moves: int, ckpt_cb, ctl: dict | None = None):
     """Fast-mode loop: two waves per superstep (totals‖gather → eval_apply),
     reactivation shards carried into the NEXT superstep's kernel instead of
     an absorb wave. Termination: two consecutive zero-move supersteps (both
@@ -582,8 +592,9 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     callback an absorb wave normalizes the saved state each superstep so
     resume sees no pending shards; the metric stream (and therefore every
     control-flow decision) is identical with and without checkpointing."""
+    ctl = ctl or {}
     P = graph.P
-    if P == 1 and ckpt_cb is None:
+    if P == 1 and ckpt_cb is None and not ctl:
         state, tot, step = _run_level_task.remote(
             graph.parts[0], states[0], kind, param, seed, max_supersteps,
             start_step, total_moves)
@@ -591,9 +602,9 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
         return [state], int(tot), int(step)
     step = start_step - 1
     stall_window = 8
-    best_active = None
-    since_best = 0
-    prev_moved = None
+    best_active = ctl.get("best_active")
+    since_best = ctl.get("since_best", 0)
+    prev_moved = ctl.get("prev_moved")
     react: list[list] = [[] for _ in range(P)]
     for step in range(start_step, max_supersteps + 1):
         totals_parts = [
@@ -621,6 +632,13 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
         n_active = sum(ray.get(act_refs))
         total_moves += moved
 
+        # stall-guard bookkeeping, computed up-front so the checkpoint can
+        # persist the exact loop-control state a resume must restore
+        if best_active is None or n_active < best_active:
+            next_best, next_since = n_active, 0
+        else:
+            next_best, next_since = best_active, since_best + 1
+
         if ckpt_cb is not None:
             states = [
                 _absorb_only.remote(states[j], graph.ranges()[j][0],
@@ -629,7 +647,10 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
             ]
             react = [[] for _ in range(P)]
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
-                                   "total_moves": total_moves})
+                                   "total_moves": total_moves,
+                                   "prev_moved": moved,
+                                   "best_active": next_best,
+                                   "since_best": next_since})
 
         if moved == 0 and prev_moved == 0:
             break
@@ -638,11 +659,7 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
         # were absorbed before this eval: a zero frontier is final
         if moved == 0 and n_active == 0:
             break
-        if best_active is None or n_active < best_active:
-            best_active = n_active
-            since_best = 0
-        else:
-            since_best += 1
-            if since_best >= stall_window:
-                break
+        best_active, since_best = next_best, next_since
+        if since_best >= stall_window:
+            break
     return states, total_moves, step

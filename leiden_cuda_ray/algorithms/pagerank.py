@@ -82,6 +82,11 @@ def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig(),
         loaded = checkpointer.load_vector("pagerank")
         if loaded is not None:
             ranks, man = loaded
+            if man["metrics"]["l1_error"] < cfg.epsilon:
+                # checkpoint was written at convergence: re-entering the
+                # loop would apply an extra iteration and diverge from the
+                # uninterrupted run's ranks
+                return ranks, man["superstep"], man["metrics"]["l1_error"]
             start_it = man["superstep"] + 1
             dangling_total = man["metrics"]["dangling"]
         else:

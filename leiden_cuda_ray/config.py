@@ -41,7 +41,16 @@ class LeidenConfig:
     seed: int = 42
     # True reproduces the CUDA per-community try-locks (one membership
     # change per community per superstep); False (default) lets communities
-    # absorb many vertices per superstep — see moving.run_local_moving
+    # absorb many vertices per superstep — see moving.run_local_moving.
+    # QUALITY TRADEOFF (documented, deliberate): with False, all proposed
+    # moves in a superstep are applied against community totals that are one
+    # superstep stale, so the objective is not guaranteed monotone within a
+    # superstep and a level can end via the stall guard mid-limit-cycle
+    # rather than at a local optimum. The direction-gating + singleton-chase
+    # guards bound the damage (see _eval_core), and the per-level CPM is
+    # still within noise of lock mode on the validation fixtures; use
+    # lock_communities=True when strict monotone per-community semantics
+    # matter more than superstep count.
     lock_communities: bool = False
 
 

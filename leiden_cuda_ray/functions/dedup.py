@@ -227,20 +227,23 @@ def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
                 {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
         g = group.sort_values(id_col).drop_duplicates(id_col)
         ids = g[id_col].to_numpy()
-        sh = g["sh"].to_numpy().astype(np.uint64)
+        sh = np.ascontiguousarray(g["sh"].to_numpy().astype(np.uint64))
         iu, ju = np.triu_indices(len(ids), 1)
-        x = sh[iu] ^ sh[ju]
-        ham = np.array([bin(int(v)).count("1") for v in x], np.int64)
-        keep = ham <= 64
+        x = np.ascontiguousarray(sh[iu] ^ sh[ju])
+        # vectorized popcount via per-byte bit unpacking
+        ham = np.unpackbits(x.view(np.uint8).reshape(-1, 8),
+                            axis=1).sum(axis=1).astype(np.int64)
+        # Hamming is a pure function of the two hashes, so filtering before
+        # the cross-band Min-dedup is equivalent to filtering after it —
+        # and avoids a per-row driver-side filter entirely
+        keep = ham <= max_hamming
         return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
                              "hamming": ham[keep]})
 
     pairs = banded.groupby(["band", "bucket"]).map_groups(
         emit, batch_format="pandas")
-    uniq = pairs.groupby(["doc_a", "doc_b"]).aggregate(
+    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
-    return uniq.filter(
-        lambda row: row["hamming"] <= max_hamming)
 
 
 # ------------------------------------------------------- n-gram Jaccard -----

@@ -89,8 +89,20 @@ def deterministic_centroids(emb_ds, n_centroids: int,
                             seed: int = 42) -> np.ndarray:
     """Seeded coarse quantizer: hash-sampled seeds + one Lloyd refinement
     (streamed through map_batches partial sums — no full materialize)."""
-    sample = emb_ds.select_columns([id_col, vec_col]).filter(
-        lambda row: (hash((row[id_col], seed)) % 997) < 200)
+    def sample_fn(batch: pa.Table) -> pa.Table:
+        # vectorized splitmix-style hash over the id column (deterministic
+        # across processes; replaces a per-row Python filter)
+        ids = np.asarray(batch.column(id_col)).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            x = ids + np.uint64(0x9E3779B97F4A7C15) * np.uint64(seed + 1)
+            x ^= x >> np.uint64(30)
+            x *= np.uint64(0xBF58476D1CE4E5B9)
+            x ^= x >> np.uint64(27)
+        keep = (x % np.uint64(997)) < np.uint64(200)
+        return batch.filter(pa.array(keep))
+
+    sample = emb_ds.select_columns([id_col, vec_col]).map_batches(
+        sample_fn, batch_format="pyarrow", zero_copy_batch=True)
     seeds = _to_matrix(pa.Table.from_pandas(
         sample.limit(n_centroids * 4).to_pandas()).column(vec_col))
     if len(seeds) < n_centroids:

@@ -103,7 +103,10 @@ def segmin_by_key(keys: np.ndarray, vals: np.ndarray):
 def segmax_by_key(keys: np.ndarray, vals: np.ndarray):
     if len(keys) == 0:
         return keys, vals
-    order = np.lexsort((-vals, keys))
+    # descending sort key: bitwise-not is order-reversing for unsigned ints
+    # (negating uint64 wraps, which would rank a 0 priority as maximal)
+    desc = ~vals if vals.dtype.kind == "u" else -vals
+    order = np.lexsort((desc, keys))
     k = keys[order]
     v = vals[order]
     cut = np.empty(len(k), bool)

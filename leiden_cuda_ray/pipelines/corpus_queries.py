@@ -100,12 +100,10 @@ def degree_topk(sf_dir: str, k: int = 10):
            .groupby("key").aggregate(Count(alias_name="degree")))
 
     def split_key(batch: pa.Table) -> pa.Table:
-        keys = batch.column("key").to_pylist()
-        repos = [k.split("|", 1)[0] for k in keys]
-        paths = [k.split("|", 1)[1] for k in keys]
+        parts = pc.split_pattern(batch.column("key"), "|", max_splits=1)
         return pa.table({
-            "repo": pa.array(repos, pa.string()),
-            "path": pa.array(paths, pa.string()),
+            "repo": pc.list_element(parts, 0),
+            "path": pc.list_element(parts, 1),
             "degree": batch.column("degree"),
         })
 
@@ -122,7 +120,11 @@ def _build_graph(sf_dir: str):
     from leiden_cuda_ray.pipelines.derive import derive_edges
 
     path = ensure_corpus_for_sf_dir(sf_dir)
-    edges, numbering, V = derive_edges(path)
+    # uncapped co-commit pairs: the DuckDB oracles for the graph_* queries
+    # enumerate ALL pairs, so the skew cap (which the scale pipeline keeps,
+    # see stages/cocommit.py + test_skew.py) must be off here or results
+    # silently diverge once a (repo, commit) group exceeds the cap
+    edges, numbering, V = derive_edges(path, cocommit_cap=1 << 30)
     import os
 
     tier = os.path.basename(os.path.normpath(sf_dir))

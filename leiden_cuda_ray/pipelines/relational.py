@@ -36,7 +36,13 @@ def _round_cols(ds, cols, digits: int = 6):
 
 
 def pricing_summary(sf_dir: str):
-    """TPC-H Q1-style pricing summary (filter → grouped aggregates)."""
+    """TPC-H Q1-style pricing summary (filter → grouped aggregates).
+
+    Prices/quantities/discounts carry 2 decimals, so sums are aggregated as
+    exact int64 "cents" (price and the 1−discount factor each ×100) and
+    divided back once at the end — order-of-addition float noise cannot
+    appear, so the result hashes identically to the DuckDB oracle doing the
+    same integer aggregation."""
     import datetime
 
     li = _read(sf_dir, "lineitem",
@@ -48,24 +54,44 @@ def pricing_summary(sf_dir: str):
         keep = pc.less_equal(batch.column("l_shipdate"),
                              pa.scalar(cutoff, type=pa.timestamp("us")))
         t = batch.filter(keep)
-        disc_price = pc.multiply(
-            t.column("l_extendedprice"),
-            pc.subtract(pa.scalar(1.0), t.column("l_discount")))
+        qty_c = np.rint(
+            np.asarray(t.column("l_quantity"), np.float64) * 100.0
+        ).astype(np.int64)
+        price_c = np.rint(
+            np.asarray(t.column("l_extendedprice"), np.float64) * 100.0
+        ).astype(np.int64)
+        keep_c = np.rint(
+            (1.0 - np.asarray(t.column("l_discount"), np.float64)) * 100.0
+        ).astype(np.int64)
         return pa.table({
             "l_returnflag": t.column("l_returnflag"),
             "l_linestatus": t.column("l_linestatus"),
-            "l_quantity": t.column("l_quantity"),
-            "l_extendedprice": t.column("l_extendedprice"),
-            "disc_price": disc_price,
+            "qty_c": pa.array(qty_c, pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+            "disc_e4": pa.array(price_c * keep_c, pa.int64()),
         })
 
     agg = (li.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
            .groupby(["l_returnflag", "l_linestatus"])
-           .aggregate(Sum("l_quantity", alias_name="sum_qty"),
-                      Sum("l_extendedprice", alias_name="sum_base_price"),
-                      Sum("disc_price", alias_name="sum_disc_price"),
+           .aggregate(Sum("qty_c", alias_name="sum_qty_c"),
+                      Sum("price_c", alias_name="sum_price_c"),
+                      Sum("disc_e4", alias_name="sum_disc_e4"),
                       Count(alias_name="count_order")))
-    return _round_cols(agg, ["sum_qty", "sum_base_price", "sum_disc_price"])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_returnflag": batch.column("l_returnflag"),
+            "l_linestatus": batch.column("l_linestatus"),
+            "sum_qty": pc.divide(
+                pc.cast(batch.column("sum_qty_c"), pa.float64()), 100.0),
+            "sum_base_price": pc.divide(
+                pc.cast(batch.column("sum_price_c"), pa.float64()), 100.0),
+            "sum_disc_price": pc.divide(
+                pc.cast(batch.column("sum_disc_e4"), pa.float64()), 10000.0),
+            "count_order": batch.column("count_order"),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
 
 
 def top_customers(sf_dir: str, k: int = 10):

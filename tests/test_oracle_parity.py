@@ -92,6 +92,27 @@ def test_all_oracle_queries(entry_mod, con):
     assert not failures, "\n".join(failures)
 
 
+def test_hash_critical_queries_bit_exact(entry_mod, con):
+    """The driver hashes raw values: the three round-1 hash failures
+    (pricing_summary / events_json_stats / sessionize_events) must match the
+    oracle EXACTLY — same dtypes, identical bits, no rounding tolerance."""
+    queries = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    for name in ["pricing_summary", "events_json_stats",
+                 "sessionize_events"]:
+        ray_df = _to_pandas(queries[name](SF_DIR))
+        sql_df = con.execute(oracles[name]).fetchdf()
+        a = ray_df[sorted(ray_df.columns)].sort_values(
+            sorted(ray_df.columns)).reset_index(drop=True)
+        b = sql_df[sorted(sql_df.columns)].sort_values(
+            sorted(sql_df.columns)).reset_index(drop=True)
+        for c in a.columns:
+            av, bv = a[c].to_numpy(), b[c].to_numpy()
+            assert av.dtype == bv.dtype, \
+                f"{name}.{c}: dtype {av.dtype} vs {bv.dtype}"
+            assert (av == bv).all(), f"{name}.{c}: values not bit-identical"
+
+
 def test_rows_only_queries_run(entry_mod):
     """Queries without an oracle still must run and return rows/schema."""
     queries = entry_mod.queries()

@@ -146,3 +146,17 @@ def test_vertex_priority_deterministic_and_step_dependent():
     assert not np.array_equal(p1, p3)
     # uniform-ish: no massive collision clumps
     assert len(np.unique(p1)) == 1000
+
+
+def test_segmax_uint64_zero_priority():
+    """A priority of exactly 0 must lose to any positive priority: negating
+    uint64 wraps (0 -> 0 stays minimal under -v only by accident of two's
+    complement for nonzero values), so the kernel uses bitwise-not."""
+    keys = np.array([7, 7, 7], np.int64)
+    vals = np.array([0, 5, 3], np.uint64)
+    k, v = segmax_by_key(keys, vals)
+    assert k.tolist() == [7]
+    assert v.tolist() == [5]
+    # all-zero pool still returns 0
+    k, v = segmax_by_key(np.array([1], np.int64), np.array([0], np.uint64))
+    assert v.tolist() == [0]
