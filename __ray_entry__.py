@@ -38,7 +38,7 @@ def entry() -> Any:
     from leiden_cuda_ray.sources.corpus import ensure_corpus_for_sf_dir
 
     corpus = ensure_corpus_for_sf_dir("/root/testdata/sf0.001")
-    edges, numbering, V = derive_edges(corpus)
+    edges, numbering, V = derive_edges(corpus, canonical=False)
     graph = build_graph_from_dataset(edges, V,
                                      spill_dir="/tmp/graft_graph/entry")
     comm_refs, info = leiden(graph, LeidenConfig(gamma=0.05))

@@ -62,7 +62,7 @@ def run_single(graph_only: bool = False) -> dict:
     queries["gen_corpus"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    edges, numbering, V = derive_edges(corpus)
+    edges, numbering, V = derive_edges(corpus, canonical=False)
     spill = f"/tmp/graft_graph/bench_{tier}_{num_cpus}"
     graph = build_graph_from_dataset(edges, V, spill_dir=spill)
     ray.get(graph.parts)  # force build completion for honest timing

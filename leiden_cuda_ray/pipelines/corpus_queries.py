@@ -124,7 +124,8 @@ def _build_graph(sf_dir: str):
     # enumerate ALL pairs, so the skew cap (which the scale pipeline keeps,
     # see stages/cocommit.py + test_skew.py) must be off here or results
     # silently diverge once a (repo, commit) group exceeds the cap
-    edges, numbering, V = derive_edges(path, cocommit_cap=1 << 30)
+    edges, numbering, V = derive_edges(path, cocommit_cap=1 << 30,
+                                       canonical=False)
     import os
 
     tier = os.path.basename(os.path.normpath(sf_dir))

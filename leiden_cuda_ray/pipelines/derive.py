@@ -26,22 +26,90 @@ from leiden_cuda_ray.stages.numbering import build_vertex_numbering
 def derive_edges(corpus_path: str, cocommit_cap: int = 64,
                  num_join_partitions: int | None = None,
                  include_imports: bool = True,
-                 include_cocommit: bool = True):
+                 include_cocommit: bool = True,
+                 max_broadcast_keys: int = 2_000_000,
+                 canonical: bool = True):
     """Returns (edges_ds, numbering_ds, num_vertices).
 
     edges_ds:     Dataset[src:int64, dst:int64, weight:float64], src<=dst,
                   unique pairs, weight = co-occurrence count
     numbering_ds: Dataset[repo, path, vertex] (dense ids by sorted key rank)
+
+    Id resolution strategy: with ≤ max_broadcast_keys distinct files the
+    vertex numbering is broadcast once (ray.put) and ids are substituted in
+    a stateless batch pass — zero shuffles instead of two string-key hash
+    joins. Above the threshold (or with ambiguous import stems) the
+    distributed hash-join path is used; both produce the identical edge set.
+
+    canonical=False skips the standalone canonicalize groupby and returns
+    the raw (possibly duplicated, any-direction) int pair rows — the path
+    for graph builds, where build_graph_from_dataset fuses canonicalization
+    into its own exchange and the groupby would be a redundant shuffle.
     """
     # column-pruned reads: never ship `content` to stages that don't need it
     corpus_meta = read_corpus(corpus_path, columns=["repo", "path"])
     # materialize shared intermediates: Datasets are lazy, so every consumer
     # would otherwise re-execute the upstream chain (ft feeds the numbering
-    # AND the import resolution join)
+    # AND the import resolution)
     ft = file_table(corpus_meta).materialize()
     numbering, num_vertices = build_vertex_numbering(ft)
-    numbering = numbering.materialize()  # small (V rows), reused by 2 joins
+    numbering = numbering.materialize()
 
+    from leiden_cuda_ray.stages.idmap import build_vertex_maps
+
+    maps_ref = build_vertex_maps(ft, numbering,
+                                 max_broadcast_keys=max_broadcast_keys)
+    if maps_ref is not None:
+        int_edges = _derive_int_edges_broadcast(
+            corpus_path, maps_ref, cocommit_cap, include_imports,
+            include_cocommit)
+    else:
+        int_edges = _derive_int_edges_joins(
+            corpus_path, ft, numbering, cocommit_cap, num_join_partitions,
+            include_imports, include_cocommit)
+
+    if not canonical:
+        return int_edges.materialize(), numbering, num_vertices
+    edges = canonicalize_edges(int_edges, sum_weights=True).materialize()
+    return edges, numbering, num_vertices
+
+
+def _derive_int_edges_broadcast(corpus_path, maps_ref, cocommit_cap,
+                                include_imports, include_cocommit):
+    import ray
+
+    from leiden_cuda_ray.stages.cocommit import cocommit_vid_edges
+    from leiden_cuda_ray.stages.idmap import ImportIdMapper, PathIdMapper
+
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    conc = (1, max(2, min(16, cpus)))
+    edge_sets = []
+    if include_imports:
+        corpus_imp = read_corpus(
+            corpus_path, columns=["repo", "path", "lang", "content"])
+        edge_sets.append(extract_imports(corpus_imp).map_batches(
+            ImportIdMapper, fn_constructor_args=(maps_ref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=conc))
+    if include_cocommit:
+        corpus_cc = read_corpus(corpus_path,
+                                columns=["repo", "commit", "path"])
+        mapped = corpus_cc.map_batches(
+            PathIdMapper, fn_constructor_args=(maps_ref,),
+            batch_format="pyarrow", zero_copy_batch=True,
+            concurrency=conc)
+        edge_sets.append(cocommit_vid_edges(mapped, cap=cocommit_cap))
+    out = edge_sets[0]
+    for extra in edge_sets[1:]:
+        out = out.union(extra)
+    return out
+
+
+def _derive_int_edges_joins(corpus_path, ft, numbering, cocommit_cap,
+                            num_join_partitions, include_imports,
+                            include_cocommit):
+    """Round-1 distributed path: string pairs → two hash joins (the scale
+    fallback when the numbering exceeds the broadcast threshold)."""
     pair_sets = []
     if include_imports:
         corpus_imp = read_corpus(
@@ -50,7 +118,8 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
         pair_sets.append(resolve_imports(raw_imports, ft,
                                          num_partitions=num_join_partitions))
     if include_cocommit:
-        corpus_cc = read_corpus(corpus_path, columns=["repo", "commit", "path"])
+        corpus_cc = read_corpus(corpus_path,
+                                columns=["repo", "commit", "path"])
         pair_sets.append(cocommit_edges(corpus_cc, cap=cocommit_cap))
 
     pairs = pair_sets[0]
@@ -76,7 +145,4 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
         return pa.table({"src": src[keep], "dst": dst[keep],
                          "weight": np.ones(int(keep.sum()), np.float64)})
 
-    int_edges = with_both.map_batches(_project, batch_format="pyarrow")
-    # materialized: the graph build consumes this twice (stats + spill)
-    edges = canonicalize_edges(int_edges, sum_weights=True).materialize()
-    return edges, numbering, num_vertices
+    return with_both.map_batches(_project, batch_format="pyarrow")

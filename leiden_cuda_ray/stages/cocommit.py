@@ -55,3 +55,46 @@ def cocommit_edges(corpus_ds, cap: int = 64):
     return (corpus_ds.select_columns(["repo", "commit", "path"])
             .groupby(["repo", "commit"])
             .map_groups(_emit_pairs(cap), batch_format="pandas"))
+
+
+def _vid_emit_pairs(cap: int):
+    def fn(group: pd.DataFrame) -> pd.DataFrame:
+        vids = np.sort(group["vid"].unique()).astype(np.int64)
+        k = len(vids)
+        if k < 2:
+            return pd.DataFrame({"src": np.empty(0, np.int64),
+                                 "dst": np.empty(0, np.int64),
+                                 "weight": np.empty(0, np.float64)})
+        if k <= cap:
+            lo, hi = np.triu_indices(k, 1)
+        else:
+            # same ring+chord skew guard as _pairs_for_group, hashed on the
+            # vertex id (splitmix) instead of the path string
+            from leiden_cuda_ray.graph.runtime import vertex_priority
+
+            i = np.arange(k, dtype=np.int64)
+            h = vertex_priority(vids, 0, 0)
+            chord_b = (i + 2 + (h % np.uint64(max(1, k - 3))).astype(
+                np.int64)) % k
+            a = np.concatenate([i, i])
+            b = np.concatenate([(i + 1) % k, chord_b])
+            keep = a != b
+            a, b = a[keep], b[keep]
+            lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({
+            "src": vids[lo], "dst": vids[hi],
+            "weight": np.ones(len(lo), np.float64),
+        })
+    return fn
+
+
+def cocommit_vid_edges(mapped_ds, cap: int = 64):
+    """(repo, commit, vid) rows → Dataset[src, dst, weight] int pair edges.
+
+    The broadcast-id fast path: the (repo, commit) groupby shuffles an int64
+    vid instead of path strings, and pairs come out already numbered. For
+    uncapped groups the emitted pair SET is identical to the string path
+    (all unordered member pairs, canonicalized); capped groups pick the same
+    ring + deterministic-chord shape but hash on vid rather than path."""
+    return (mapped_ds.groupby(["repo", "commit"])
+            .map_groups(_vid_emit_pairs(cap), batch_format="pandas"))

@@ -30,16 +30,33 @@ def _canonical_batch(batch: pa.Table) -> pa.Table:
     return pa.table({"src": lo, "dst": hi, "weight": w})
 
 
+def _canonical_combine_batch(batch: pa.Table) -> pa.Table:
+    """Canonicalize + per-batch partial sum (combiner before the shuffle):
+    repeated pairs inside a batch collapse locally, so the groupby moves
+    one row per distinct in-batch pair instead of one per occurrence."""
+    from leiden_cuda_ray.graph.runtime import segsum_by_pair
+
+    t = _canonical_batch(batch)
+    a, b, s = segsum_by_pair(np.asarray(t.column("src"), np.int64),
+                             np.asarray(t.column("dst"), np.int64),
+                             np.asarray(t.column("weight"), np.float64))
+    return pa.table({"src": a, "dst": b, "weight": s})
+
+
 def canonicalize_edges(ds, sum_weights: bool = True):
     """(src,dst[,weight]) any direction → canonical (src<=dst) unique rows.
 
     sum_weights=True  → weight = Σ per pair (co-occurrence counting)
     sum_weights=False → weight = min per pair (parallel-edge dedup)
     """
-    canon = ds.map_batches(_canonical_batch, batch_format="pyarrow",
-                           zero_copy_batch=True)
-    agg = Sum("weight", alias_name="weight") if sum_weights else \
-        Min("weight", alias_name="weight")
+    if sum_weights:
+        canon = ds.map_batches(_canonical_combine_batch,
+                               batch_format="pyarrow", zero_copy_batch=True)
+        agg = Sum("weight", alias_name="weight")
+    else:
+        canon = ds.map_batches(_canonical_batch, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = Min("weight", alias_name="weight")
     return canon.groupby(["src", "dst"]).aggregate(agg)
 
 

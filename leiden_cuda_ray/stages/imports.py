@@ -47,7 +47,69 @@ def _targets(lang: str, content: str) -> list[tuple[str, str]]:
     return out
 
 
+# vectorized extraction specs: (statement regex, token-capture regex,
+# split mode). Semantics identical to _PATTERNS + _targets.
+_VEC_SPECS = {
+    "python": (r"(?m)^[^\S\n]*(?:from[^\S\n]+[\w.]+[^\S\n]+import"
+               r"|import[^\S\n]+[\w.]+)",
+               r"(?:from|import)\s+([\w.]+)", "dot"),
+    "c": (r'(?m)^[^\S\n]*#include[^\S\n]+"[^"]+"', r'"([^"]+)"', "slash"),
+    "js": (r'(?:require\(\s*["\'][^"\']+["\']\s*\)'
+           r'|import\s+[\w{},*\s]+\s+from\s+["\'][^"\']+["\'])',
+           r'["\']([^"\']+)["\']', "slash"),
+}
+
+
 def _extract_batch(batch: pa.Table) -> pa.Table:
+    """Vectorized per-lang extraction: polars str.extract_all + explode
+    (one C pass per lang instead of a Python loop over rows × matches);
+    falls back to the compiled-regex row loop if polars is unavailable."""
+    try:
+        import polars as pl
+    except ImportError:
+        return _extract_batch_rowloop(batch)
+
+    df = pl.from_arrow(batch)
+    outs = []
+    for lang, (stmt_pat, tok_pat, mode) in _VEC_SPECS.items():
+        sub = df.filter(pl.col("lang") == lang)
+        if sub.height == 0:
+            continue
+        m = (sub.with_columns(
+                pl.col("content").str.extract_all(stmt_pat).alias("m"))
+             .select(["repo", "path", "m"])
+             .explode("m").drop_nulls("m")
+             .with_columns(pl.col("m").str.extract(tok_pat, 1)
+                           .alias("tok"))
+             .drop_nulls("tok"))
+        if mode == "dot":
+            parts = pl.col("tok").str.split(".")
+        else:  # strip extension, then path segments
+            parts = (pl.col("tok").str.replace(r"\.[^./]*$", "")
+                     .str.split("/"))
+        m = (m.with_columns(parts.alias("parts"))
+             .filter(pl.col("parts").list.len() >= 2)
+             .select([
+                 pl.col("repo").alias("src_repo"),
+                 pl.col("path").alias("src_path"),
+                 pl.col("parts").list.first().alias("dst_repo"),
+                 pl.col("parts").list.last().alias("dst_stem"),
+             ]))
+        outs.append(m)
+    if not outs:
+        return pa.table({
+            "src_repo": pa.array([], pa.string()),
+            "src_path": pa.array([], pa.string()),
+            "dst_repo": pa.array([], pa.string()),
+            "dst_stem": pa.array([], pa.string()),
+        })
+    res = pl.concat(outs).to_arrow()
+    return res.cast(pa.schema([
+        ("src_repo", pa.string()), ("src_path", pa.string()),
+        ("dst_repo", pa.string()), ("dst_stem", pa.string())]))
+
+
+def _extract_batch_rowloop(batch: pa.Table) -> pa.Table:
     repos = batch.column("repo").to_pylist()
     paths = batch.column("path").to_pylist()
     langs = batch.column("lang").to_pylist()
