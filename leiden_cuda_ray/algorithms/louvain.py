@@ -7,17 +7,13 @@ with Leiden; only the delta formula differs (moving.py kind="mod")."""
 
 from __future__ import annotations
 
-import numpy as np
 import ray
 
-from leiden_cuda_ray.algorithms.coarsen import coarsen
+from leiden_cuda_ray.algorithms.coarsen import coarsen, propagate_level
 from leiden_cuda_ray.algorithms.leiden import (
-    _assemble,
-    _gather_map,
     _get_comm,
     _n_distinct,
     _n_distinct_part,
-    _split_by_ranges,
 )
 from leiden_cuda_ray.algorithms.moving import init_move_state, run_local_moving
 from leiden_cuda_ray.config import LouvainConfig
@@ -29,7 +25,7 @@ def louvain(graph: Graph, cfg: LouvainConfig = LouvainConfig()):
     cur = graph
     maps = []
     levels_info = []
-    final_comm = None
+    final_refs = None
 
     for level in range(cfg.max_levels):
         states = [init_move_state.remote(cur.parts[i])
@@ -42,18 +38,16 @@ def louvain(graph: Graph, cfg: LouvainConfig = LouvainConfig()):
             *[_n_distinct_part.remote(s) for s in states]))
         levels_info.append({"level": level, "V": cur.V, "moves": moves,
                             "supersteps": steps, "communities": n_comms})
-        final_comm = _assemble.remote(*comm_refs)
+        final_refs = comm_refs
         if n_comms == cur.V or level == cfg.max_levels - 1:
             break
-        assigns = comm_refs
-        new_graph, level_map, _uniq = coarsen(cur, assigns, None)
-        maps.append(level_map)
+        new_graph, lm = coarsen(cur, comm_refs, None)
+        maps.append(lm)
         cur = new_graph
 
-    comp = final_comm
-    for level_map in reversed(maps):
-        comp = _gather_map.remote(level_map, comp)
-    root_refs = _split_by_ranges(comp, graph)
+    comp_refs = final_refs
+    for lm in reversed(maps):
+        comp_refs = propagate_level(lm, comp_refs)
     info = {"levels": levels_info,
             "num_communities": levels_info[-1]["communities"]}
-    return root_refs, info
+    return comp_refs, info

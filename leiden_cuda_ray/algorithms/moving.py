@@ -68,35 +68,34 @@ def init_move_state(csr, init_comm=None, agg=None):
     }
 
 
-@ray.remote
-def _comm_totals(state, csr, kind):
-    """Sparse per-partition community totals: Σ agg (cpm) or Σ deg_w (mod),
-    plus member counts (needed by the singleton-chase guard)."""
-    vals = (state["agg"].astype(np.float64) if kind == "cpm"
-            else csr["deg_w"])
-    ids, sums = segsum_by_key(state["comm"], vals)
-    idc, cnts = segsum_by_key(state["comm"],
-                              np.ones(len(state["comm"]), np.float64))
-    return (ids, sums), (idc, cnts)
+def _uniq_pairs(a: np.ndarray, b: np.ndarray):
+    """Distinct (a, b) rows, sorted by (a, b). Vectorized."""
+    if len(a) == 0:
+        return a, b
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.empty(len(a), bool)
+    keep[0] = True
+    np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=keep[1:])
+    return a[keep], b[keep]
 
 
 @ray.remote
-def _assemble_totals(V, *parts):
-    dense = np.zeros(V, np.float64)
-    counts = np.zeros(V, np.int64)
-    for (ids, sums), (idc, cnts) in parts:
-        np.add.at(dense, ids, sums)
-        np.add.at(counts, idc, cnts.astype(np.int64))
-    return dense, counts
-
-
-@ray.remote
-def _push_gather(csr, state, block, P, superstep, seed, lock):
+def _push_gather(csr, state, block, P, pid, superstep, seed, lock, kind):
+    """One fused wave-1 task per partition: gather tuples BY owner(dst),
+    plus the sharded community-totals machinery (the dense-V broadcast
+    killer): local totals CONTRIBUTIONS and (consumer, comm) REQUESTS both
+    sharded by owner(comm). Returns 2P refs:
+      [0..P)   per-owner (gather (d, c, w), lock-priority (d2, p2)) shards
+      [P..2P)  per-owner (totals contrib (ids, sums, cnts),
+                          requests (comm, consumer)) shards
+    """
     src_slot = local_src_per_slot(csr)
     src_g = src_slot + csr["vlo"]
     dst = csr["indices"]
+    comm = state["comm"]
     nonself = dst != src_g
-    d, c, w = segsum_by_pair(dst[nonself], state["comm"][src_slot][nonself],
+    d, c, w = segsum_by_pair(dst[nonself], comm[src_slot][nonself],
                              csr["weights"][nonself])
     if lock:
         # coloring needs the max active-neighbor priority per dst
@@ -106,15 +105,124 @@ def _push_gather(csr, state, block, P, superstep, seed, lock):
     else:
         d2 = np.empty(0, np.int64)
         p2 = np.empty(0, np.uint64)
-    s1 = shard_by_owner(d, block, P, c, w)
-    s2 = shard_by_owner(d2, block, P, p2)
-    out = [(s1[j], s2[j]) for j in range(P)]
+
+    # totals contributions: Σ agg (cpm) or Σ deg_w (mod) + member counts
+    vals = (state["agg"].astype(np.float64) if kind == "cpm"
+            else csr["deg_w"])
+    tids, tsums = segsum_by_key(comm, vals)
+    _, tcnts = segsum_by_key(comm, np.ones(len(comm), np.float64))
+
+    # requests: the eval task at owner(d) will need totals of candidate
+    # comm c; this partition itself needs totals of its vertices' comms
+    cons = np.asarray(_owner_arr(d, block, P), np.int64)
+    rq_comm = np.concatenate([c, comm])
+    rq_cons = np.concatenate([cons, np.full(len(comm), pid, np.int64)])
+    rq_comm, rq_cons = _uniq_pairs(rq_comm, rq_cons)
+
+    g1 = shard_by_owner(d, block, P, c, w)
+    g2 = shard_by_owner(d2, block, P, p2)
+    t1 = shard_by_owner(tids, block, P, tsums, tcnts)
+    t2 = shard_by_owner(rq_comm, block, P, rq_cons)
+    gout = [(g1[j], g2[j]) for j in range(P)]
+    tout = [(t1[j], t2[j]) for j in range(P)]
+    if P == 1:
+        return gout[0], tout[0]
+    return (*gout, *tout)
+
+
+def _owner_arr(v, block, P):
+    from leiden_cuda_ray.graph.csr import owner_of
+
+    if P == 1:
+        return np.zeros(len(v), np.int64)
+    return owner_of(v, block, P)
+
+
+@ray.remote
+def _serve_totals(P, *shards):
+    """Wave-2 totals owner: merge contribution shards into global totals
+    for owned comms, answer each requester with (ids, vals, cnts) for the
+    comms it asked about. Allocates O(owned comms), never O(V).
+
+    shards[i] = (contrib (ids, sums, cnts), request (comm, consumer)) from
+    origin partition i. Returns one reply per consumer partition."""
+    contribs = [s[0] for s in shards]
+    reqs = [s[1] for s in shards]
+    ids = np.concatenate([s[0] for s in contribs])
+    sums = np.concatenate([s[1] for s in contribs])
+    cnts = np.concatenate([s[2] for s in contribs])
+    # merge preserves per-comm addition order (stable sort over the
+    # origin-ordered concat) — identical float sums to the dense path
+    uids, usums = segsum_by_key(ids, sums)
+    _, ucnts = segsum_by_key(ids, cnts)
+    ucnts = ucnts.astype(np.int64)
+
+    rc = np.concatenate([s[0] for s in reqs])
+    rj = np.concatenate([s[1] for s in reqs])
+    rc, rj = _uniq_pairs(rc, rj)
+    pos = np.searchsorted(uids, rc)
+    # every requested comm has >= 1 member, so it must have contributed
+    assert len(uids) == 0 or (
+        (pos < len(uids)).all() and (uids[pos] == rc).all()), \
+        "totals request for a memberless community"
+    order = np.argsort(rj, kind="stable")
+    rj_s, rc_s, pos_s = rj[order], rc[order], pos[order]
+    bounds = np.searchsorted(rj_s, np.arange(P + 1))
+    out = []
+    for j in range(P):
+        sl = slice(bounds[j], bounds[j + 1])
+        out.append((rc_s[sl], usums[pos_s[sl]], ucnts[pos_s[sl]]))
     if P == 1:
         return out[0]
     return tuple(out)
 
 
-def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
+def _merge_replies(replies):
+    """Per-owner reply shards → one sorted sparse lookup (ids, vals, cnts).
+
+    Owners hold disjoint ascending comm ranges and each reply is sorted, so
+    a plain concat in owner order is already globally sorted."""
+    ids = np.concatenate([r[0] for r in replies]) if replies else \
+        np.empty(0, np.int64)
+    vals = np.concatenate([r[1] for r in replies]) if replies else \
+        np.empty(0, np.float64)
+    cnts = np.concatenate([r[2] for r in replies]) if replies else \
+        np.empty(0, np.int64)
+    return ids, vals, cnts
+
+
+def _tot_get(tids, arr, q):
+    """Sparse totals lookup (q must be present — guaranteed by requests)."""
+    return arr[np.searchsorted(tids, q)]
+
+
+def _superstep_exchange(graph, states, kind, param, step, seed, lock):
+    """Launch waves 1+2 of a superstep (gather/contrib push, totals serve).
+
+    Returns (gshards, replies): gshards[j] = per-origin (gather, priority)
+    shard refs for consumer j; replies[j] = per-owner totals-reply refs."""
+    P = graph.P
+    outs = [
+        list(_push_gather.options(num_returns=2 * P).remote(
+            graph.parts[i], states[i], graph.block, P, i, step, seed,
+            lock, kind))
+        for i in range(P)
+    ]
+    gshards = [[outs[i][j] for i in range(P)] for j in range(P)]
+    tshards = [[outs[i][P + j] for i in range(P)] for j in range(P)]
+    serves = [
+        _serve_totals.options(num_returns=P if P > 1 else 1).remote(
+            P, *tshards[k])
+        for k in range(P)
+    ]
+    if P == 1:
+        replies = [[serves[0]]]
+    else:
+        replies = [[serves[k][j] for k in range(P)] for j in range(P)]
+    return gshards, replies
+
+
+def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
                shards):
     """Select the best positive-delta move per eligible vertex.
 
@@ -137,8 +245,13 @@ def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
     alternating forever) is impossible.
 
     Returns (moves dict, rest mask). moves: v/old/new/delta arrays
-    (v global); `rest` = vertices to deactivate after this superstep."""
-    comm_val, comm_cnt = comm_val
+    (v global); `rest` = vertices to deactivate after this superstep.
+
+    totals: SPARSE sorted community-totals lookup (ids, vals, cnts)
+    covering every community referenced by this partition's candidates and
+    vertices — assembled from the owner-sharded request/reply exchange, so
+    no O(V) array exists anywhere in the superstep when P > 1."""
+    tids, tvals, tcnts = totals
     vlo = csr["vlo"]
     nv = csr["vhi"] - vlo
     comm = state["comm"]
@@ -176,15 +289,17 @@ def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
     cc = c[cand]
     k_new = w[cand] + self_w[dl]
     a_v = agg[dl]
+    val_cc = _tot_get(tids, tvals, cc)
+    val_own = _tot_get(tids, tvals, comm[dl])
     if kind == "cpm":
         gamma = param
-        delta = ((k_new - gamma * a_v * comm_val[cc])
-                 - (k_old[dl] - gamma * a_v * (comm_val[comm[dl]] - a_v)))
+        delta = ((k_new - gamma * a_v * val_cc)
+                 - (k_old[dl] - gamma * a_v * (val_own - a_v)))
     else:
         m = param
         k_v = csr["deg_w"][dl]
         delta = ((k_new - k_old[dl]) / m
-                 + k_v * (comm_val[comm[dl]] - comm_val[cc] - k_v)
+                 + k_v * (val_own - val_cc - k_v)
                  / (2.0 * m * m))
 
     rest = eligible.copy()
@@ -192,7 +307,8 @@ def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
         positive = delta > 1e-15
         if not lock:
             down = cc < comm[dl]
-            ss = (comm_cnt[cc] == 1) & (comm_cnt[comm[dl]] == 1)
+            ss = ((_tot_get(tids, tcnts, cc) == 1)
+                  & (_tot_get(tids, tcnts, comm[dl]) == 1))
             allowed = positive & np.where(
                 superstep % 2 == 0, down, (~down) & ~ss)
             # gated-but-positive vertices must retry next superstep
@@ -228,11 +344,14 @@ def _eval_core(csr, state, comm_val, kind, param, superstep, seed, lock,
 
 
 @ray.remote
-def _eval_moves(csr, state, comm_val, kind, param, superstep, seed, lock,
+def _eval_moves(csr, state, kind, param, superstep, seed, lock, P,
                 *shards):
-    """Remote wrapper around _eval_core (lock-mode wave)."""
-    return _eval_core(csr, state, comm_val, kind, param, superstep, seed,
-                      lock, shards)
+    """Remote wrapper around _eval_core (lock-mode wave).
+
+    shards = (*totals replies [P], *gather shards [P])."""
+    totals = _merge_replies(shards[:P])
+    return _eval_core(csr, state, totals, kind, param, superstep, seed,
+                      lock, shards[P:])
 
 
 @ray.remote
@@ -336,19 +455,21 @@ def _absorb_core(state, vlo, shards):
 
 
 @ray.remote
-def _eval_apply(csr, state, comm_val, kind, param, superstep, seed, block,
+def _eval_apply(csr, state, kind, param, superstep, seed, block,
                 P, n_react, *shards):
     """Fused fast-mode superstep kernel: absorb the PREVIOUS superstep's
-    reactivation shards, evaluate, and apply in one task — two exchange
-    waves per superstep (totals‖gather → eval_apply) instead of five.
+    reactivation shards, evaluate, and apply in one task — three exchange
+    waves per superstep (gather+contrib → serve totals → eval_apply).
 
-    shards = (*reactivation_shards_prev, *gather_shards).
+    shards = (*reactivation_shards_prev, *totals_replies [P],
+              *gather_shards [P]).
     Returns (new_state, moved, active_count, *reactivation_shards)."""
     react = shards[:n_react]
-    gshards = shards[n_react:]
+    totals = _merge_replies(shards[n_react:n_react + P])
+    gshards = shards[n_react + P:]
     if n_react:
         state = _absorb_core(state, csr["vlo"], react)
-    moves, rest = _eval_core(csr, state, comm_val, kind, param, superstep,
+    moves, rest = _eval_core(csr, state, totals, kind, param, superstep,
                              seed, False, gshards)
     accepted = np.ones(len(moves["v"]), bool)
     new_state, moved, out_shards = _apply_core(
@@ -450,20 +571,12 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
     for step in range(start_step, max_supersteps + 1):
-        totals_parts = [
-            _comm_totals.remote(states[i], graph.parts[i], kind)
-            for i in range(P)
-        ]
-        comm_val = _assemble_totals.remote(graph.V, *totals_parts)
-
-        gshards = fanout(
-            _push_gather,
-            [(graph.parts[i], states[i], graph.block, P, step, seed,
-              lock_communities) for i in range(P)], P)
+        gshards, replies = _superstep_exchange(
+            graph, states, kind, param, step, seed, lock_communities)
         evals = [
-            _eval_moves.remote(graph.parts[j], states[j], comm_val, kind,
-                               param, step, seed, lock_communities,
-                               *gshards[j])
+            _eval_moves.remote(graph.parts[j], states[j], kind,
+                               param, step, seed, lock_communities, P,
+                               *replies[j], *gshards[j])
             for j in range(P)
         ]
         if lock_communities:
@@ -547,16 +660,17 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
     for step in range(start_step, max_supersteps + 1):
         vals = (state["agg"].astype(np.float64) if kind == "cpm"
                 else csr["deg_w"])
-        dense = np.zeros(V, np.float64)
-        np.add.at(dense, state["comm"], vals)
-        counts = np.bincount(state["comm"], minlength=V).astype(np.int64)
+        tids, tvals = segsum_by_key(state["comm"], vals)
+        _, tcnts = segsum_by_key(state["comm"],
+                                 np.ones(len(state["comm"]), np.float64))
+        totals = (tids, tvals, tcnts.astype(np.int64))
 
         d, c, w = segsum_by_pair(
             dst[nonself], state["comm"][src_slot][nonself],
             csr["weights"][nonself])
         gshard = ((d, c, w), (np.empty(0, np.int64),
                               np.empty(0, np.uint64)))
-        moves, rest = _eval_core(csr, state, (dense, counts), kind, param,
+        moves, rest = _eval_core(csr, state, totals, kind, param,
                                  step, seed, False, (gshard,))
         accepted = np.ones(len(moves["v"]), bool)
         state, moved, shards = _apply_core(csr, state, moves, rest,
@@ -606,28 +720,50 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     since_best = ctl.get("since_best", 0)
     prev_moved = ctl.get("prev_moved")
     react: list[list] = [[] for _ in range(P)]
-    for step in range(start_step, max_supersteps + 1):
-        totals_parts = [
-            _comm_totals.remote(states[i], graph.parts[i], kind)
-            for i in range(P)
-        ]
-        comm_val = _assemble_totals.remote(graph.V, *totals_parts)
-        gshards = fanout(
-            _push_gather,
-            [(graph.parts[i], states[i], graph.block, P, step, seed, False)
-             for i in range(P)], P)
+
+    # Pipelined submission: up to `lookahead` supersteps are in flight
+    # before the driver reads the metrics that decide termination. The DAG
+    # chains through immutable state refs, so speculative supersteps past
+    # the break point are simply discarded — the metric stream and every
+    # control decision are identical to fully synchronous execution, the
+    # driver's per-superstep ray.get latency just stops serializing the
+    # waves. Checkpointing runs synchronously (lookahead=0) so the saved
+    # state sequence is unchanged.
+    lookahead = 0 if ckpt_cb is not None else 3
+
+    def _submit(step_i, cur_states, cur_react):
+        gshards, replies = _superstep_exchange(
+            graph, cur_states, kind, param, step_i, seed, False)
         outs = [
             _eval_apply.options(num_returns=3 + P).remote(
-                graph.parts[j], states[j], comm_val, kind, param, step,
-                seed, graph.block, P, len(react[j]), *react[j],
-                *gshards[j])
+                graph.parts[j], cur_states[j], kind, param, step_i,
+                seed, graph.block, P, len(cur_react[j]), *cur_react[j],
+                *replies[j], *gshards[j])
             for j in range(P)
         ]
-        states = [o[0] for o in outs]
+        new_states = [o[0] for o in outs]
+        new_react = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
         moved_refs = [o[1] for o in outs]
         act_refs = [o[2] for o in outs]
-        react = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
+        return new_states, new_react, moved_refs, act_refs
 
+    from collections import deque
+
+    pending: deque = deque()
+    submit_step = start_step - 1
+    sub_states, sub_react = states, react
+
+    while True:
+        while (len(pending) <= lookahead
+               and submit_step < max_supersteps):
+            submit_step += 1
+            sub_states, sub_react, moved_refs, act_refs = _submit(
+                submit_step, sub_states, sub_react)
+            pending.append((submit_step, sub_states, sub_react,
+                            moved_refs, act_refs))
+        if not pending:
+            break
+        step, states, react, moved_refs, act_refs = pending.popleft()
         moved = sum(ray.get(moved_refs))
         n_active = sum(ray.get(act_refs))
         total_moves += moved
@@ -646,6 +782,7 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
                 for j in range(P)
             ]
             react = [[] for _ in range(P)]
+            sub_states, sub_react = states, react
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves,
                                    "prev_moved": moved,

@@ -6,10 +6,13 @@ from its lowest-degree corner and wedge fan-out is O(E^1.5) total instead of
 Σ deg² (the reference logs exactly this hub-scan bottleneck for its
 vertex-parallel kernel at report.txt:11).
 
-Plan per partition (one pass, then two sharded exchanges):
-  1. orient local CSR rows with a broadcast degree array;
-  2. emit wedges (a, b, origin u) for each oriented neighbor pair of u,
-     routed to owner(a) where orientation key(a) < key(b);
+Plan per partition (three sharded exchanges, no dense-V array anywhere):
+  1. degree request/reply: each partition asks the owners of exactly the
+     vertex ids it references (own + neighbors) and builds a sparse sorted
+     (ids, deg) lookup from the replies;
+  2. orient local CSR rows with the lookup; emit wedges (a, b, origin u)
+     for each oriented neighbor pair of u, routed to owner(a) where
+     orientation key(a) < key(b);
   3. owners test b ∈ N+(a) by binary search over the encoded oriented
      adjacency, then route +1 count contributions to owner(u)/owner(a)/
      owner(b).
@@ -41,17 +44,47 @@ def _deg_no_self(csr):
 
 
 @ray.remote
-def _assemble(*parts):
-    return np.concatenate(parts)
+def _request_degs(csr, block, P):
+    """Unique referenced vertex ids (neighbors + own), sharded by owner —
+    the request half of the degree exchange (no dense-V broadcast)."""
+    ids = np.unique(np.concatenate([
+        csr["indices"],
+        np.arange(csr["vlo"], csr["vhi"], dtype=np.int64)]))
+    shards = shard_by_owner(ids, block, P)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
 
 
-def _orient(csr, deg_all):
-    """Oriented CSR: keep slot (u→v) iff (deg_u,u) < (deg_v,v), drop selfs."""
+@ray.remote
+def _serve_degs(deg, vlo, *req_shards):
+    """Reply (ids, degs) per requesting partition from the local slice."""
+    out = []
+    for (ids,) in req_shards:
+        out.append((ids, deg[ids - vlo]))
+    if len(req_shards) == 1:
+        return out[0]
+    return tuple(out)
+
+
+def _merge_deg_replies(replies):
+    """Per-owner (ids, degs) replies → sorted sparse lookup (concat of
+    disjoint ascending owner ranges is globally sorted)."""
+    ids = np.concatenate([r[0] for r in replies])
+    degs = np.concatenate([r[1] for r in replies])
+    return ids, degs
+
+
+def _orient(csr, deg_lookup):
+    """Oriented CSR: keep slot (u→v) iff (deg_u,u) < (deg_v,v), drop selfs.
+
+    deg_lookup: sparse sorted (ids, degs) covering own + neighbor ids."""
+    ids, degs = deg_lookup
     src_slot = local_src_per_slot(csr)
     src_g = src_slot + csr["vlo"]
     dst = csr["indices"]
-    du = deg_all[src_g]
-    dv = deg_all[dst]
+    du = degs[np.searchsorted(ids, src_g)]
+    dv = degs[np.searchsorted(ids, dst)]
     keep = (du < dv) | ((du == dv) & (src_g < dst))
     src_k = src_slot[keep]
     dst_k = dst[keep]
@@ -63,8 +96,10 @@ def _orient(csr, deg_all):
 
 
 @ray.remote
-def _emit_wedges(csr, deg_all, block, P, V):
-    offsets, nbrs, counts = _orient(csr, deg_all)
+def _emit_wedges(csr, block, P, V, *deg_replies):
+    deg_lookup = _merge_deg_replies(deg_replies)
+    offsets, nbrs, counts = _orient(csr, deg_lookup)
+    ids_l, degs_l = deg_lookup
     vlo = csr["vlo"]
     a_out, b_out, u_out = [], [], []
     # group rows by oriented out-degree k: one vectorized triu per distinct k
@@ -78,7 +113,8 @@ def _emit_wedges(csr, deg_all, block, P, V):
         x = mat[:, iu].ravel()
         y = mat[:, ju].ravel()
         # route the query to the orientation-smaller endpoint
-        dx, dy = deg_all[x], deg_all[y]
+        dx = degs_l[np.searchsorted(ids_l, x)]
+        dy = degs_l[np.searchsorted(ids_l, y)]
         x_first = (dx < dy) | ((dx == dy) & (x < y))
         a = np.where(x_first, x, y)
         b = np.where(x_first, y, x)
@@ -98,8 +134,10 @@ def _emit_wedges(csr, deg_all, block, P, V):
 
 
 @ray.remote
-def _probe_and_route(csr, deg_all, block, P, V, *wedge_shards):
-    offsets, nbrs, counts = _orient(csr, deg_all)
+def _probe_and_route(csr, n_deg, block, P, V, *shards):
+    deg_lookup = _merge_deg_replies(shards[:n_deg])
+    wedge_shards = shards[n_deg:]
+    offsets, nbrs, counts = _orient(csr, deg_lookup)
     vlo = csr["vlo"]
     src_slot = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
     adj_keys = (src_slot + vlo) * V + nbrs  # ascending by construction
@@ -136,15 +174,30 @@ def triangle_counts(graph: Graph):
         "pair encoding a*V+b needs V < 2^31; use segmented probe for larger"
     P = graph.P
     degs = [_deg_no_self.remote(p) for p in graph.parts]
-    deg_all = _assemble.remote(*degs)
+
+    # degree request/reply exchange: every partition gets (ids, deg) for
+    # exactly the vertices it references — no dense-V broadcast array
+    req_shards = fanout(
+        _request_degs,
+        [(graph.parts[i], graph.block, P) for i in range(P)], P)
+    serves = [
+        _serve_degs.options(num_returns=P if P > 1 else 1).remote(
+            degs[k], graph.ranges()[k][0], *req_shards[k])
+        for k in range(P)
+    ]
+    if P == 1:
+        deg_replies = [[serves[0]]]
+    else:
+        deg_replies = [[serves[k][i] for k in range(P)] for i in range(P)]
 
     wedge_shards = fanout(
         _emit_wedges,
-        [(graph.parts[i], deg_all, graph.block, P, graph.V)
+        [(graph.parts[i], graph.block, P, graph.V, *deg_replies[i])
          for i in range(P)], P)
     contrib_shards = fanout(
         _probe_and_route,
-        [(graph.parts[j], deg_all, graph.block, P, graph.V, *wedge_shards[j])
+        [(graph.parts[j], len(deg_replies[j]), graph.block, P, graph.V,
+          *deg_replies[j], *wedge_shards[j])
          for j in range(P)], P)
     counts = [
         _count.remote(graph.ranges()[j][0],

@@ -228,15 +228,45 @@ class Checkpointer:
         return refs, man
 
     # --- dendrogram maps --------------------------------------------------
-    def save_map(self, level: int, map_ref):
-        path = os.path.join(self.dir, f"level_{level}", "map.parquet")
-        os.makedirs(os.path.dirname(path), exist_ok=True)
-        ray.get(_write_map.remote(path, map_ref))
+    def save_map(self, level: int, lm):
+        """Persist a coarsen.LevelMap: per-old-partition slices + meta."""
+        mdir = os.path.join(self.dir, f"level_{level}", "map")
+        os.makedirs(mdir, exist_ok=True)
+        writes = [
+            _write_map.remote(os.path.join(mdir, f"part_{i}.parquet"),
+                              lm.maps[i])
+            for i in range(lm.old_P)
+        ]
+        blk_o, blk_n = lm.old_block, lm.new_block
+        meta = {
+            "old_block": blk_o.tolist() if isinstance(blk_o, np.ndarray)
+            else blk_o,
+            "old_P": lm.old_P, "old_V": lm.old_V,
+            "new_block": blk_n.tolist() if isinstance(blk_n, np.ndarray)
+            else blk_n,
+            "new_P": lm.new_P, "new_V": lm.new_V,
+        }
+        ray.get(writes)
+        with open(os.path.join(mdir, "meta.json"), "w") as f:
+            json.dump(meta, f)
 
     def load_map(self, level: int):
-        return _read_map.remote(
-            os.path.join(self.dir, f"level_{level}", "map.parquet"))
+        from leiden_cuda_ray.algorithms.coarsen import LevelMap
+
+        mdir = os.path.join(self.dir, f"level_{level}", "map")
+        with open(os.path.join(mdir, "meta.json")) as f:
+            meta = json.load(f)
+        for k in ("old_block", "new_block"):
+            if isinstance(meta[k], list):
+                meta[k] = np.asarray(meta[k], np.int64)
+        maps = [
+            _read_map.remote(os.path.join(mdir, f"part_{i}.parquet"))
+            for i in range(meta["old_P"])
+        ]
+        # uniq_refs/offsets are only needed at coarsen time, not for
+        # propagation on resume
+        return LevelMap(maps=maps, **meta)
 
     def has_map(self, level: int) -> bool:
         return os.path.exists(
-            os.path.join(self.dir, f"level_{level}", "map.parquet"))
+            os.path.join(self.dir, f"level_{level}", "map", "meta.json"))

@@ -40,9 +40,11 @@ def test_cpm_delta_weighted_triangle():
     custom_leiden.py:262-280. Hand values: m=0.8, singletons, γ=0.1:
     move 1→{0}: 0.3 − 0.1 = 0.2;  move 2→{1}: 0.4 − 0.1 = 0.3."""
     csr, state, shards = _triangle_csr_and_gather()
-    comm_val = (np.ones(3, np.float64), np.ones(3, np.int64))
+    # sparse totals lookup: (ids, vals, member counts)
+    totals = (np.arange(3, dtype=np.int64), np.ones(3, np.float64),
+              np.ones(3, np.int64))
     # even superstep => down moves admitted
-    moves, rest = _eval_core(csr, state, comm_val, "cpm", 0.1, 2, 42,
+    moves, rest = _eval_core(csr, state, totals, "cpm", 0.1, 2, 42,
                              False, shards)
     got = dict(zip(moves["v"].tolist(),
                    zip(moves["new"].tolist(), moves["delta"].tolist())))
@@ -58,8 +60,8 @@ def test_modularity_delta_weighted_triangle():
     0.3/0.8 + 0.7·(0.7−0.4−0.7)/(2·0.64) = 0.15625."""
     csr, state, shards = _triangle_csr_and_gather()
     T = np.array([0.4, 0.7, 0.5])
-    comm_val = (T, np.ones(3, np.int64))
-    moves, _ = _eval_core(csr, state, comm_val, "mod", 0.8, 2, 42,
+    totals = (np.arange(3, dtype=np.int64), T, np.ones(3, np.int64))
+    moves, _ = _eval_core(csr, state, totals, "mod", 0.8, 2, 42,
                           False, shards)
     got = dict(zip(moves["v"].tolist(),
                    zip(moves["new"].tolist(), moves["delta"].tolist())))
