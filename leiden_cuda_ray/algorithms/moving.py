@@ -69,9 +69,16 @@ def init_move_state(csr, init_comm=None, agg=None):
 
 
 def _uniq_pairs(a: np.ndarray, b: np.ndarray):
-    """Distinct (a, b) rows, sorted by (a, b). Vectorized."""
+    """Distinct (a, b) rows, sorted by (a, b). Vectorized (fused-key sort
+    when the ranges allow; ids are nonnegative here)."""
     if len(a) == 0:
         return a, b
+    bmax = int(b.max())
+    amax = int(a.max())
+    if a.min() >= 0 and b.min() >= 0 and amax < (1 << 62) // (bmax + 1):
+        span = bmax + 1
+        k = np.unique(a * span + b)
+        return k // span, k % span
     order = np.lexsort((b, a))
     a, b = a[order], b[order]
     keep = np.empty(len(a), bool)
@@ -138,6 +145,45 @@ def _owner_arr(v, block, P):
     return owner_of(v, block, P)
 
 
+def _push_pack_core(csr, state, block, P, pid, kind):
+    """Fast-mode push kernel (pure function): gather tuples, totals
+    contributions and requests, PACKED per owner so each partition's wave
+    emits exactly P objects: pack[j] = (react_j, gather_j, contrib_j,
+    request_j) — react is filled by the apply step (empty at bootstrap).
+    The serve task for owner j and the eval task for consumer j are the
+    same partition, so the packed object travels to one node only."""
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    comm = state["comm"]
+    nonself = dst != src_g
+    d, c, w = segsum_by_pair(dst[nonself], comm[src_slot][nonself],
+                             csr["weights"][nonself])
+    vals = (state["agg"].astype(np.float64) if kind == "cpm"
+            else csr["deg_w"])
+    tids, tsums = segsum_by_key(comm, vals)
+    _, tcnts = segsum_by_key(comm, np.ones(len(comm), np.float64))
+    cons = np.asarray(_owner_arr(d, block, P), np.int64)
+    rq_comm = np.concatenate([c, comm])
+    rq_cons = np.concatenate([cons, np.full(len(comm), pid, np.int64)])
+    rq_comm, rq_cons = _uniq_pairs(rq_comm, rq_cons)
+    g1 = shard_by_owner(d, block, P, c, w)
+    t1 = shard_by_owner(tids, block, P, tsums, tcnts)
+    t2 = shard_by_owner(rq_comm, block, P, rq_cons)
+    empty_react = (np.empty(0, np.int64), np.empty(0, np.int64))
+    return [(empty_react, g1[j], t1[j], t2[j]) for j in range(P)]
+
+
+@ray.remote
+def _push_pack(csr, state, block, P, pid, kind):
+    """Bootstrap wave for the fast-mode loop (steady-state packs are
+    produced inside _eval_apply_push)."""
+    out = _push_pack_core(csr, state, block, P, pid, kind)
+    if P == 1:
+        return out[0]
+    return tuple(out)
+
+
 @ray.remote
 def _serve_totals(P, *shards):
     """Wave-2 totals owner: merge contribution shards into global totals
@@ -146,6 +192,18 @@ def _serve_totals(P, *shards):
 
     shards[i] = (contrib (ids, sums, cnts), request (comm, consumer)) from
     origin partition i. Returns one reply per consumer partition."""
+    return _serve_totals_core(P, shards)
+
+
+@ray.remote
+def _serve_packed(P, *packs):
+    """Fast-mode serve: packs[i] = (react, gather, contrib, request) —
+    reads the contrib/request fields only (react/gather ride to this
+    partition's own eval task in the same object)."""
+    return _serve_totals_core(P, [(p[2], p[3]) for p in packs])
+
+
+def _serve_totals_core(P, shards):
     contribs = [s[0] for s in shards]
     reqs = [s[1] for s in shards]
     ids = np.concatenate([s[0] for s in contribs])
@@ -355,6 +413,37 @@ def _eval_moves(csr, state, kind, param, superstep, seed, lock, P,
 
 
 @ray.remote
+def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
+                     pid, *shards):
+    """Fast-mode steady-state kernel: absorb the previous superstep's
+    reactivations (riding inside the packs), evaluate, apply — then
+    immediately compute the NEXT superstep's push pack from the new state,
+    so a superstep is only TWO waves (serve totals → eval+apply+push) and
+    the driver submits 2P tasks with ~2P refs each instead of 3P.
+
+    shards = (*totals replies [P], *packs [P]); packs[i] =
+    (react, gather, contrib, request) from origin i.
+    Returns (new_state, moved, n_active, *next_packs [P]) where
+    next_packs[j] carries the reactivation shard for j."""
+    totals = _merge_replies(shards[:P])
+    packs = shards[P:]
+    empty_prio = (np.empty(0, np.int64), np.empty(0, np.uint64))
+    gshards = [(p[1], empty_prio) for p in packs]
+    state = _absorb_core(state, csr["vlo"], [p[0] for p in packs])
+    moves, rest = _eval_core(csr, state, totals, kind, param, superstep,
+                             seed, False, gshards)
+    accepted = np.ones(len(moves["v"]), bool)
+    new_state, moved, out_shards = _apply_core(
+        csr, state, moves, rest, accepted, block, P)
+    n_active = int(new_state["active"].sum())
+    next_packs = _push_pack_core(csr, new_state, block, P, pid, kind)
+    out = [(out_shards[j], *next_packs[j][1:]) for j in range(P)]
+    if P == 1:
+        return new_state, moved, n_active, out[0]
+    return (new_state, moved, n_active, *out)
+
+
+@ray.remote
 def _claim_push(moves_eligible, block, P):
     moves, _ = moves_eligible
     c = np.concatenate([moves["old"], moves["new"]])
@@ -455,32 +544,6 @@ def _absorb_core(state, vlo, shards):
 
 
 @ray.remote
-def _eval_apply(csr, state, kind, param, superstep, seed, block,
-                P, n_react, *shards):
-    """Fused fast-mode superstep kernel: absorb the PREVIOUS superstep's
-    reactivation shards, evaluate, and apply in one task — three exchange
-    waves per superstep (gather+contrib → serve totals → eval_apply).
-
-    shards = (*reactivation_shards_prev, *totals_replies [P],
-              *gather_shards [P]).
-    Returns (new_state, moved, active_count, *reactivation_shards)."""
-    react = shards[:n_react]
-    totals = _merge_replies(shards[n_react:n_react + P])
-    gshards = shards[n_react + P:]
-    if n_react:
-        state = _absorb_core(state, csr["vlo"], react)
-    moves, rest = _eval_core(csr, state, totals, kind, param, superstep,
-                             seed, False, gshards)
-    accepted = np.ones(len(moves["v"]), bool)
-    new_state, moved, out_shards = _apply_core(
-        csr, state, moves, rest, accepted, block, P)
-    n_active = int(new_state["active"].sum())
-    if P == 1:
-        return new_state, moved, n_active, out_shards[0]
-    return (new_state, moved, n_active, *out_shards)
-
-
-@ray.remote
 def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
     """Apply claim-winning moves; emit frontier reactivations (lock mode).
 
@@ -522,9 +585,10 @@ def _absorb(state, vlo, *shards):
 
 
 @ray.remote
-def _absorb_only(state, vlo, *shards):
-    """Absorb pending reactivations (checkpoint-time state normalization)."""
-    return _absorb_core(state, vlo, shards)
+def _absorb_packed(state, vlo, *packs):
+    """Absorb the reactivations riding in packs (checkpoint-time state
+    normalization)."""
+    return _absorb_core(state, vlo, [p[0] for p in packs])
 
 
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
@@ -719,7 +783,6 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
     prev_moved = ctl.get("prev_moved")
-    react: list[list] = [[] for _ in range(P)]
 
     # Pipelined submission: up to `lookahead` supersteps are in flight
     # before the driver reads the metrics that decide termination. The DAG
@@ -731,39 +794,55 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     # state sequence is unchanged.
     lookahead = 0 if ckpt_cb is not None else 3
 
-    def _submit(step_i, cur_states, cur_react):
-        gshards, replies = _superstep_exchange(
-            graph, cur_states, kind, param, step_i, seed, False)
+    def _bootstrap_packs(cur_states):
+        packs = []
+        for i in range(P):
+            r = _push_pack.options(num_returns=P if P > 1 else 1).remote(
+                graph.parts[i], cur_states[i], graph.block, P, i, kind)
+            packs.append(list(r) if P > 1 else [r])
+        return [[packs[i][j] for i in range(P)] for j in range(P)]
+
+    def _submit(step_i, cur_states, cur_packs):
+        serves = [
+            _serve_packed.options(num_returns=P if P > 1 else 1).remote(
+                P, *cur_packs[k])
+            for k in range(P)
+        ]
+        if P == 1:
+            replies = [[serves[0]]]
+        else:
+            replies = [[serves[k][j] for k in range(P)] for j in range(P)]
         outs = [
-            _eval_apply.options(num_returns=3 + P).remote(
+            _eval_apply_push.options(num_returns=3 + P).remote(
                 graph.parts[j], cur_states[j], kind, param, step_i,
-                seed, graph.block, P, len(cur_react[j]), *cur_react[j],
-                *replies[j], *gshards[j])
+                seed, graph.block, P, j,
+                *replies[j], *cur_packs[j])
             for j in range(P)
         ]
         new_states = [o[0] for o in outs]
-        new_react = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
+        new_packs = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
         moved_refs = [o[1] for o in outs]
         act_refs = [o[2] for o in outs]
-        return new_states, new_react, moved_refs, act_refs
+        return new_states, new_packs, moved_refs, act_refs
 
     from collections import deque
 
     pending: deque = deque()
     submit_step = start_step - 1
-    sub_states, sub_react = states, react
+    sub_states = states
+    sub_packs = _bootstrap_packs(states)
 
     while True:
         while (len(pending) <= lookahead
                and submit_step < max_supersteps):
             submit_step += 1
-            sub_states, sub_react, moved_refs, act_refs = _submit(
-                submit_step, sub_states, sub_react)
-            pending.append((submit_step, sub_states, sub_react,
+            sub_states, sub_packs, moved_refs, act_refs = \
+                _submit(submit_step, sub_states, sub_packs)
+            pending.append((submit_step, sub_states, sub_packs,
                             moved_refs, act_refs))
         if not pending:
             break
-        step, states, react, moved_refs, act_refs = pending.popleft()
+        step, states, packs, moved_refs, act_refs = pending.popleft()
         moved = sum(ray.get(moved_refs))
         n_active = sum(ray.get(act_refs))
         total_moves += moved
@@ -776,13 +855,15 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
             next_best, next_since = best_active, since_best + 1
 
         if ckpt_cb is not None:
+            # normalize the saved state: absorb the pending reactivations
+            # riding in the packs (the next eval re-absorbs them — a no-op,
+            # absorb is idempotent for an unchanged community assignment)
             states = [
-                _absorb_only.remote(states[j], graph.ranges()[j][0],
-                                    *react[j])
+                _absorb_packed.remote(states[j], graph.ranges()[j][0],
+                                      *packs[j])
                 for j in range(P)
             ]
-            react = [[] for _ in range(P)]
-            sub_states, sub_react = states, react
+            sub_states = states
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves,
                                    "prev_moved": moved,

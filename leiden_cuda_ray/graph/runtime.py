@@ -75,9 +75,28 @@ def segsum_by_key(keys: np.ndarray, vals: np.ndarray):
 
 
 def segsum_by_pair(key_a: np.ndarray, key_b: np.ndarray, vals: np.ndarray):
-    """Group-sum by (key_a, key_b) pairs → (a_unique, b_unique, sums)."""
+    """Group-sum by (key_a, key_b) pairs → (a_unique, b_unique, sums).
+
+    Fast path: nonnegative keys whose product range fits int64 are fused
+    into one key — a single stable argsort is ~2× faster than a two-key
+    lexsort and this sits on every superstep's critical path."""
     if len(key_a) == 0:
         return key_a, key_b, vals
+    bmax = int(key_b.max())
+    amax = int(key_a.max())
+    if (key_a.min() >= 0 and key_b.min() >= 0
+            and amax < (1 << 62) // (bmax + 1)):
+        span = bmax + 1
+        key = key_a * span + key_b
+        order = np.argsort(key, kind="stable")
+        k = key[order]
+        v = vals[order]
+        cut = np.empty(len(k), bool)
+        cut[0] = True
+        np.not_equal(k[1:], k[:-1], out=cut[1:])
+        starts = np.flatnonzero(cut)
+        ku = k[starts]
+        return ku // span, ku % span, np.add.reduceat(v, starts)
     order = np.lexsort((key_b, key_a))
     a, b, v = key_a[order], key_b[order], vals[order]
     cut = np.empty(len(a), bool)

@@ -76,28 +76,22 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
 
 def _derive_int_edges_broadcast(corpus_path, maps_ref, cocommit_cap,
                                 include_imports, include_cocommit):
-    import ray
-
     from leiden_cuda_ray.stages.cocommit import cocommit_vid_edges
-    from leiden_cuda_ray.stages.idmap import ImportIdMapper, PathIdMapper
+    from leiden_cuda_ray.stages.idmap import make_import_mapper, make_path_mapper
 
-    cpus = int(ray.cluster_resources().get("CPU", 4))
-    conc = (1, max(2, min(16, cpus)))
     edge_sets = []
     if include_imports:
         corpus_imp = read_corpus(
             corpus_path, columns=["repo", "path", "lang", "content"])
         edge_sets.append(extract_imports(corpus_imp).map_batches(
-            ImportIdMapper, fn_constructor_args=(maps_ref,),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=conc))
+            make_import_mapper(maps_ref),
+            batch_format="pyarrow", zero_copy_batch=True))
     if include_cocommit:
         corpus_cc = read_corpus(corpus_path,
                                 columns=["repo", "commit", "path"])
         mapped = corpus_cc.map_batches(
-            PathIdMapper, fn_constructor_args=(maps_ref,),
-            batch_format="pyarrow", zero_copy_batch=True,
-            concurrency=conc)
+            make_path_mapper(maps_ref),
+            batch_format="pyarrow", zero_copy_batch=True)
         edge_sets.append(cocommit_vid_edges(mapped, cap=cocommit_cap))
     out = edge_sets[0]
     for extra in edge_sets[1:]:

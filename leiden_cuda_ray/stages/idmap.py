@@ -1,35 +1,61 @@
 """Broadcast vertex-id mapping: the small-side-join killer for edge derivation.
 
 The vertex numbering is tiny relative to the pair stream (V files vs O(E)
-pair rows), so shipping it once per node through the object store and mapping
-ids inside a stateless batch pass replaces TWO string-key hash joins (src and
-dst resolution, pipelines/derive.py round 1) with zero shuffles. Lookup
-tables are built ONCE per actor in __init__ (pd.Index — C-hash lookups), not
-per batch.
+pair rows), so it is shipped once per node through the object store and ids
+are substituted inside STATELESS map_batches tasks — zero shuffles instead
+of two string-key hash joins (pipelines/derive.py round 1), and no actor
+pool that could reserve the whole CPU budget on a small cluster (the 2-CPU
+starvation hazard joins.py documents for aggregators applies to actor-pool
+map operators too).
 
-Scale gate: above `max_broadcast_keys` distinct files the driver-side fetch
-and per-actor index no longer fit comfortably in worker heaps, and
-derive_edges falls back to the distributed hash-join path. The threshold is
-a config knob; the broadcast object itself is shared per node via plasma.
+Lookup structure: a sorted uint64 array of key hashes + aligned vertex ids.
+Keys are hashed vectorized (polars ahash with a fixed seed — deterministic
+within one environment) and resolved by np.searchsorted; the builder
+verifies the hash set is collision-free and falls back to the distributed
+join path otherwise (also above `max_broadcast_keys`, where the driver-side
+fetch no longer belongs in one process).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
+
+_HASH_SEED = 0x5EED
+
+
+def _hash_keys(arr) -> np.ndarray:
+    """Vectorized 64-bit hash of a pyarrow string array (polars ahash;
+    falls back to a Python blake2b loop without polars)."""
+    try:
+        import polars as pl
+
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        s = pl.from_arrow(arr)
+        return s.hash(seed=_HASH_SEED).to_numpy().astype(np.uint64)
+    except ImportError:
+        import hashlib
+
+        return np.array([
+            int.from_bytes(hashlib.blake2b(
+                x.encode(), digest_size=8).digest(), "big")
+            for x in arr.to_pylist()], np.uint64)
+
+
+def _key_hashes(repo, path) -> np.ndarray:
+    return _hash_keys(pc.binary_join_element_wise(repo, path, "|"))
 
 
 def build_vertex_maps(ft_ds, numbering_ds,
                       max_broadcast_keys: int = 2_000_000):
-    """→ ObjectRef of {path_keys, stem_keys, stem_vids} or None.
+    """→ ObjectRef of the lookup dict, or None (→ join fallback).
 
-    path map: "repo|path" → vertex (vertex == position: numbering rows are
-    fetched in id order). stem map: "repo|stem" → vertex for import-target
-    resolution; None is returned (→ join fallback) when stems are ambiguous
-    within a repo (two files with the same basename), because a broadcast
-    1:1 lookup cannot reproduce the join's fan-out semantics.
+    path map: hash("repo|path") → vertex. stem map: hash("repo|stem") →
+    vertex for import-target resolution. None when the numbering exceeds
+    the broadcast threshold, when stems are ambiguous within a repo (a
+    1:1 lookup cannot reproduce the join's fan-out), or on hash collision.
     """
     import ray
 
@@ -39,87 +65,85 @@ def build_vertex_maps(ft_ds, numbering_ds,
     ft_t = pa.concat_tables(ray.get(ft_ds.to_arrow_refs()))
 
     verts = np.asarray(num_t.column("vertex"), np.int64)
-    order = np.argsort(verts)
-    path_keys = np.asarray(
-        pc.binary_join_element_wise(num_t.column("repo"),
-                                    num_t.column("path"), "|"),
-        dtype=object)[order]
+    ph = _key_hashes(num_t.column("repo"), num_t.column("path"))
+    order = np.argsort(ph)
+    path_hash = ph[order]
+    path_vid = verts[order]
+    if len(path_hash) > 1 and (path_hash[1:] == path_hash[:-1]).any():
+        return None  # hash collision — use the join path
 
-    # stem table joined to ids driver-side (V rows)
-    ft_df = pd.DataFrame({
-        "key": np.asarray(
-            pc.binary_join_element_wise(ft_t.column("repo"),
-                                        ft_t.column("path"), "|"),
-            dtype=object),
-        "stem_key": np.asarray(
-            pc.binary_join_element_wise(ft_t.column("repo"),
-                                        ft_t.column("stem"), "|"),
-            dtype=object),
-    })
-    if ft_df["stem_key"].duplicated().any():
-        return None
-    pos = pd.Index(path_keys).get_indexer(ft_df["key"].to_numpy())
-    assert (pos >= 0).all()
+    fh = _key_hashes(ft_t.column("repo"), ft_t.column("path"))
+    sh = _hash_keys(pc.binary_join_element_wise(
+        ft_t.column("repo"), ft_t.column("stem"), "|"))
+    # resolve each file's vertex id through the path map
+    pos = np.searchsorted(path_hash, fh)
+    assert (path_hash[np.minimum(pos, len(path_hash) - 1)] == fh).all()
+    svid = path_vid[pos]
+    order = np.argsort(sh)
+    stem_hash = sh[order]
+    stem_vid = svid[order]
+    if len(stem_hash) > 1 and (stem_hash[1:] == stem_hash[:-1]).any():
+        return None  # ambiguous stems (or collision)
+
     return ray.put({
-        "path_keys": path_keys,
-        "stem_keys": ft_df["stem_key"].to_numpy(),
-        "stem_vids": pos.astype(np.int64),
+        "path_hash": path_hash, "path_vid": path_vid,
+        "stem_hash": stem_hash, "stem_vid": stem_vid,
     })
 
 
-class _MapperBase:
-    def __init__(self, maps_ref):
+def _resolve(hashes: np.ndarray, table_h: np.ndarray,
+             table_v: np.ndarray) -> np.ndarray:
+    """hash array → vertex ids; -1 where absent."""
+    pos = np.searchsorted(table_h, hashes)
+    out = np.full(len(hashes), -1, np.int64)
+    if len(table_h):
+        inb = pos < len(table_h)
+        hit = np.zeros(len(hashes), bool)
+        hit[inb] = table_h[pos[inb]] == hashes[inb]
+        out[hit] = table_v[pos[hit]]
+    return out
+
+
+def make_import_mapper(maps_ref):
+    """(src_repo, src_path, dst_repo, dst_stem) → (src, dst, weight) int
+    edges; unresolved targets dropped (inner-join semantics). Stateless
+    task fn — the lookup arrays come zero-copy from the object store."""
+    def fn(batch: pa.Table) -> pa.Table:
         import ray
 
-        maps = ray.get(maps_ref) if hasattr(maps_ref, "hex") else maps_ref
-        self.path_index = pd.Index(maps["path_keys"])
-        self.stem_index = pd.Index(maps["stem_keys"])
-        self.stem_vids = maps["stem_vids"]
-
-    def _path_ids(self, repo, path) -> np.ndarray:
-        keys = np.asarray(pc.binary_join_element_wise(repo, path, "|"),
-                          dtype=object)
-        ids = self.path_index.get_indexer(keys)
-        if (ids < 0).any():
-            missing = keys[ids < 0][:3]
-            raise KeyError(f"unnumbered file keys: {list(missing)}")
-        return ids.astype(np.int64)
-
-    def _stem_ids(self, repo, stem) -> np.ndarray:
-        keys = np.asarray(pc.binary_join_element_wise(repo, stem, "|"),
-                          dtype=object)
-        pos = self.stem_index.get_indexer(keys)
-        found = pos >= 0
-        out = np.full(len(keys), -1, np.int64)
-        out[found] = self.stem_vids[pos[found]]
-        return out  # -1 = unresolved (target outside the corpus)
-
-
-class ImportIdMapper(_MapperBase):
-    """(src_repo, src_path, dst_repo, dst_stem) → (src, dst, weight) int
-    edges; unresolved targets dropped (inner-join semantics)."""
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        src = self._path_ids(batch.column("src_repo"),
-                             batch.column("src_path"))
-        dst = self._stem_ids(batch.column("dst_repo"),
-                             batch.column("dst_stem"))
+        maps = ray.get(maps_ref)
+        src = _resolve(_key_hashes(batch.column("src_repo"),
+                                   batch.column("src_path")),
+                       maps["path_hash"], maps["path_vid"])
+        if (src < 0).any():
+            raise KeyError("unnumbered source file in import stream")
+        dst = _resolve(_key_hashes(batch.column("dst_repo"),
+                                   batch.column("dst_stem")),
+                       maps["stem_hash"], maps["stem_vid"])
         keep = (dst >= 0) & (src != dst)
         return pa.table({
             "src": pa.array(src[keep], pa.int64()),
             "dst": pa.array(dst[keep], pa.int64()),
             "weight": pa.array(np.ones(int(keep.sum())), pa.float64()),
         })
+    return fn
 
 
-class PathIdMapper(_MapperBase):
+def make_path_mapper(maps_ref):
     """(repo, commit, path) → (repo, commit, vid) for co-commit pairing:
     the groupby then shuffles an int64 instead of the path string."""
+    def fn(batch: pa.Table) -> pa.Table:
+        import ray
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vid = self._path_ids(batch.column("repo"), batch.column("path"))
+        maps = ray.get(maps_ref)
+        vid = _resolve(_key_hashes(batch.column("repo"),
+                                   batch.column("path")),
+                       maps["path_hash"], maps["path_vid"])
+        if (vid < 0).any():
+            raise KeyError("unnumbered file in co-commit stream")
         return pa.table({
             "repo": batch.column("repo"),
             "commit": batch.column("commit"),
             "vid": pa.array(vid, pa.int64()),
         })
+    return fn
