@@ -3,15 +3,16 @@
 - exact:      hash text → groupby(hash) keep min id (hash-partitioned; the
               full text never crosses the shuffle — only its 128-bit digest)
 - MinHash+LSH: char-shingles → minhash signatures (vectorized permutation
-              mins) → band buckets → groupby(band) emits candidate pairs with
-              estimated Jaccard computed from the in-group signatures
+              mins) → band buckets (ids only cross the shuffle, capped
+              per-bucket fan-out) → est Jaccard via signature re-join
 - SimHash:    64-bit sign-of-weighted-token-hash fingerprint + banded
               near-dup pairing by Hamming distance
 - n-gram Jaccard: exact verification of candidate pairs
 - embedding:  cosine near-dup via random-hyperplane LSH buckets
 
 Candidate-pair semantics: pairs (doc_a < doc_b) are emitted at most once
-(cross-band duplicates collapsed by a groupby max). Dedup keeps the minimum
+(cross-band duplicates collapsed by a distinct-pairs groupby before the
+estimate join). Dedup keeps the minimum
 doc id of each duplicate group (greedy: a doc is dropped if it pairs with any
 smaller-id doc — at threshold<1 this approximates the transitive closure;
 use the connected-components algorithm over the pair edges when exact
@@ -25,7 +26,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from ray.data.aggregate import Max, Min
+from ray.data.aggregate import Min
 
 _MERSENNE = np.uint64((1 << 61) - 1)
 
@@ -97,56 +98,155 @@ def minhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
-                        threshold: float = 0.5):
+                        threshold: float = 0.5, bucket_cap: int = 256):
     """Signatures → candidate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
-    Band buckets: groupby(band, band_hash); each group carries its members'
-    signatures so the Jaccard estimate is computed in-group (no extra join).
-    Cross-band duplicate pairs collapse via groupby(doc_a, doc_b).max."""
+    Scale shape (round-2 hardening):
+    - only (band, bucket_hash, id) rows cross the band shuffle — the
+      64-perm signature is NOT duplicated ×bands; the Jaccard estimate is
+      computed AFTER pair dedup by joining the signature table back on
+      (exactly two hash joins over the much smaller pair set);
+    - band buckets larger than `bucket_cap` emit a deterministic
+      ring + hashed-chord pair subset (O(k) pairs, connected) instead of
+      the O(k²) clique — a boilerplate-heavy web bucket can no longer
+      produce a straggler/OOM task. The group stays connected, so greedy
+      min-id dedup (minhash_dedup_keepers) still collapses it; buckets
+      below the cap are unaffected (full clique, exact same pair set as
+      round 1)."""
     def to_bands(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col))
-        sigs = batch.column("sig").to_pylist()
-        out_band, out_hash, out_id, out_sig = [], [], [], []
-        for i, sig in enumerate(sigs):
-            s = np.asarray(sig, np.int64)
-            r = len(s) // bands
-            for bidx in range(bands):
-                chunk = s[bidx * r:(bidx + 1) * r]
-                h = hashlib.blake2b(chunk.tobytes(),
-                                    digest_size=8).hexdigest()
-                out_band.append(bidx)
-                out_hash.append(h)
-                out_id.append(ids[i])
-                out_sig.append(sig)
+        sig_list = batch.column("sig")
+        n = len(ids)
+        if n == 0 or len(sig_list) == 0:
+            return pa.table({
+                "band": pa.array([], pa.int32()),
+                "bucket": pa.array([], pa.int64()),
+                id_col: pa.array([], pa.int64()),
+            })
+        sigs = np.asarray(sig_list.combine_chunks().flatten(),
+                          np.int64).reshape(n, -1)
+        num_perm = sigs.shape[1]
+        r = num_perm // bands
+        out_band = np.repeat(np.arange(bands, dtype=np.int32), n)
+        out_id = np.tile(ids, bands)
+        buckets = np.empty(bands * n, np.uint64)
+        with np.errstate(over="ignore"):
+            for b in range(bands):
+                chunk = sigs[:, b * r:(b + 1) * r].astype(np.uint64)
+                # vectorized column-mix + splitmix finalizer (deterministic
+                # chunk fingerprint, no per-row Python hashing)
+                acc = np.zeros(n, np.uint64)
+                for c in range(r):
+                    acc = (acc * np.uint64(0x100000001B3)) ^ chunk[:, c]
+                acc ^= acc >> np.uint64(30)
+                acc *= np.uint64(0xBF58476D1CE4E5B9)
+                acc ^= acc >> np.uint64(27)
+                buckets[b * n:(b + 1) * n] = acc
         return pa.table({
             "band": pa.array(out_band, pa.int32()),
-            "bucket": pa.array(out_hash, pa.string()),
+            "bucket": pa.array(buckets.astype(np.int64), pa.int64()),
             id_col: pa.array(out_id, pa.int64()),
-            "sig": pa.array(out_sig, pa.list_(pa.int64())),
         })
 
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
     def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "est_jaccard": []}).astype(
-                {"doc_a": np.int64, "doc_b": np.int64,
-                 "est_jaccard": np.float64})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        sigs = np.stack([np.asarray(s, np.int64) for s in g["sig"]])
-        iu, ju = np.triu_indices(len(ids), 1)
-        est = (sigs[iu] == sigs[ju]).mean(axis=1)
-        keep = est >= threshold
-        return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
-                             "est_jaccard": est[keep]})
+        ids = np.sort(group[id_col].unique()).astype(np.int64)
+        k = len(ids)
+        if k < 2:
+            return pd.DataFrame({"doc_a": np.empty(0, np.int64),
+                                 "doc_b": np.empty(0, np.int64)})
+        if k <= bucket_cap:
+            iu, ju = np.triu_indices(k, 1)
+        else:
+            # skew guard: ring + hashed chords, degree ~4, connected
+            from leiden_cuda_ray.graph.runtime import vertex_priority
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        emit_pairs, batch_format="pandas")
-    return pairs.groupby(["doc_a", "doc_b"]).aggregate(
-        Max("est_jaccard", alias_name="est_jaccard"))
+            i = np.arange(k, dtype=np.int64)
+            h = vertex_priority(ids, 0, 0)
+            chord = (i + 2 + (h % np.uint64(max(1, k - 3))).astype(
+                np.int64)) % k
+            a = np.concatenate([i, i])
+            b = np.concatenate([(i + 1) % k, chord])
+            keep = a != b
+            a, b = a[keep], b[keep]
+            iu, ju = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
+
+    def uniq_local(batch: pa.Table) -> pa.Table:
+        """Coalescing combiner: map_groups emits one tiny block per band
+        bucket, and Ray's aggregate pays a fixed cost per input block —
+        collapse in-batch duplicates over big coalesced batches first."""
+        a = np.asarray(batch.column("doc_a"), np.int64)
+        b = np.asarray(batch.column("doc_b"), np.int64)
+        if len(a) == 0:
+            return batch
+        span = int(b.max()) + 1
+        k = np.unique(a * span + b)
+        return pa.table({"doc_a": k // span, "doc_b": k % span})
+
+    pairs = (banded.groupby(["band", "bucket"])
+             .map_groups(emit_pairs, batch_format="pandas")
+             .map_batches(uniq_local, batch_format="pyarrow",
+                          batch_size=1 << 20)
+             .groupby(["doc_a", "doc_b"]).count()
+             .drop_columns(["count()"]))
+
+    # attach both signatures (pair set << corpus) and estimate exactly.
+    # Arrow hash joins reject list<> payload columns, so signatures travel
+    # as fixed-size binary (zero-copy reshape on decode).
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    def pack(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        sigs = np.ascontiguousarray(np.asarray(
+            batch.column("sig").combine_chunks().flatten(),
+            np.int64).reshape(n, -1)) if n else np.empty((0, 8), np.int64)
+        width = sigs.shape[1] * 8
+        return pa.table({
+            id_col: batch.column(id_col),
+            "sigb": pa.FixedSizeBinaryArray.from_buffers(
+                pa.binary(width), n, [None, pa.py_buffer(sigs.tobytes())]),
+        })
+
+    packed = sig_ds.map_batches(pack, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    j1 = hash_join(pairs, packed, on=("doc_a",), right_on=(id_col,),
+                   right_suffix="_a")
+    j1 = j1.rename_columns({"sigb": "sig_a"})
+    if id_col in j1.columns():
+        j1 = j1.drop_columns([id_col])
+    j2 = hash_join(j1, packed, on=("doc_b",), right_on=(id_col,),
+                   right_suffix="_b")
+    j2 = j2.rename_columns({"sigb": "sig_b"})
+
+    def _unpack(col, n) -> np.ndarray:
+        arr = col.combine_chunks()
+        width = arr.type.byte_width // 8
+        return np.frombuffer(arr.buffers()[1], np.int64,
+                             count=n * width).reshape(n, width)
+
+    def estimate(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        if n == 0:
+            return pa.table({"doc_a": pa.array([], pa.int64()),
+                             "doc_b": pa.array([], pa.int64()),
+                             "est_jaccard": pa.array([], pa.float64())})
+        sa = _unpack(batch.column("sig_a"), n)
+        sb = _unpack(batch.column("sig_b"), n)
+        est = (sa == sb).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": batch.column("doc_a").combine_chunks().filter(
+                pa.array(keep)),
+            "doc_b": batch.column("doc_b").combine_chunks().filter(
+                pa.array(keep)),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    return j2.map_batches(estimate, batch_format="pyarrow")
 
 
 def minhash_dedup_keepers(ds, id_col: str = "doc_id", text_col: str = "text",
@@ -240,8 +340,35 @@ def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
         return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
                              "hamming": ham[keep]})
 
-    pairs = banded.groupby(["band", "bucket"]).map_groups(
-        emit, batch_format="pandas")
+    def combine_local(batch: pa.Table) -> pa.Table:
+        # coalesce map_groups' tiny per-bucket blocks and pre-reduce: the
+        # hamming of a pair is identical in every band, so a local distinct
+        # is a valid combiner for the global Min
+        from leiden_cuda_ray.graph.runtime import segsum_by_pair
+
+        a = np.asarray(batch.column("doc_a"), np.int64)
+        b = np.asarray(batch.column("doc_b"), np.int64)
+        h = np.asarray(batch.column("hamming"), np.float64)
+        if len(a) == 0:
+            return batch
+        span = int(b.max()) + 1
+        k = a * span + b
+        order = np.argsort(k, kind="stable")
+        ks = k[order]
+        first = np.empty(len(ks), bool)
+        first[0] = True
+        np.not_equal(ks[1:], ks[:-1], out=first[1:])
+        ku = ks[first]
+        return pa.table({
+            "doc_a": ku // span, "doc_b": ku % span,
+            "hamming": pa.array(h[order][first].astype(np.int64),
+                                pa.int64()),
+        })
+
+    pairs = (banded.groupby(["band", "bucket"])
+             .map_groups(emit, batch_format="pandas")
+             .map_batches(combine_local, batch_format="pyarrow",
+                          batch_size=1 << 20))
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
         Min("hamming", alias_name="hamming"))
 

@@ -60,3 +60,38 @@ def test_skewed_graph_algorithms_correct():
     labels, _ = connected_components(g)
     lab = _gather_state(labels)
     assert len(np.unique(lab)) == 2  # star and chain are disjoint
+
+
+def test_lsh_giant_duplicate_bucket_capped():
+    """A 5,000-copy duplicate group lands every member in the same bucket
+    of every band; the capped emitter must produce O(k) pairs per band
+    (not 12.5M per band), stay connected, and minhash dedup must still
+    collapse the whole group to one keeper."""
+    import time
+
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions import dedup
+
+    n_dup = 5000
+    texts = ["the same boilerplate text appears everywhere " * 5] * n_dup
+    texts += [f"unique document number {i} with its own words {i * 7}"
+              for i in range(50)]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts), dtype=np.int64),
+                       "text": texts})
+    ds = ray.data.from_pandas(df)
+    t0 = time.perf_counter()
+    sigs = dedup.minhash_signatures(ds)
+    pairs = dedup.lsh_candidate_pairs(sigs, threshold=0.8)
+    n_pairs = pairs.count()
+    elapsed = time.perf_counter() - t0
+    # capped: ~2 pairs per member per band upper bound, nowhere near k^2/2
+    assert n_pairs < 16 * 2 * n_dup
+    assert elapsed < 120, f"straggler bucket: {elapsed:.0f}s"
+    # the duplicate group must still collapse to its min id via greedy
+    # min-id dedup (connectivity of the ring+chord subset)
+    keepers = dedup.minhash_dedup_keepers(ds, threshold=0.8)
+    kept = sorted(r["doc_id"] for r in keepers.take_all())
+    dup_kept = [k for k in kept if k < n_dup]
+    assert dup_kept == [0], f"duplicate group not collapsed: {dup_kept[:5]}"
