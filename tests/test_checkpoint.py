@@ -109,3 +109,27 @@ def test_checkpointed_run_unchanged(tmp_path):
     got = _final(leiden(g2, cfg, checkpointer=ck)[0])
     assert np.array_equal(got, expected)
     assert ck.latest()["metrics"]["active"] == 0  # converged state published
+
+
+def test_kill_and_resume_via_shared_uri_root(tmp_path):
+    """Cluster-safe storage: the checkpoint root given as a filesystem URI
+    (file://) must behave identically to a plain path — all reads/writes go
+    through the pyarrow filesystem handle inside remote tasks, the shape a
+    multi-node shared store (s3://...) needs."""
+    src, dst, w = clique_ring_edges()
+    cfg = LeidenConfig(gamma=0.1)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+
+    root = f"file://{tmp_path}/uri_ckpt"
+    os.makedirs(f"{tmp_path}/uri_ckpt", exist_ok=True)
+    ck = Checkpointer(root, "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g2, cfg, checkpointer=ck, crash_after=3)
+    assert ck.latest() is not None
+
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    refs3, _ = leiden(g3, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs3), expected)
