@@ -97,8 +97,167 @@ def minhash_signatures(ds, id_col: str = "doc_id", text_col: str = "text",
         fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def _emit_bucket_pairs(h: np.ndarray, ids: np.ndarray,
+                       bucket_cap: int):
+    """Vectorized pair emission over a sorted (group_key, id) table.
+
+    Groups are batched BY SIZE (one np.triu gather per distinct size, the
+    same shape as the triangle wedge emitter) — no per-group Python, which
+    is what made groupby().map_groups cost ~0.5 ms × #buckets."""
+    if len(h) == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    order = np.lexsort((ids, h))
+    h, ids = h[order], ids[order]
+    first = np.empty(len(h), bool)
+    first[0] = True
+    np.not_equal(h[1:], h[:-1], out=first[1:])
+    starts = np.flatnonzero(first)
+    sizes = np.diff(np.append(starts, len(h)))
+    out_a, out_b = [], []
+    for k in np.unique(sizes):
+        if k < 2:
+            continue
+        rows = starts[sizes == k]
+        if k <= bucket_cap:
+            mat = ids[rows[:, None] + np.arange(k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            out_a.append(mat[:, iu].ravel())
+            out_b.append(mat[:, ju].ravel())
+        else:
+            # skew guard: ring + hashed chords, degree ~4, connected —
+            # giant buckets are rare, a small Python loop over them is fine
+            from leiden_cuda_ray.graph.runtime import vertex_priority
+
+            for s in rows:
+                grp = ids[s:s + k]
+                i = np.arange(k, dtype=np.int64)
+                hh = vertex_priority(grp, 0, 0)
+                chord = (i + 2 + (hh % np.uint64(max(1, k - 3))).astype(
+                    np.int64)) % k
+                a = np.concatenate([i, i])
+                b = np.concatenate([(i + 1) % k, chord])
+                keep = a != b
+                a, b = a[keep], b[keep]
+                out_a.append(grp[np.minimum(a, b)])
+                out_b.append(grp[np.maximum(a, b)])
+    if not out_a:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    a = np.concatenate(out_a)
+    b = np.concatenate(out_b)
+    lo = np.minimum(a, b)
+    hi = np.maximum(a, b)
+    return lo, hi
+
+
+def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
+    """(band, bucket, id) rows → distinct candidate-pair Dataset.
+
+    A raw-task owner-sharded exchange (the graph build's pattern): map
+    tasks fuse (bucket, band) into one group key and shard rows by key
+    hash; K reducers sort their shard once and emit pairs vectorized.
+    groupby().map_groups would pay per-bucket Python overhead — fatal at
+    one bucket per ~distinct document."""
+    import ray
+
+    refs = banded_ds.materialize().to_arrow_refs()
+    cpus = int(ray.cluster_resources().get("CPU", 4))
+    K = max(1, min(cpus, 32))
+    n_map = max(1, min(len(refs), 4 * cpus))
+    groups = [refs[i::n_map] for i in range(n_map)]
+
+    def _map(K, *blocks):
+        hs, ids = [], []
+        for t in blocks:
+            if not isinstance(t, pa.Table):
+                t = pa.Table.from_pandas(t)
+            if t.num_rows == 0:
+                continue
+            bucket = np.asarray(t.column("bucket"), np.int64)
+            band = np.asarray(t.column("band")).astype(np.int64)
+            with np.errstate(over="ignore"):
+                h = bucket * np.int64(16) + band  # wrap-safe group key
+            hs.append(h)
+            ids.append(np.asarray(t.column(id_col), np.int64))
+        h = np.concatenate(hs) if hs else np.empty(0, np.int64)
+        i = np.concatenate(ids) if ids else np.empty(0, np.int64)
+        own = (h.astype(np.uint64) * np.uint64(2654435761)) % np.uint64(K)
+        order = np.argsort(own, kind="stable")
+        h, i, own = h[order], i[order], own[order]
+        bounds = np.searchsorted(own, np.arange(K + 1, dtype=np.uint64))
+        out = [(h[bounds[k]:bounds[k + 1]], i[bounds[k]:bounds[k + 1]])
+               for k in range(K)]
+        return tuple(out) if K > 1 else out[0]
+
+    def _reduce(*shards):
+        """Emit pairs for owned groups; shard them by pair hash for the
+        global distinct (a pair found in several bands may live on several
+        group reducers, so dedup needs one more exchange — NOT a Ray
+        groupby, whose fixed per-partition cost dwarfs this data size)."""
+        h = np.concatenate([s[0] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        i = np.concatenate([s[1] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        lo, hi = _emit_bucket_pairs(h, i, bucket_cap)
+        if len(lo):  # local pre-dedup
+            span = int(hi.max()) + 1
+            k = np.unique(lo * span + hi)
+            lo, hi = k // span, k % span
+        own = ((lo.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+               ^ hi.astype(np.uint64)) % np.uint64(K)
+        order = np.argsort(own, kind="stable")
+        lo, hi, own = lo[order], hi[order], own[order]
+        bounds = np.searchsorted(own, np.arange(K + 1, dtype=np.uint64))
+        out = [(lo[bounds[k]:bounds[k + 1]], hi[bounds[k]:bounds[k + 1]])
+               for k in range(K)]
+        return tuple(out) if K > 1 else out[0]
+
+    def _dedup(*shards):
+        lo = np.concatenate([s[0] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        hi = np.concatenate([s[1] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        if len(lo):
+            span = int(hi.max()) + 1
+            k = np.unique(lo * span + hi)
+            lo, hi = k // span, k % span
+        t = pa.table({"doc_a": pa.array(lo, pa.int64()),
+                      "doc_b": pa.array(hi, pa.int64())})
+        return t, t.num_rows
+
+    map_task = ray.remote(_map)
+    reduce_task = ray.remote(_reduce)
+    dedup_task = ray.remote(_dedup)
+    mapped = [map_task.options(num_returns=K).remote(K, *g)
+              for g in groups]
+    if K == 1:
+        shard_lists = [[m for m in mapped]]
+    else:
+        mapped = [list(m) for m in mapped]
+        shard_lists = [[mapped[i][k] for i in range(n_map)]
+                       for k in range(K)]
+    reduced = [reduce_task.options(num_returns=K).remote(*shard_lists[k])
+               for k in range(K)]
+    if K == 1:
+        pair_lists = [[reduced[0]]]
+    else:
+        reduced = [list(r) for r in reduced]
+        pair_lists = [[reduced[i][k] for i in range(K)] for k in range(K)]
+    outs = [dedup_task.options(num_returns=2).remote(*pair_lists[k])
+            for k in range(K)]
+    counts = ray.get([o[1] for o in outs])
+    # drop empty blocks: Ray 2.49's hash-shuffle join loses the schema when
+    # a side's FIRST block is empty ("No match for FieldRef" in finalize)
+    out_blocks = [o[0] for o, n in zip(outs, counts) if n > 0]
+    if not out_blocks:
+        out_blocks = [outs[0][0]]
+    import ray.data
+
+    return ray.data.from_arrow_refs(out_blocks)
+
+
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
-                        threshold: float = 0.5, bucket_cap: int = 256):
+                        threshold: float = 0.5, bucket_cap: int = 256,
+                        num_perm: int = 64):
     """Signatures → candidate pairs (doc_a < doc_b, est_jaccard ≥ threshold).
 
     Scale shape (round-2 hardening):
@@ -151,47 +310,7 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def emit_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(group[id_col].unique()).astype(np.int64)
-        k = len(ids)
-        if k < 2:
-            return pd.DataFrame({"doc_a": np.empty(0, np.int64),
-                                 "doc_b": np.empty(0, np.int64)})
-        if k <= bucket_cap:
-            iu, ju = np.triu_indices(k, 1)
-        else:
-            # skew guard: ring + hashed chords, degree ~4, connected
-            from leiden_cuda_ray.graph.runtime import vertex_priority
-
-            i = np.arange(k, dtype=np.int64)
-            h = vertex_priority(ids, 0, 0)
-            chord = (i + 2 + (h % np.uint64(max(1, k - 3))).astype(
-                np.int64)) % k
-            a = np.concatenate([i, i])
-            b = np.concatenate([(i + 1) % k, chord])
-            keep = a != b
-            a, b = a[keep], b[keep]
-            iu, ju = np.minimum(a, b), np.maximum(a, b)
-        return pd.DataFrame({"doc_a": ids[iu], "doc_b": ids[ju]})
-
-    def uniq_local(batch: pa.Table) -> pa.Table:
-        """Coalescing combiner: map_groups emits one tiny block per band
-        bucket, and Ray's aggregate pays a fixed cost per input block —
-        collapse in-batch duplicates over big coalesced batches first."""
-        a = np.asarray(batch.column("doc_a"), np.int64)
-        b = np.asarray(batch.column("doc_b"), np.int64)
-        if len(a) == 0:
-            return batch
-        span = int(b.max()) + 1
-        k = np.unique(a * span + b)
-        return pa.table({"doc_a": k // span, "doc_b": k % span})
-
-    pairs = (banded.groupby(["band", "bucket"])
-             .map_groups(emit_pairs, batch_format="pandas")
-             .map_batches(uniq_local, batch_format="pyarrow",
-                          batch_size=1 << 20)
-             .groupby(["doc_a", "doc_b"]).count()
-             .drop_columns(["count()"]))
+    pairs = _bucket_pairs_exchange(banded, id_col, bucket_cap)
 
     # attach both signatures (pair set << corpus) and estimate exactly.
     # Arrow hash joins reject list<> payload columns, so signatures travel
@@ -202,8 +321,12 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
         n = batch.num_rows
         sigs = np.ascontiguousarray(np.asarray(
             batch.column("sig").combine_chunks().flatten(),
-            np.int64).reshape(n, -1)) if n else np.empty((0, 8), np.int64)
-        width = sigs.shape[1] * 8
+            np.int64).reshape(n, -1)) if n else \
+            np.empty((0, num_perm), np.int64)
+        # fixed width must be block-invariant or the shuffle concat fails
+        assert sigs.shape[1] == num_perm, \
+            f"signature width {sigs.shape[1]} != num_perm {num_perm}"
+        width = num_perm * 8
         return pa.table({
             id_col: batch.column(id_col),
             "sigb": pa.FixedSizeBinaryArray.from_buffers(
