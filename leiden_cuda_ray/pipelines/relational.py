@@ -238,13 +238,16 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30):
         new_sess = np.ones(len(g), bool)
         if len(g) > 1:
             new_sess[1:] = (ts[1:] - ts[:-1]) > gap
-        sess = np.cumsum(new_sess) - 1
+        # emit one row PER SESSION straight from the group (the whole
+        # user is already co-located) — no second shuffle of per-event
+        # rows, no tiny-block aggregate downstream
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(starts, len(g)))
         return pd.DataFrame({
-            "user_id": g["user_id"].to_numpy(),
-            "session_id": sess.astype(np.int64),
-            "event_id": g["event_id"].to_numpy(),
+            "user_id": np.full(len(starts), g["user_id"].iloc[0],
+                               np.int64),
+            "session_id": np.arange(len(starts), dtype=np.int64),
+            "n_events": counts.astype(np.int64),
         })
 
-    per_event = ev.groupby("user_id").map_groups(fn, batch_format="pandas")
-    return per_event.groupby(["user_id", "session_id"]).aggregate(
-        Count(alias_name="n_events"))
+    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")

@@ -72,3 +72,32 @@ def test_derive_edges_deterministic(tiny_corpus):
     t1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     t2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert t1.equals(t2)
+
+
+def test_broadcast_and_join_paths_identical(tiny_corpus):
+    """The broadcast id-map fast path and the distributed hash-join
+    fallback must produce the identical canonical edge set."""
+    e1, _, V1 = derive_edges(tiny_corpus)
+    e2, _, V2 = derive_edges(tiny_corpus, max_broadcast_keys=0)  # force join
+    assert V1 == V2
+    t1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    t2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert t1.equals(t2)
+
+
+def test_import_extraction_vectorized_matches_rowloop(tiny_corpus):
+    """polars extract_all path == compiled-regex row loop on real corpus."""
+    import pyarrow.parquet as pq
+
+    from leiden_cuda_ray.stages.imports import (
+        _extract_batch,
+        _extract_batch_rowloop,
+    )
+
+    t = pq.read_table(tiny_corpus,
+                      columns=["repo", "path", "lang", "content"])
+    a = _extract_batch(t).to_pandas()
+    b = _extract_batch_rowloop(t).to_pandas()
+    key = ["src_repo", "src_path", "dst_repo", "dst_stem"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
