@@ -224,11 +224,15 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
         import time as _time
 
         t0 = _time.perf_counter()
+        # a crash during the stall-guard lock fallback must resume INTO the
+        # lock phase (the phase is recorded in the checkpoint metrics)
+        lock_this = cfg.lock_communities or (
+            ctl0 is not None and ctl0.get("phase") == "lock")
         states, moves, steps = run_local_moving(
             cur, states, "cpm", cfg.gamma, cfg.seed + 1000 * level,
             cfg.max_supersteps, start_step=start_step, total_moves=tot0,
             ckpt_cb=_cb_for(level),
-            lock_communities=cfg.lock_communities, resume_ctl=ctl0)
+            lock_communities=lock_this, resume_ctl=ctl0)
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))

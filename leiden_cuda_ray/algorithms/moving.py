@@ -595,7 +595,8 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                      seed: int, max_supersteps: int,
                      start_step: int = 1, total_moves: int = 0,
                      ckpt_cb=None, lock_communities: bool = False,
-                     resume_ctl: dict | None = None):
+                     resume_ctl: dict | None = None,
+                     lock_fallback: bool = True):
     """Run the local-moving loop to frontier convergence.
 
     states: per-partition move-state refs (init_move_state).
@@ -627,8 +628,21 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     Returns (states, total_moves, supersteps)."""
     ctl = resume_ctl or {}
     if not lock_communities:
-        return _run_fast(graph, states, kind, param, seed, max_supersteps,
-                         start_step, total_moves, ckpt_cb, ctl)
+        states, total_moves, step, stalled = _run_fast(
+            graph, states, kind, param, seed, max_supersteps,
+            start_step, total_moves, ckpt_cb, ctl)
+        if stalled and lock_fallback and step < max_supersteps:
+            # Stall-guard fallback (quality guard, see LeidenConfig): the
+            # fast mode detected a limit cycle — finish the level under the
+            # monotone per-community try-lock semantics instead of leaving
+            # it unconverged. Deterministic: the switch point depends only
+            # on the metric stream; the phase is recorded in checkpoint
+            # metrics so resume re-enters the right loop.
+            return run_local_moving(
+                graph, states, kind, param, seed, max_supersteps,
+                start_step=step + 1, total_moves=total_moves,
+                ckpt_cb=ckpt_cb, lock_communities=True)
+        return states, total_moves, step
     P = graph.P
     step = start_step - 1
     stall_window = 8
@@ -692,7 +706,8 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves,
                                    "best_active": next_best,
-                                   "since_best": next_since})
+                                   "since_best": next_since,
+                                   "phase": "lock"})
         if n_active == 0:
             break
         best_active, since_best = next_best, next_since
@@ -701,7 +716,7 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     return states, total_moves, step
 
 
-@ray.remote(num_returns=3)
+@ray.remote(num_returns=4)
 def _run_level_task(csr, state, kind, param, seed, max_supersteps,
                     start_step, total_moves):
     """Whole-level loop for a single-partition graph in ONE task.
@@ -718,6 +733,7 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
     best_active = None
     since_best = 0
     prev_moved = None
+    stalled = False
     src_slot = local_src_per_slot(csr)
     dst = csr["indices"]
     nonself = dst != (src_slot + csr["vlo"])
@@ -755,8 +771,9 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
         else:
             since_best += 1
             if since_best >= stall_window:
+                stalled = True
                 break
-    return state, total_moves, step
+    return state, total_moves, step, stalled
 
 
 def _run_fast(graph: Graph, states: list, kind: str, param: float,
@@ -773,11 +790,11 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     ctl = ctl or {}
     P = graph.P
     if P == 1 and ckpt_cb is None and not ctl:
-        state, tot, step = _run_level_task.remote(
+        state, tot, step, stalled = _run_level_task.remote(
             graph.parts[0], states[0], kind, param, seed, max_supersteps,
             start_step, total_moves)
-        tot, step = ray.get([tot, step])
-        return [state], int(tot), int(step)
+        tot, step, stalled = ray.get([tot, step, stalled])
+        return [state], int(tot), int(step), bool(stalled)
     step = start_step - 1
     stall_window = 8
     best_active = ctl.get("best_active")
@@ -831,6 +848,7 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     submit_step = start_step - 1
     sub_states = states
     sub_packs = _bootstrap_packs(states)
+    stalled = False
 
     while True:
         while (len(pending) <= lookahead
@@ -868,7 +886,8 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
                                    "total_moves": total_moves,
                                    "prev_moved": moved,
                                    "best_active": next_best,
-                                   "since_best": next_since})
+                                   "since_best": next_since,
+                                   "phase": "fast"})
 
         if moved == 0 and prev_moved == 0:
             break
@@ -879,5 +898,15 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
             break
         best_active, since_best = next_best, next_since
         if since_best >= stall_window:
+            stalled = True
+            if ckpt_cb is None:
+                # the lock-fallback phase reads `active`, so the pending
+                # reactivations riding in the packs must be absorbed at the
+                # handoff (the ckpt branch already normalized states above)
+                states = [
+                    _absorb_packed.remote(states[j], graph.ranges()[j][0],
+                                          *packs[j])
+                    for j in range(P)
+                ]
             break
-    return states, total_moves, step
+    return states, total_moves, step, stalled

@@ -45,12 +45,11 @@ class LeidenConfig:
     # QUALITY TRADEOFF (documented, deliberate): with False, all proposed
     # moves in a superstep are applied against community totals that are one
     # superstep stale, so the objective is not guaranteed monotone within a
-    # superstep and a level can end via the stall guard mid-limit-cycle
-    # rather than at a local optimum. The direction-gating + singleton-chase
-    # guards bound the damage (see _eval_core), and the per-level CPM is
-    # still within noise of lock mode on the validation fixtures; use
-    # lock_communities=True when strict monotone per-community semantics
-    # matter more than superstep count.
+    # superstep. When the stall guard detects a limit cycle, the level
+    # FALLS BACK to lock mode (moving.run_local_moving lock_fallback) and
+    # finishes under the monotone per-community try-lock semantics instead
+    # of ending unconverged; use lock_communities=True to run strictly
+    # monotone from the first superstep.
     lock_communities: bool = False
 
 

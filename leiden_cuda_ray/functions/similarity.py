@@ -86,9 +86,11 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 5,
 def deterministic_centroids(emb_ds, n_centroids: int,
                             vec_col: str = "embedding",
                             id_col: str = "vec_id",
-                            seed: int = 42) -> np.ndarray:
-    """Seeded coarse quantizer: hash-sampled seeds + one Lloyd refinement
-    (streamed through map_batches partial sums — no full materialize)."""
+                            seed: int = 42,
+                            lloyd_iters: int = 3) -> np.ndarray:
+    """Seeded coarse quantizer: hash-sampled seeds + `lloyd_iters` Lloyd
+    refinements, each one streamed pass of per-batch partial sums (classic
+    mini-EM over map_batches — no full materialize, deterministic)."""
     def sample_fn(batch: pa.Table) -> pa.Table:
         # vectorized splitmix-style hash over the id column (deterministic
         # across processes; replaces a per-row Python filter)
@@ -108,30 +110,44 @@ def deterministic_centroids(emb_ds, n_centroids: int,
     if len(seeds) < n_centroids:
         raise ValueError("not enough vectors to seed centroids")
     C = seeds[:n_centroids].copy()
+    vecs = emb_ds.select_columns([vec_col])
 
-    def partial(batch: pa.Table) -> pa.Table:
-        X = _to_matrix(batch.column(vec_col))
-        assign = np.argmin(
-            ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+    for _it in range(lloyd_iters):
+        Cc = C  # capture current centroids for the streamed pass
+
+        def partial(batch: pa.Table, C=Cc) -> pa.Table:
+            X = _to_matrix(batch.column(vec_col))
+            assign = np.argmin(
+                ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2), axis=1)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign,
+                                 minlength=len(C)).astype(np.float64)
+            return pa.table({
+                "centroid": pa.array(np.arange(len(C)), pa.int64()),
+                "sum": pa.array([s.tolist() for s in sums],
+                                pa.list_(pa.float64())),
+                "count": pa.array(counts, pa.float64()),
+            })
+
+        parts = pa.Table.from_pandas(vecs.map_batches(
+            partial, batch_format="pyarrow").to_pandas())
+        cid = np.asarray(parts.column("centroid"), np.int64)
+        block_sums = np.asarray(
+            parts.column("sum").combine_chunks().flatten(),
+            np.float64).reshape(len(cid), -1)
+        block_counts = np.asarray(parts.column("count"), np.float64)
         sums = np.zeros_like(C)
-        np.add.at(sums, assign, X)
-        counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
-        return pa.table({
-            "centroid": pa.array(np.arange(len(C)), pa.int64()),
-            "sum": pa.array([s.tolist() for s in sums],
-                            pa.list_(pa.float64())),
-            "count": pa.array(counts, pa.float64()),
-        })
-
-    parts = emb_ds.select_columns([vec_col]).map_batches(
-        partial, batch_format="pyarrow").to_pandas()
-    sums = np.zeros_like(C)
-    counts = np.zeros(len(C))
-    for _, row in parts.iterrows():
-        sums[row["centroid"]] += np.asarray(row["sum"])
-        counts[row["centroid"]] += row["count"]
-    nz = counts > 0
-    C[nz] = sums[nz] / counts[nz, None]
+        np.add.at(sums, cid, block_sums)
+        counts = np.zeros(len(C))
+        np.add.at(counts, cid, block_counts)
+        nz = counts > 0
+        newC = C.copy()
+        newC[nz] = sums[nz] / counts[nz, None]
+        if np.allclose(newC, C):
+            C = newC
+            break
+        C = newC
     return C
 
 

@@ -133,3 +133,55 @@ def test_kill_and_resume_via_shared_uri_root(tmp_path):
     g3 = build_graph_from_arrays(src, dst, w, P=2)
     refs3, _ = leiden(g3, cfg, checkpointer=ck, resume=True)
     assert np.array_equal(_final(refs3), expected)
+
+
+def _torus_edges(n=12):
+    """Symmetric torus grid — limit-cycles under the fast mode's gating, so
+    levels reliably enter the stall-guard LOCK fallback phase."""
+    def vid(i, j):
+        return (i % n) * n + (j % n)
+
+    src, dst = [], []
+    for i in range(n):
+        for j in range(n):
+            src += [vid(i, j), vid(i, j)]
+            dst += [vid(i + 1, j), vid(i, j + 1)]
+    return (np.asarray(src, np.int64), np.asarray(dst, np.int64),
+            np.ones(len(src), np.float64))
+
+
+class _SpyCheckpointer(Checkpointer):
+    def __init__(self, *a):
+        super().__init__(*a)
+        self.phases = []
+
+    def save_superstep(self, level, step, graph, states, metrics):
+        self.phases.append(metrics.get("phase"))
+        super().save_superstep(level, step, graph, states, metrics)
+
+
+def test_resume_mid_lock_fallback_phase(tmp_path):
+    """Crash INSIDE the stall-guard lock-fallback phase; resume must
+    re-enter the lock loop (phase recorded in the manifest metrics) and
+    reproduce the uninterrupted result bit-identically."""
+    src, dst, w = _torus_edges()
+    cfg = LeidenConfig(gamma=0.05)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+
+    probe = _SpyCheckpointer(str(tmp_path / "probe"), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    leiden(g2, cfg, checkpointer=probe)
+    assert "lock" in probe.phases, "fixture must trigger the lock fallback"
+    crash_at = probe.phases.index("lock") + 2  # two ckpts into lock phase
+
+    ck = Checkpointer(str(tmp_path / "real"), "leiden")
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g3, cfg, checkpointer=ck, crash_after=crash_at)
+    assert ck.latest()["metrics"]["phase"] == "lock"
+
+    g4 = build_graph_from_arrays(src, dst, w, P=2)
+    refs4, _ = leiden(g4, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs4), expected)
