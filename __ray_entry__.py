@@ -147,6 +147,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": rel.pricing_summary,
         "top_customers": rel.top_customers,
         "nation_order_counts": rel.nation_order_counts,
+        "region_revenue": rel.region_revenue,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -268,6 +269,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "region_revenue": """
+            SELECT r.r_name, COUNT(*) AS n_orders,
+                   SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0
+                     AS revenue
+            FROM orders o
+            JOIN customer c ON o.o_custkey = c.c_custkey
+            JOIN nation n ON c.c_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name""",
         "brand_item_counts": """
             SELECT p.p_brand, COUNT(*) AS n_items
             FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey

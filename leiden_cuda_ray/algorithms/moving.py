@@ -32,10 +32,14 @@ Objectives (pluggable, §2.7 "user-extension surface"):
               custom_louvain.py:124-160 — the community sum_in terms cancel)
 where k_v→C always counts the vertex's self-loop (custom_leiden.py:88-94).
 
-Scale note: the per-superstep community-totals array is assembled to a single
-dense object and broadcast (communities live in vertex-id space). At extreme
-vertex counts this becomes a sharded join of candidate tuples against
-hash-partitioned totals; the exchange structure is already in place for that.
+Scale note (round 2): community totals are OWNER-SHARDED — wave 1 pushes
+gather tuples plus totals contributions and (consumer, comm) requests, wave
+2 owners merge their slice and reply with exactly the totals each consumer
+asked about — so no task allocates an O(V) array at any partition count.
+In fast mode the push for superstep s+1 is fused into the eval of s
+(2 waves, 2P tasks per superstep) and up to 3 supersteps are pipelined.
+When the stall guard detects a limit cycle, the level falls back to the
+monotone lock semantics (run_local_moving lock_fallback).
 """
 
 from __future__ import annotations
@@ -779,14 +783,16 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
 def _run_fast(graph: Graph, states: list, kind: str, param: float,
               seed: int, max_supersteps: int, start_step: int,
               total_moves: int, ckpt_cb, ctl: dict | None = None):
-    """Fast-mode loop: two waves per superstep (totals‖gather → eval_apply),
-    reactivation shards carried into the NEXT superstep's kernel instead of
-    an absorb wave. Termination: two consecutive zero-move supersteps (both
-    gating parities admitted nothing and no reactivations are pending) or
-    the stall guard on the post-apply active count. With a checkpoint
-    callback an absorb wave normalizes the saved state each superstep so
-    resume sees no pending shards; the metric stream (and therefore every
-    control-flow decision) is identical with and without checkpointing."""
+    """Fast-mode loop: two waves per superstep (serve totals →
+    eval+apply+push-next); reactivation shards ride inside the packs into
+    the NEXT superstep's kernel instead of an absorb wave. Termination: two
+    consecutive zero-move supersteps (both gating parities admitted nothing
+    and no reactivations are pending) or the stall guard on the post-apply
+    active count (returns stalled=True so the caller can fall back to lock
+    mode). With a checkpoint callback an absorb normalizes the saved state
+    each superstep so resume sees no pending shards; the metric stream (and
+    therefore every control-flow decision) is identical with and without
+    checkpointing."""
     ctl = ctl or {}
     P = graph.P
     if P == 1 and ckpt_cb is None and not ctl:

@@ -135,6 +135,60 @@ def nation_order_counts(sf_dir: str):
         Count(alias_name="order_count"))
 
 
+def region_revenue(sf_dir: str):
+    """region ⋈ nation ⋈ customer ⋈ orders → orders + exact revenue per
+    region (the 4-table join chain; totals aggregated as int64 cents)."""
+    region = _read(sf_dir, "region", ["r_regionkey", "r_name"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_regionkey"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_custkey": batch.column("o_custkey"),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    oc = hash_join(orders.map_batches(cents, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                   cust, on=("o_custkey",), right_on=("c_custkey",))
+
+    def nat_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int32()),
+            "price_c": batch.column("price_c"),
+        })
+
+    on_nation = hash_join(
+        oc.map_batches(nat_key, batch_format="pyarrow"), nation,
+        on=("c_nationkey",), right_on=("n_nationkey",))
+
+    def reg_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_regionkey": pc.cast(batch.column("n_regionkey"), pa.int32()),
+            "price_c": batch.column("price_c"),
+        })
+
+    on_region = hash_join(
+        on_nation.map_batches(reg_key, batch_format="pyarrow"), region,
+        on=("n_regionkey",), right_on=("r_regionkey",))
+    agg = on_region.groupby("r_name").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_c", alias_name="revenue_c"))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "r_name": batch.column("r_name"),
+            "n_orders": batch.column("n_orders"),
+            "revenue": pc.divide(
+                pc.cast(batch.column("revenue_c"), pa.float64()), 100.0),
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
 def brand_item_counts(sf_dir: str):
     """lineitem ⋈ part → items per brand."""
     li = _read(sf_dir, "lineitem", ["l_partkey"])
