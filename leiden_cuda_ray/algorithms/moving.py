@@ -50,7 +50,6 @@ import ray
 from leiden_cuda_ray.algorithms.common import local_src_per_slot
 from leiden_cuda_ray.graph.build import Graph
 from leiden_cuda_ray.graph.runtime import (
-    fanout,
     segmax_by_key,
     segsum_by_key,
     segsum_by_pair,
@@ -89,56 +88,6 @@ def _uniq_pairs(a: np.ndarray, b: np.ndarray):
     keep[0] = True
     np.logical_or(a[1:] != a[:-1], b[1:] != b[:-1], out=keep[1:])
     return a[keep], b[keep]
-
-
-@ray.remote
-def _push_gather(csr, state, block, P, pid, superstep, seed, lock, kind):
-    """One fused wave-1 task per partition: gather tuples BY owner(dst),
-    plus the sharded community-totals machinery (the dense-V broadcast
-    killer): local totals CONTRIBUTIONS and (consumer, comm) REQUESTS both
-    sharded by owner(comm). Returns 2P refs:
-      [0..P)   per-owner (gather (d, c, w), lock-priority (d2, p2)) shards
-      [P..2P)  per-owner (totals contrib (ids, sums, cnts),
-                          requests (comm, consumer)) shards
-    """
-    src_slot = local_src_per_slot(csr)
-    src_g = src_slot + csr["vlo"]
-    dst = csr["indices"]
-    comm = state["comm"]
-    nonself = dst != src_g
-    d, c, w = segsum_by_pair(dst[nonself], comm[src_slot][nonself],
-                             csr["weights"][nonself])
-    if lock:
-        # coloring needs the max active-neighbor priority per dst
-        act = nonself & state["active"][src_slot]
-        prio = vertex_priority(src_g[act], superstep, seed)
-        d2, p2 = segmax_by_key(dst[act], prio)
-    else:
-        d2 = np.empty(0, np.int64)
-        p2 = np.empty(0, np.uint64)
-
-    # totals contributions: Σ agg (cpm) or Σ deg_w (mod) + member counts
-    vals = (state["agg"].astype(np.float64) if kind == "cpm"
-            else csr["deg_w"])
-    tids, tsums = segsum_by_key(comm, vals)
-    _, tcnts = segsum_by_key(comm, np.ones(len(comm), np.float64))
-
-    # requests: the eval task at owner(d) will need totals of candidate
-    # comm c; this partition itself needs totals of its vertices' comms
-    cons = np.asarray(_owner_arr(d, block, P), np.int64)
-    rq_comm = np.concatenate([c, comm])
-    rq_cons = np.concatenate([cons, np.full(len(comm), pid, np.int64)])
-    rq_comm, rq_cons = _uniq_pairs(rq_comm, rq_cons)
-
-    g1 = shard_by_owner(d, block, P, c, w)
-    g2 = shard_by_owner(d2, block, P, p2)
-    t1 = shard_by_owner(tids, block, P, tsums, tcnts)
-    t2 = shard_by_owner(rq_comm, block, P, rq_cons)
-    gout = [(g1[j], g2[j]) for j in range(P)]
-    tout = [(t1[j], t2[j]) for j in range(P)]
-    if P == 1:
-        return gout[0], tout[0]
-    return (*gout, *tout)
 
 
 def _owner_arr(v, block, P):
@@ -256,32 +205,6 @@ def _merge_replies(replies):
 def _tot_get(tids, arr, q):
     """Sparse totals lookup (q must be present — guaranteed by requests)."""
     return arr[np.searchsorted(tids, q)]
-
-
-def _superstep_exchange(graph, states, kind, param, step, seed, lock):
-    """Launch waves 1+2 of a superstep (gather/contrib push, totals serve).
-
-    Returns (gshards, replies): gshards[j] = per-origin (gather, priority)
-    shard refs for consumer j; replies[j] = per-owner totals-reply refs."""
-    P = graph.P
-    outs = [
-        list(_push_gather.options(num_returns=2 * P).remote(
-            graph.parts[i], states[i], graph.block, P, i, step, seed,
-            lock, kind))
-        for i in range(P)
-    ]
-    gshards = [[outs[i][j] for i in range(P)] for j in range(P)]
-    tshards = [[outs[i][P + j] for i in range(P)] for j in range(P)]
-    serves = [
-        _serve_totals.options(num_returns=P if P > 1 else 1).remote(
-            P, *tshards[k])
-        for k in range(P)
-    ]
-    if P == 1:
-        replies = [[serves[0]]]
-    else:
-        replies = [[serves[k][j] for k in range(P)] for j in range(P)]
-    return gshards, replies
 
 
 def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
@@ -406,17 +329,6 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
 
 
 @ray.remote
-def _eval_moves(csr, state, kind, param, superstep, seed, lock, P,
-                *shards):
-    """Remote wrapper around _eval_core (lock-mode wave).
-
-    shards = (*totals replies [P], *gather shards [P])."""
-    totals = _merge_replies(shards[:P])
-    return _eval_core(csr, state, totals, kind, param, superstep, seed,
-                      lock, shards[P:])
-
-
-@ray.remote
 def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
                      pid, *shards):
     """Fast-mode steady-state kernel: absorb the previous superstep's
@@ -448,15 +360,72 @@ def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
 
 
 @ray.remote
-def _claim_push(moves_eligible, block, P):
-    moves, _ = moves_eligible
+def _lock_push(csr, state, block, P, pid, superstep, seed, kind, *react):
+    """Fused lock-mode wave A: absorb the previous superstep's
+    reactivations, then emit per-owner packs (gather, priority, contrib,
+    request). Returns (absorbed_state, *packs [P]).
+
+    (A frontier-filtered variant — gather only for active destinations,
+    value-identical — was measured SLOWER here: broadcasting P active-id
+    lists each superstep plus the extra absorb wave cost more than the
+    kernel it saved. Full-gather supersteps match the reference's own
+    model: its edge-parallel kernel rescans every edge per superstep.)"""
+    if react:
+        state = _absorb_core(state, csr["vlo"], react)
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    comm = state["comm"]
+    nonself = dst != src_g
+    d, c, w = segsum_by_pair(dst[nonself], comm[src_slot][nonself],
+                             csr["weights"][nonself])
+    # coloring: max active-neighbor priority per dst
+    act = nonself & state["active"][src_slot]
+    prio = vertex_priority(src_g[act], superstep, seed)
+    d2, p2 = segmax_by_key(dst[act], prio)
+    vals = (state["agg"].astype(np.float64) if kind == "cpm"
+            else csr["deg_w"])
+    tids, tsums = segsum_by_key(comm, vals)
+    _, tcnts = segsum_by_key(comm, np.ones(len(comm), np.float64))
+    cons = np.asarray(_owner_arr(d, block, P), np.int64)
+    rq_comm = np.concatenate([c, comm])
+    rq_cons = np.concatenate([cons, np.full(len(comm), pid, np.int64)])
+    rq_comm, rq_cons = _uniq_pairs(rq_comm, rq_cons)
+    g1 = shard_by_owner(d, block, P, c, w)
+    g2 = shard_by_owner(d2, block, P, p2)
+    t1 = shard_by_owner(tids, block, P, tsums, tcnts)
+    t2 = shard_by_owner(rq_comm, block, P, rq_cons)
+    packs = [(g1[j], g2[j], t1[j], t2[j]) for j in range(P)]
+    if P == 1:
+        return state, packs[0]
+    return (state, *packs)
+
+
+@ray.remote
+def _serve_lock(P, *packs):
+    return _serve_totals_core(P, [(p[2], p[3]) for p in packs])
+
+
+@ray.remote
+def _eval_claims(csr, state, kind, param, superstep, seed, block, P,
+                 *shards):
+    """Fused lock-mode eval: select moves AND emit the per-community claim
+    shards in one task (the atomicCAS try-locks' claims).
+
+    shards = (*totals replies [P], *packs [P]).
+    Returns ((moves, eligible), *claim_shards [P])."""
+    totals = _merge_replies(shards[:P])
+    packs = shards[P:]
+    gshards = [(p[0], p[1]) for p in packs]
+    moves, eligible = _eval_core(csr, state, totals, kind, param,
+                                 superstep, seed, True, gshards)
     c = np.concatenate([moves["old"], moves["new"]])
     v = np.concatenate([moves["v"], moves["v"]])
     delta = np.concatenate([moves["delta"], moves["delta"]])
-    shards = shard_by_owner(c, block, P, v, delta)
+    cshards = shard_by_owner(c, block, P, v, delta)
     if P == 1:
-        return shards[0]
-    return tuple(shards)
+        return (moves, eligible), cshards[0]
+    return ((moves, eligible), *cshards)
 
 
 @ray.remote
@@ -577,9 +546,10 @@ def _apply_moves(csr, state, moves_eligible, block, P, *verdicts):
 
     new_state, moved, shards = _apply_core(
         csr, state, moves, eligible, accepted, block, P)
+    n_active = int(new_state["active"].sum())
     if P == 1:
-        return new_state, moved, shards[0]
-    return (new_state, moved, *shards)
+        return new_state, moved, n_active, shards[0]
+    return (new_state, moved, n_active, *shards)
 
 
 @ray.remote
@@ -652,53 +622,58 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     stall_window = 8
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
+    react: list[list] = [[] for _ in range(P)]
     for step in range(start_step, max_supersteps + 1):
-        gshards, replies = _superstep_exchange(
-            graph, states, kind, param, step, seed, lock_communities)
-        evals = [
-            _eval_moves.remote(graph.parts[j], states[j], kind,
-                               param, step, seed, lock_communities, P,
-                               *replies[j], *gshards[j])
-            for j in range(P)
-        ]
-        if lock_communities:
-            cshards = fanout(
-                _claim_push, [(evals[i], graph.block, P)
-                              for i in range(P)], P)
-            verdicts = [
-                _resolve_claims.options(
-                    num_returns=P if P > 1 else 1).remote(*cshards[j])
-                for j in range(P)
-            ]
-            # verdicts[j][i] = acceptance for claims origin i sent to owner
-            # j; partition i needs row [j][i] for every j
-            if P > 1:
-                verd_lists = [[verdicts[j][i] for j in range(P)]
-                              for i in range(P)]
-            else:
-                verd_lists = [[verdicts[0]]]
-        else:
-            verd_lists = [[] for _ in range(P)]
-
-        applied = [
-            _apply_moves.options(num_returns=2 + P).remote(
-                graph.parts[i], states[i], evals[i], graph.block, P,
-                *verd_lists[i])
+        # wave A: absorb pending reactivations + emit packs
+        pushed = [
+            list(_lock_push.options(num_returns=1 + P).remote(
+                graph.parts[i], states[i], graph.block, P, i, step, seed,
+                kind, *react[i]))
             for i in range(P)
         ]
-        new_states = [a[0] for a in applied]
-        moved_refs = [a[1] for a in applied]
-        react_shards = [[applied[i][2 + j] for i in range(P)]
-                        for j in range(P)]
-
-        absorbed = [
-            _absorb.options(num_returns=2).remote(
-                new_states[j], graph.ranges()[j][0], *react_shards[j])
+        states = [pushed[i][0] for i in range(P)]
+        packs = [[pushed[i][1 + j] for i in range(P)] for j in range(P)]
+        # wave B: owner-sharded totals serve
+        serves = [
+            _serve_lock.options(num_returns=P if P > 1 else 1).remote(
+                P, *packs[k])
+            for k in range(P)
+        ]
+        if P == 1:
+            replies = [[serves[0]]]
+        else:
+            replies = [[serves[k][j] for k in range(P)] for j in range(P)]
+        # wave C: eval + claim emission (fused)
+        evals = [
+            list(_eval_claims.options(num_returns=1 + P).remote(
+                graph.parts[j], states[j], kind, param, step, seed,
+                graph.block, P, *replies[j], *packs[j]))
             for j in range(P)
         ]
-        states = [a[0] for a in absorbed]
-        moved = sum(ray.get(moved_refs))
-        n_active = sum(ray.get([a[1] for a in absorbed]))
+        moves_refs = [evals[j][0] for j in range(P)]
+        cshards = [[evals[i][1 + k] for i in range(P)] for k in range(P)]
+        # wave D: per-community claim winners
+        verdicts = [
+            _resolve_claims.options(
+                num_returns=P if P > 1 else 1).remote(*cshards[k])
+            for k in range(P)
+        ]
+        if P > 1:
+            verd_lists = [[verdicts[k][i] for k in range(P)]
+                          for i in range(P)]
+        else:
+            verd_lists = [[verdicts[0]]]
+        # wave E: apply winning moves (reactivations carried to next A)
+        applied = [
+            list(_apply_moves.options(num_returns=3 + P).remote(
+                graph.parts[i], states[i], moves_refs[i], graph.block, P,
+                *verd_lists[i]))
+            for i in range(P)
+        ]
+        states = [a[0] for a in applied]
+        moved = sum(ray.get([a[1] for a in applied]))
+        n_active = sum(ray.get([a[2] for a in applied]))
+        react = [[applied[i][3 + j] for i in range(P)] for j in range(P)]
         total_moves += moved
         # stall-guard bookkeeping, computed up-front so the checkpoint can
         # persist the exact loop-control state a resume must restore
@@ -707,12 +682,21 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         else:
             next_best, next_since = best_active, since_best + 1
         if ckpt_cb is not None:
+            absorbed = [
+                _absorb.options(num_returns=2).remote(
+                    states[j], graph.ranges()[j][0], *react[j])
+                for j in range(P)
+            ]
+            states = [a[0] for a in absorbed]
+            react = [[] for _ in range(P)]
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves,
                                    "best_active": next_best,
                                    "since_best": next_since,
                                    "phase": "lock"})
-        if n_active == 0:
+        # moved == 0 => no new reactivations; the previous superstep's
+        # were absorbed in this superstep's push — a zero frontier is final
+        if moved == 0 and n_active == 0:
             break
         best_active, since_best = next_best, next_since
         if since_best >= stall_window:
