@@ -622,16 +622,22 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     stall_window = 8
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
-    react: list[list] = [[] for _ in range(P)]
-    for step in range(start_step, max_supersteps + 1):
+    # No speculation here (unlike _run_fast): lock supersteps are
+    # kernel-heavy full-gather waves, and measured end-to-end the wasted
+    # speculative work past each level's break point COSTS more than the
+    # hidden driver latency saves (90.7s vs 75.2s at sf0.1). The deque
+    # structure is kept so the knob is one constant.
+    lookahead = 0
+
+    def _submit_lock(step_i, cur_states, cur_react):
         # wave A: absorb pending reactivations + emit packs
         pushed = [
             list(_lock_push.options(num_returns=1 + P).remote(
-                graph.parts[i], states[i], graph.block, P, i, step, seed,
-                kind, *react[i]))
+                graph.parts[i], cur_states[i], graph.block, P, i, step_i,
+                seed, kind, *cur_react[i]))
             for i in range(P)
         ]
-        states = [pushed[i][0] for i in range(P)]
+        new_states = [pushed[i][0] for i in range(P)]
         packs = [[pushed[i][1 + j] for i in range(P)] for j in range(P)]
         # wave B: owner-sharded totals serve
         serves = [
@@ -646,7 +652,7 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         # wave C: eval + claim emission (fused)
         evals = [
             list(_eval_claims.options(num_returns=1 + P).remote(
-                graph.parts[j], states[j], kind, param, step, seed,
+                graph.parts[j], new_states[j], kind, param, step_i, seed,
                 graph.block, P, *replies[j], *packs[j]))
             for j in range(P)
         ]
@@ -666,14 +672,36 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         # wave E: apply winning moves (reactivations carried to next A)
         applied = [
             list(_apply_moves.options(num_returns=3 + P).remote(
-                graph.parts[i], states[i], moves_refs[i], graph.block, P,
-                *verd_lists[i]))
+                graph.parts[i], new_states[i], moves_refs[i],
+                graph.block, P, *verd_lists[i]))
             for i in range(P)
         ]
-        states = [a[0] for a in applied]
-        moved = sum(ray.get([a[1] for a in applied]))
-        n_active = sum(ray.get([a[2] for a in applied]))
-        react = [[applied[i][3 + j] for i in range(P)] for j in range(P)]
+        out_states = [a[0] for a in applied]
+        moved_refs = [a[1] for a in applied]
+        act_refs = [a[2] for a in applied]
+        new_react = [[applied[i][3 + j] for i in range(P)]
+                     for j in range(P)]
+        return out_states, new_react, moved_refs, act_refs
+
+    from collections import deque
+
+    pending: deque = deque()
+    submit_step = start_step - 1
+    sub_states = states
+    sub_react: list[list] = [[] for _ in range(P)]
+    while True:
+        while (len(pending) <= lookahead
+               and submit_step < max_supersteps):
+            submit_step += 1
+            sub_states, sub_react, moved_refs, act_refs = _submit_lock(
+                submit_step, sub_states, sub_react)
+            pending.append((submit_step, sub_states, sub_react,
+                            moved_refs, act_refs))
+        if not pending:
+            break
+        step, states, react, moved_refs, act_refs = pending.popleft()
+        moved = sum(ray.get(moved_refs))
+        n_active = sum(ray.get(act_refs))
         total_moves += moved
         # stall-guard bookkeeping, computed up-front so the checkpoint can
         # persist the exact loop-control state a resume must restore
@@ -689,6 +717,7 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
             ]
             states = [a[0] for a in absorbed]
             react = [[] for _ in range(P)]
+            sub_states, sub_react = states, react
             ckpt_cb(step, states, {"moves": moved, "active": n_active,
                                    "total_moves": total_moves,
                                    "best_active": next_best,
