@@ -106,6 +106,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(proj, batch_format="pandas")
 
+    def q_embedding_dups_exact(sf_dir):
+        # same 0.45 threshold as the LSH variant; exact brute-force join is
+        # the oracle-checkable baseline for it
+        return dedup.embedding_dup_pairs_exact(_emb(sf_dir), threshold=0.45)
+
     def _first10_queries(sf_dir):
         def keep(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
@@ -165,6 +170,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "embedding_dups": q_embedding_dups,
+        "embedding_dups_exact": q_embedding_dups_exact,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
         # corpus pipeline + graph algorithms
@@ -330,6 +336,15 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
             FROM documents""",
+        "embedding_dups_exact": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   ROUND(list_cosine_similarity(
+                       CAST(a.embedding AS DOUBLE[]),
+                       CAST(b.embedding AS DOUBLE[])), 6) AS cosine
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.45""",
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding
                        FROM embeddings WHERE vec_id < 10),

@@ -587,3 +587,50 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
                              "cosine": cos[keep]})
 
     return buckets.groupby("bucket").map_groups(emit, batch_format="pandas")
+
+
+def embedding_dup_pairs_exact(emb_ds, id_col: str = "vec_id",
+                              vec_col: str = "embedding",
+                              threshold: float = 0.95,
+                              concurrency: int = 2):
+    """Exact cosine near-dup pair join — the brute-force baseline.
+
+    Broadcast nested-loop: the full normalized matrix is `ray.put` ONCE and
+    every batch matmuls against it, emitting (vec_a < vec_b) pairs at or
+    above the threshold (each qualifying pair exactly once). O(n²/P)
+    compute and O(n·d) broadcast memory — use as the exact oracle /
+    verification path; `embedding_dup_pairs` (hyperplane LSH) is the scale
+    path. All math in float64, so a DuckDB oracle that casts the vectors
+    to DOUBLE[] agrees away from the threshold boundary.
+
+    → Dataset[vec_a, vec_b, cosine] with cosine rounded to 6 decimals.
+    """
+    import ray
+
+    from leiden_cuda_ray.functions.similarity import _normalize, _to_matrix
+
+    proj = emb_ds.select_columns([id_col, vec_col])
+    pdf = proj.to_pandas()
+    all_ids = pdf[id_col].to_numpy(np.int64)
+    M = _normalize(np.stack([np.asarray(v, np.float64)
+                             for v in pdf[vec_col]]))
+    mref = ray.put((all_ids, M))
+
+    class Pairer:
+        def __init__(self):
+            self.ids, self.M = ray.get(mref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            X = _normalize(_to_matrix(batch.column(vec_col)))
+            bids = np.asarray(batch.column(id_col), np.int64)
+            S = X @ self.M.T  # (batch, n)
+            mask = (S >= threshold) & (bids[:, None] < self.ids[None, :])
+            bi, mj = np.nonzero(mask)
+            return pa.table({
+                "vec_a": pa.array(bids[bi], pa.int64()),
+                "vec_b": pa.array(self.ids[mj], pa.int64()),
+                "cosine": pa.array(np.round(S[bi, mj], 6), pa.float64()),
+            })
+
+    return proj.map_batches(Pairer, batch_format="pyarrow",
+                            concurrency=concurrency)

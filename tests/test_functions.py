@@ -84,6 +84,26 @@ def test_embedding_dup_pairs():
     assert (0, 8) in got
 
 
+def test_embedding_dup_pairs_exact_matches_numpy():
+    from leiden_cuda_ray.functions.dedup import embedding_dup_pairs_exact
+
+    rng = np.random.RandomState(0)
+    base = rng.randn(8, 16)
+    vecs = np.vstack([base, base[0] + 1e-4 * rng.randn(16)])  # 8 is dup of 0
+    rows = [{"vec_id": i, "embedding": v.tolist()}
+            for i, v in enumerate(vecs)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    pairs = embedding_dup_pairs_exact(ds, threshold=0.99).to_pandas()
+    # exact join = numpy all-pairs ground truth, every pair found once
+    U = vecs / np.linalg.norm(vecs, axis=1)[:, None]
+    S = U @ U.T
+    iu, ju = np.triu_indices(len(vecs), 1)
+    want = {(int(a), int(b)) for a, b in zip(iu[S[iu, ju] >= 0.99],
+                                             ju[S[iu, ju] >= 0.99])}
+    got = sorted(map(tuple, pairs[["vec_a", "vec_b"]].to_numpy()))
+    assert sorted(want) == got and len(got) == len(set(got))
+
+
 def test_knn_brute_matches_numpy():
     from leiden_cuda_ray.functions.similarity import knn_brute
 
