@@ -179,6 +179,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "import_pairs": cq.import_pairs,
         "degree_topk": cq.degree_topk,
         "graph_pagerank": cq.graph_pagerank,
+        "graph_pagerank_fixed": cq.graph_pagerank_fixed,
         "graph_components": cq.graph_components,
         "graph_labelprop": cq.graph_labelprop,
         "graph_triangles": cq.graph_triangles,
@@ -238,6 +239,49 @@ canon AS (
       AS key_b
   FROM all_pairs)
 """
+
+
+def _pagerank_fixed_sql(iters: int = 15, alpha: float = 0.85) -> str:
+    """Unrolled weighted power iteration (the engine's pagerank semantics:
+    r'_v = (1-α)/V + α(Σ_u r_u·w/wdeg_u + dangling/V)) — each step
+    MATERIALIZED so the doubly-referenced chain doesn't inline
+    exponentially. Matches graph_pagerank_fixed to ~2e-18 before rounding."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT vid.v AS v,
+         (1 - {alpha}) / (SELECT V FROM nv)
+         + {alpha} * (COALESCE(c.s, 0)
+            + (SELECT COALESCE(SUM(p.r), 0) FROM r{k} p
+               LEFT JOIN wdeg dd ON dd.u = p.v WHERE dd.u IS NULL)
+              / (SELECT V FROM nv)) AS r
+  FROM vid
+  LEFT JOIN (SELECT s.t AS v, SUM(p.r * s.w / d.d) AS s
+             FROM r{k} p JOIN wdeg d ON d.u = p.v JOIN sym s ON s.u = p.v
+             GROUP BY s.t) c ON c.v = vid.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd,
+         CAST(1 AS DOUBLE) AS w FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+         CAST(weight AS DOUBLE) FROM cocommit_edges),
+wedge AS (SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb, SUM(w) AS w
+          FROM wpair GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  UNION ALL
+  SELECT vb.v, va.v, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+nv AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS V FROM vid),
+wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
+r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT V FROM nv) AS r FROM vid),
+{','.join(steps)}
+SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -390,6 +434,7 @@ def oracle_sql() -> dict[str, str]:
             FROM deg
             ORDER BY degree DESC, repo ASC, path ASC
             LIMIT 10""",
+        "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_components": f"""
             -- min-label fixpoint: component(v) = min vertex id reachable
             -- from v (the engine's labeling convention, components.py)

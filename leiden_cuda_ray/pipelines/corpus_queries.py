@@ -150,6 +150,32 @@ def graph_pagerank(sf_dir: str):
     return state_to_dataset(graph, ranks, "pagerank", pa.float64())
 
 
+def graph_pagerank_fixed(sf_dir: str):
+    """Oracle-checkable PageRank: exactly 15 iterations (epsilon=0 disables
+    the convergence stop), ranks rounded to 6 decimals. Matches the
+    unrolled DuckDB power iteration in `__ray_entry__.oracle_sql()`
+    (raw float64 divergence ≈ 2e-18, far below the rounding quantum)."""
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+    from leiden_cuda_ray.config import PageRankConfig
+
+    graph, _ = _build_graph(sf_dir)
+    ranks, _it, _err = pagerank(graph, PageRankConfig(epsilon=0.0,
+                                                      max_iterations=15))
+    ds = state_to_dataset(graph, ranks, "pagerank", pa.float64())
+
+    def rnd(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        return pa.table({
+            "vertex": t.column("vertex"),
+            "pagerank": pa.array(
+                np.round(np.asarray(t.column("pagerank"), np.float64), 6),
+                pa.float64()),
+        })
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
 def graph_components(sf_dir: str):
     from leiden_cuda_ray.algorithms.components import connected_components
 
