@@ -284,6 +284,49 @@ r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT V FROM nv) AS r FROM vid),
 SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"""
 
 
+def _labelprop_sql(iters: int = 25) -> str:
+    """Unrolled synchronous label propagation matching the engine exactly
+    (labelprop.py): label_v ← argmax_c Σ w over neighbors, tie → max
+    weight then MIN label, isolated vertices keep their own id. The engine
+    converges (changed == 0, a fixpoint of the sync update) well before
+    `iters`, and post-fixpoint rounds are no-ops, so any iters ≥ the
+    convergence round yields its labels. Weights are integer-valued counts,
+    so float sums are exact and tie-breaks agree bit-for-bit."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT vid.v AS v, COALESCE(wn.lbl, p.l) AS l
+  FROM vid JOIN r{k} p ON p.v = vid.v
+  LEFT JOIN (
+    SELECT v, lbl FROM (
+      SELECT s.t AS v, p2.l AS lbl,
+             ROW_NUMBER() OVER (PARTITION BY s.t
+                 ORDER BY SUM(s.w) DESC, p2.l ASC) AS rn
+      FROM r{k} p2 JOIN sym s ON s.u = p2.v
+      GROUP BY s.t, p2.l) x WHERE rn = 1) wn ON wn.v = vid.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd,
+         CAST(1 AS DOUBLE) AS w FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+         CAST(weight AS DOUBLE) FROM cocommit_edges),
+wedge AS (SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb, SUM(w) AS w
+          FROM wpair GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  UNION ALL
+  SELECT vb.v, va.v, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+r0 AS MATERIALIZED (SELECT v, v AS l FROM vid),
+{','.join(steps)}
+SELECT v AS vertex, l AS label FROM r{iters}"""
+
+
 def oracle_sql() -> dict[str, str]:
     # the corpus parquet must exist before DuckDB reads it
     from leiden_cuda_ray.sources.corpus import ensure_corpus_for_sf_dir
@@ -435,6 +478,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY degree DESC, repo ASC, path ASC
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
+        "graph_labelprop": _labelprop_sql(),
         "graph_components": f"""
             -- min-label fixpoint: component(v) = min vertex id reachable
             -- from v (the engine's labeling convention, components.py)
