@@ -432,6 +432,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(
                 CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])) >= 0.45""",
+        "quality_score": """
+            -- mirrors _quality_batch exactly: every ratio/score is a chain
+            -- of single IEEE float64 ops in the same association order, so
+            -- the values are bit-identical, not just close
+            SELECT doc_id,
+              0.4 * LEAST(GREATEST(n_tok / 100.0, 0), 1)
+              + 0.4 * LEAST(GREATEST(n_stop / GREATEST(n_tok, 1.0) * 5,
+                                     0), 1)
+              + 0.2 * (1.0 - LEAST(GREATEST(
+                    n_punct / GREATEST(n_chars, 1.0) * 10, 0), 1))
+                AS quality,
+              n_stop / GREATEST(n_tok, 1.0) AS stop_ratio,
+              n_punct / GREATEST(n_chars, 1.0) AS punct_ratio,
+              CASE WHEN n_tok > 0
+                   THEN (n_chars - (n_tok - 1)) / GREATEST(n_tok, 1.0)
+                   ELSE 0 END AS mean_token_len
+            FROM (SELECT doc_id,
+                    CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                    CAST(LEN(regexp_extract_all(text, '\\S+')) AS DOUBLE)
+                      AS n_tok,
+                    CAST(LEN(regexp_extract_all(text, '[.,;:!?]'))
+                      AS DOUBLE) AS n_punct,
+                    CAST(LEN(regexp_extract_all(text,
+                      '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))
+                      AS DOUBLE) AS n_stop
+                  FROM documents)""",
+        "language_id": """
+            -- argmax over stopword-hit counts (same denominator per row, so
+            -- count order == ratio order); the >= chain replicates
+            -- np.argmax's first-max tie-break in en,de,fr,es order; CJK
+            -- override last, unknown when no profile hits
+            SELECT doc_id,
+              CASE WHEN cjk > 0 THEN 'zh'
+                   WHEN GREATEST(en, de, fr, es) = 0 THEN 'unknown'
+                   WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+                   WHEN de >= fr AND de >= es THEN 'de'
+                   WHEN fr >= es THEN 'fr'
+                   ELSE 'es' END AS lang_pred
+            FROM (SELECT doc_id,
+              LEN(regexp_extract_all(text,
+                '\\b(the|and|of|to|in|is|that|for|with|was)\\b')) AS en,
+              LEN(regexp_extract_all(text,
+                '\\b(der|die|das|und|ist|nicht|von|mit|den|ein)\\b')) AS de,
+              LEN(regexp_extract_all(text,
+                '\\b(le|la|les|et|est|pas|des|une|dans|pour)\\b')) AS fr,
+              LEN(regexp_extract_all(text,
+                '\\b(el|la|los|las|es|y|de|que|en|por)\\b')) AS es,
+              LEN(regexp_extract_all(text, '[一-鿿]')) AS cjk
+              FROM documents)""",
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding
                        FROM embeddings WHERE vec_id < 10),
