@@ -137,6 +137,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return res.map_batches(fix, batch_format="pyarrow")
 
+    def q_media_decode(sf_dir):
+        # No media in the parquet tiers: decode a deterministic synthetic
+        # table of REAL PPM payloads (closed-form per-id geometry) through
+        # the actor-pool decoder; the oracle recomputes the geometry from
+        # the generative formula without running the decoder.
+        from leiden_cuda_ray.functions import multimodal as mm
+
+        ds = mm.make_real_media_dataset(n=64, media_type="image")
+        return mm.decode_images(ds, concurrency=2, batch_size=16,
+                                fake=False).select_columns(
+                                    ["media_id", "height", "width",
+                                     "channels"])
+
     def q_knn_ivf(sf_dir):
         Q = _first10_queries(sf_dir)
         res = similarity.knn_ivf(_emb(sf_dir), Q, k=5, n_centroids=8,
@@ -173,6 +186,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_exact": q_embedding_dups_exact,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
+        "media_decode": q_media_decode,
         # corpus pipeline + graph algorithms
         "corpus_sha256": cq.corpus_sha256,
         "cocommit_pairs": cq.cocommit_pairs,
@@ -498,6 +512,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT DENSE_RANK() OVER (ORDER BY query_id) - 1 AS query_id,
                    neighbor_id, rank
             FROM ranked WHERE rank <= 5""",
+        # media_decode: the engine decodes real PPM payloads whose geometry
+        # follows a closed form of the media_id (multimodal._image_dims);
+        # the oracle recomputes the geometry directly without a decoder.
+        "media_decode": """
+            SELECT i AS media_id,
+                   CAST(16 + (i * 7) % 48 AS INTEGER) AS height,
+                   CAST(16 + (i * 5) % 40 AS INTEGER) AS width,
+                   CAST(3 AS INTEGER) AS channels
+            FROM range(0, 64) t(i)""",
         "corpus_sha256": f"""
             SELECT repo, path, "commit", sha256(content) AS sha256
             FROM read_parquet('{_CORPUS_001}')""",

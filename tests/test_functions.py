@@ -181,9 +181,100 @@ def test_multimodal_decode_stub():
     feats = np.stack(out.features.to_numpy())
     assert feats.shape == (12, 32)
     assert np.allclose(feats.sum(axis=1), 1.0)
-    # real decode contract: explicit NotImplementedError without codecs
-    with pytest.raises(NotImplementedError):
-        DecodeImage(fake=False)
+    # codec-format contract: unsupported magic without pillow raises at
+    # decode time, naming the magic
+    jpeg_like = pa.table({"media_id": pa.array([0], pa.int64()),
+                          "payload": pa.array([b"\xff\xd8\xe0junk"],
+                                              pa.binary())})
+    with pytest.raises(NotImplementedError, match="magic"):
+        DecodeImage(fake=False)(jpeg_like)
+
+
+def test_pnm_codec_roundtrip():
+    from leiden_cuda_ray.functions.multimodal import decode_pnm, encode_pnm
+
+    rng = np.random.default_rng(7)
+    rgb = rng.integers(0, 256, (9, 13, 3), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(rgb)) == rgb).all()
+    grey = rng.integers(0, 256, (5, 4), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(grey)) == grey).all()
+    # header comments per the netpbm spec
+    commented = b"P5\n# a comment\n4 2\n# another\n255\n" + bytes(range(8))
+    assert (decode_pnm(commented) ==
+            np.arange(8, dtype=np.uint8).reshape(2, 4)).all()
+    with pytest.raises(ValueError):
+        decode_pnm(b"GIF89a...")
+
+
+def test_multimodal_real_image_decode_and_resize():
+    from leiden_cuda_ray.functions.multimodal import (
+        ResizeImage, _image_dims, decode_images, make_real_media_dataset)
+
+    ds = make_real_media_dataset(n=10, media_type="image")
+    decoded = decode_images(ds, concurrency=2, batch_size=4, fake=False,
+                            emit_pixels=True)
+    out = decoded.to_pandas().sort_values("media_id")
+    # real geometry extracted from actual PPM bytes
+    for _, r in out.iterrows():
+        h, w = _image_dims(int(r.media_id))
+        assert (r.height, r.width, r.channels) == (h, w, 3)
+    # features are the true pixel histogram: recompute directly
+    row = out.iloc[3]
+    img = np.frombuffer(row.pixels, np.uint8)
+    hist = np.bincount((img.astype(np.int64) * 32) >> 8, minlength=32)
+    assert np.allclose(np.array(row.features), hist / hist.sum())
+    # real nearest-neighbour resize on a known pattern
+    resized = decoded.map_batches(ResizeImage,
+                                  fn_constructor_kwargs={"target": (8, 8)},
+                                  batch_format="pyarrow",
+                                  concurrency=1).to_pandas()
+    r0 = resized[resized.media_id == 3].iloc[0]
+    assert (r0.height, r0.width) == (8, 8)
+    h, w = _image_dims(3)
+    src = np.frombuffer(row.pixels, np.uint8).reshape(h, w, 3)
+    ri, ci = (np.arange(8) * h) // 8, (np.arange(8) * w) // 8
+    assert (np.frombuffer(r0.pixels, np.uint8).reshape(8, 8, 3)
+            == src[ri][:, ci]).all()
+
+
+def test_multimodal_real_audio_and_video():
+    from leiden_cuda_ray.functions.multimodal import (
+        AudioFeatures, SampleFrames, decode_wav, decode_y4m, encode_wav,
+        encode_y4m, make_real_media_dataset)
+
+    # WAV round-trip via the stdlib codec
+    sig = (np.sin(np.linspace(0, 20, 400)) * 20000).astype(np.int16)
+    mono, rate = decode_wav(encode_wav(sig, 8000))
+    assert rate == 8000 and np.allclose(mono, sig / 32768.0, atol=1e-9)
+
+    auds = make_real_media_dataset(n=4, media_type="audio")
+    feats = auds.map_batches(AudioFeatures,
+                             fn_constructor_kwargs={"fake": False},
+                             batch_format="pyarrow",
+                             concurrency=1).to_pandas()
+    assert (feats.sample_rate == 8000).all()
+    # band RMS of a 0.5-amplitude sine is ~0.5/sqrt(2) per band (each band
+    # spans <1 period here, so allow partial-cycle wobble)
+    f0 = np.array(feats[feats.media_id == 0].iloc[0].features)
+    assert np.allclose(f0, 0.5 / np.sqrt(2), atol=0.06)
+
+    # y4m round-trip + deterministic frame sampling
+    frames_in = [np.full((6, 8), v, np.uint8) for v in (10, 20, 30, 40, 50)]
+    w, h, cs, frames_out = decode_y4m(encode_y4m(frames_in))
+    assert (w, h, cs) == (8, 6, "mono")
+    assert [f[0] for f in frames_out] == [10, 20, 30, 40, 50]
+
+    vids = make_real_media_dataset(n=3, media_type="video")
+    sampled = vids.map_batches(SampleFrames,
+                               fn_constructor_kwargs={"n_frames": 2,
+                                                      "fake": False},
+                               batch_format="pyarrow",
+                               concurrency=1).to_pandas()
+    assert len(sampled) == 6  # 2 per video
+    v0 = sampled[sampled.media_id == 0].sort_values("frame_index")
+    assert list(v0.frame_index) == [0, 2]  # (k * 4) // 2 for k in 0,1
+    assert (v0.iloc[0].height, v0.iloc[0].width) == (16, 16)
+    assert len(v0.iloc[0].frame) == 16 * 16  # exact Cmono frame bytes
 
 
 def test_multimodal_frames_and_audio():
