@@ -172,7 +172,8 @@ def _build_coarse_part(pid, new_block, new_P, new_V, n_edge, *shards):
         w = w.copy()
         w[diag] = (w[diag] + s_orig) / 2.0
     m_contrib = float(w[diag].sum() + w[~diag].sum() / 2.0)
-    return build_partition_csr(cu, cv, w, vlo, vhi), m_contrib
+    csr = build_partition_csr(cu, cv, w, vlo, vhi)
+    return csr, m_contrib, int(len(csr["indices"]))
 
 
 @ray.remote
@@ -213,9 +214,17 @@ def coarsen(graph: Graph, assigns: list, aggs: list | None,
         # adaptive P per level: scale partitions with the SHRUNK vertex
         # count (coarse graphs keep most edge weight but few vertices, so
         # V-proportional partitions keep each one kernel-bound rather than
-        # wave-latency-bound; measured better than collapsing to P=1,
-        # whose single-threaded kernels dominate at ~1M coarse edges)
-        new_P = max(1, min(P, -(-new_V // max(1, graph.V // max(P, 1)))))
+        # wave-latency-bound). Small levels collapse to P=1 outright: both
+        # the fast and the lock loop then run whole-level in a single task
+        # (moving._run_level_task / _run_lock_level_task), and coarse
+        # levels spend most supersteps in the lock fallback where a
+        # distributed wave costs 0.3–0.8 s against ~10 ms in-process
+        # (results are bit-identical at any P — tested invariant).
+        if new_V <= 32_768:
+            new_P = 1
+        else:
+            new_P = max(1, min(P, -(-new_V // max(1, graph.V
+                                                  // max(P, 1)))))
         new_P = min(new_P, new_V)
     new_block = max(1, -(-new_V // new_P))
 
@@ -254,13 +263,15 @@ def coarsen(graph: Graph, assigns: list, aggs: list | None,
     edge_shards = [[hop2[k][j] for k in range(P)] for j in range(new_P)]
 
     built = [
-        _build_coarse_part.options(num_returns=2).remote(
+        _build_coarse_part.options(num_returns=3).remote(
             j, new_block, new_P, new_V, len(edge_shards[j]),
             *edge_shards[j], *self_shards[j])
         for j in range(new_P)
     ]
     parts = [b[0] for b in built]
-    m_new = float(sum(ray.get([b[1] for b in built])))
+    scalars = ray.get([r for b in built for r in b[1:]])
+    m_new = float(sum(scalars[0::2]))
+    nnz = int(sum(scalars[1::2]))
 
     if aggs is None:
         agg_refs = None
@@ -279,7 +290,7 @@ def coarsen(graph: Graph, assigns: list, aggs: list | None,
         ]
 
     new_graph = Graph(V=new_V, P=new_P, block=new_block, parts=parts,
-                      m=m_new, sym_edges=-1, agg_refs=agg_refs)
+                      m=m_new, sym_edges=nnz, agg_refs=agg_refs)
     lm = LevelMap(maps=level_maps, old_block=graph.block, old_P=P,
                   old_V=graph.V, new_block=new_block, new_P=new_P,
                   new_V=new_V, uniq_refs=uniq_refs, offsets=offsets)

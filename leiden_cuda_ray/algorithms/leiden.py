@@ -237,7 +237,7 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))
         levels_info.append({"level": level, "V": cur.V, "P": cur.P,
-                            "moves": moves,
+                            "E": cur.sym_edges, "moves": moves,
                             "supersteps": steps, "communities": n_comms,
                             "t_moving": round(_time.perf_counter() - t0, 3)})
 

@@ -214,7 +214,17 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
     Conflict avoidance:
     - lock=True: random-coloring defer (a vertex yields to any higher-
       priority active neighbor, leiden_kernel.cu:66-76); claims resolve the
-      rest.
+      rest. Resting follows the reference's COMPLETE (Python) queue
+      semantics rather than the CUDA visited-flags: every ACTIVE vertex is
+      evaluated, and one with no positive-delta move leaves the frontier
+      immediately — it re-enters only when a neighbor moves to a different
+      community (custom_leiden.py:584-593 re-enqueues exactly those). The
+      CUDA kernel instead keeps unvisited vertices active until their
+      coloring turn (leiden_kernel.cu:54-76), which on dense coarse graphs
+      drains the frontier at ~V/avg_degree per superstep — a cap-bound
+      grind of full-edge gathers that moves almost nothing. Only
+      color-ELIGIBLE vertices with positive moves emit claims; a positive
+      but ineligible vertex stays active for its turn.
     - lock=False: direction gating — even supersteps only admit moves to a
       SMALLER community id, odd supersteps to a larger one. Adjacent
       simultaneous swap cycles (A→comm(B) while B→comm(A)) are impossible
@@ -269,7 +279,7 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
     own_rows = c == comm[loc]
     k_old[loc[own_rows]] += w[own_rows]
 
-    cand = (~own_rows) & eligible[loc]
+    cand = (~own_rows) & (active[loc] if lock else eligible[loc])
     dl = loc[cand]
     cc = c[cand]
     k_new = w[cand] + self_w[dl]
@@ -287,7 +297,7 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
                  + k_v * (val_own - val_cc - k_v)
                  / (2.0 * m * m))
 
-    rest = eligible.copy()
+    rest = active.copy() if lock else eligible.copy()
     if len(dl):
         positive = delta > 1e-15
         if not lock:
@@ -301,7 +311,12 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
             gated[dl[positive & ~allowed]] = True
             rest &= ~gated
         else:
-            allowed = positive
+            # no-hope actives rest now (queue semantics); positive movers
+            # either claim (eligible) or stay active for their turn
+            haspos = np.zeros(nv, bool)
+            haspos[dl[positive]] = True
+            rest = active & ~haspos
+            allowed = positive & eligible[dl]
         dl2, cc2, ds2 = dl[allowed], cc[allowed], delta[allowed]
         if len(dl2):
             order = np.lexsort((cc2, -ds2, dl2))
@@ -359,11 +374,11 @@ def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
     return (new_state, moved, n_active, *out)
 
 
-@ray.remote
-def _lock_push(csr, state, block, P, pid, superstep, seed, kind, *react):
-    """Fused lock-mode wave A: absorb the previous superstep's
-    reactivations, then emit per-owner packs (gather, priority, contrib,
-    request). Returns (absorbed_state, *packs [P]).
+def _lock_push_core(csr, state, block, P, pid, superstep, seed, kind,
+                    react):
+    """Lock-mode wave-A kernel (pure function): absorb the previous
+    superstep's reactivations, then emit per-owner packs (gather,
+    priority, contrib, request). Returns (absorbed_state, packs [P]).
 
     (A frontier-filtered variant — gather only for active destinations,
     value-identical — was measured SLOWER here: broadcasting P active-id
@@ -395,7 +410,13 @@ def _lock_push(csr, state, block, P, pid, superstep, seed, kind, *react):
     g2 = shard_by_owner(d2, block, P, p2)
     t1 = shard_by_owner(tids, block, P, tsums, tcnts)
     t2 = shard_by_owner(rq_comm, block, P, rq_cons)
-    packs = [(g1[j], g2[j], t1[j], t2[j]) for j in range(P)]
+    return state, [(g1[j], g2[j], t1[j], t2[j]) for j in range(P)]
+
+
+@ray.remote
+def _lock_push(csr, state, block, P, pid, superstep, seed, kind, *react):
+    state, packs = _lock_push_core(csr, state, block, P, pid, superstep,
+                                   seed, kind, react)
     if P == 1:
         return state, packs[0]
     return (state, *packs)
@@ -430,6 +451,11 @@ def _eval_claims(csr, state, kind, param, superstep, seed, block, P,
 
 @ray.remote
 def _resolve_claims(*origin_shards):
+    out = _resolve_claims_core(origin_shards)
+    return tuple(out) if len(origin_shards) > 1 else out[0]
+
+
+def _resolve_claims_core(origin_shards):
     """Per-community winner: (delta desc, v asc). Returns per-origin
     acceptance bools aligned with each origin's shard row order."""
     cs, vs, ds, origin, row = [], [], [], [], []
@@ -441,7 +467,7 @@ def _resolve_claims(*origin_shards):
         row.append(np.arange(len(c), dtype=np.int64))
     c = np.concatenate(cs) if cs else np.empty(0, np.int64)
     if len(c) == 0:
-        return tuple(np.empty(0, bool) for _ in origin_shards)
+        return [np.empty(0, bool) for _ in origin_shards]
     v = np.concatenate(vs)
     delta = np.concatenate(ds)
     order = np.lexsort((v, -delta, c))
@@ -461,7 +487,7 @@ def _resolve_claims(*origin_shards):
         sel = o == i
         acc[r[sel]] = accepted[sel]
         out.append(acc)
-    return tuple(out) if len(origin_shards) > 1 else out[0]
+    return out
 
 
 def _apply_core(csr, state, moves, eligible, accepted, block, P):
@@ -474,9 +500,11 @@ def _apply_core(csr, state, moves, eligible, accepted, block, P):
     comm = state["comm"].copy()
     active = state["active"].copy()
     comm[mv_loc[accepted]] = moves["new"][accepted]
-    # evaluated vertices rest; claim losers stay active to retry
+    # resting vertices deactivate; claim losers stay active to retry;
+    # accepted movers always rest (they re-enter only via reactivation)
     active[eligible] = False
     active[mv_loc[~accepted]] = True
+    active[mv_loc[accepted]] = False
 
     # frontier: neighbors of movers not in the mover's new community
     # (apply_node_moves_kernel, leiden_kernel.cu:340-347)
@@ -618,6 +646,15 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                 ckpt_cb=ckpt_cb, lock_communities=True)
         return states, total_moves, step
     P = graph.P
+    if P == 1 and ckpt_cb is None and not ctl:
+        # whole-level in-process lock loop (bit-identical, see
+        # _run_lock_level_task); checkpointed/resumed levels keep the
+        # distributed path so the saved state sequence is unchanged
+        state, tot, step = _run_lock_level_task.remote(
+            graph.parts[0], states[0], kind, param, seed, max_supersteps,
+            start_step, total_moves)
+        tot, step = ray.get([tot, step])
+        return [state], int(tot), int(step)
     step = start_step - 1
     stall_window = 8
     best_active = ctl.get("best_active")
@@ -733,6 +770,124 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     return states, total_moves, step
 
 
+def _gather_ctx(csr):
+    """Per-level dst index for frontier-filtered in-process gathers.
+
+    One stable argsort by dst (over non-self rows) lets every later
+    superstep gather ONLY the rows whose destination is still active, in
+    an order that preserves the src-major sequence within each (dst, comm)
+    group — so segsum_by_pair's stable grouping adds the same floats in
+    the same order as a full gather, and the sums are bit-identical."""
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    nonself = dst != src_g
+    dstf = dst[nonself]
+    order = np.argsort(dstf, kind="stable")
+    return {"dstf": dstf, "srcf": src_slot[nonself],
+            "src_gf": src_g[nonself], "wf": csr["weights"][nonself],
+            "order": order, "dst_sorted": dstf[order]}
+
+
+def _frontier_rows(ctx, active_ids):
+    """Row indices (into the nonself-filtered arrays) whose dst is active,
+    ascending dst then original slot order; None when a full gather is
+    cheaper (frontier covers more than ~1/3 of the edges)."""
+    lo = np.searchsorted(ctx["dst_sorted"], active_ids, side="left")
+    hi = np.searchsorted(ctx["dst_sorted"], active_ids, side="right")
+    lens = hi - lo
+    total = int(lens.sum())
+    if total * 3 >= len(ctx["dstf"]):
+        return None
+    if total == 0:
+        return np.empty(0, np.int64)
+    out = (np.repeat(lo, lens)
+           + (np.arange(total, dtype=np.int64)
+              - np.repeat(np.cumsum(lens) - lens, lens)))
+    return ctx["order"][out]
+
+
+def _level_gather(ctx, comm, active, with_prio, superstep, seed):
+    """(d, c, w)[, (d2, p2)] for the in-process level loops: full-edge or
+    frontier-filtered, value-identical either way."""
+    rows = _frontier_rows(ctx, np.flatnonzero(active))
+    if rows is None:
+        d, c, w = segsum_by_pair(ctx["dstf"], comm[ctx["srcf"]], ctx["wf"])
+        if not with_prio:
+            return d, c, w, None, None
+        act = active[ctx["srcf"]]
+        prio = vertex_priority(ctx["src_gf"][act], superstep, seed)
+        d2, p2 = segmax_by_key(ctx["dstf"][act], prio)
+        return d, c, w, d2, p2
+    d, c, w = segsum_by_pair(ctx["dstf"][rows], comm[ctx["srcf"][rows]],
+                             ctx["wf"][rows])
+    if not with_prio:
+        return d, c, w, None, None
+    act = active[ctx["srcf"][rows]]
+    prio = vertex_priority(ctx["src_gf"][rows][act], superstep, seed)
+    d2, p2 = segmax_by_key(ctx["dstf"][rows][act], prio)
+    return d, c, w, d2, p2
+
+
+@ray.remote(num_returns=3)
+def _run_lock_level_task(csr, state, kind, param, seed, max_supersteps,
+                         start_step, total_moves):
+    """Whole-level LOCK-mode loop for a single-partition graph in ONE task.
+
+    Same kernel sequence as the distributed lock loop (push → serve →
+    eval+claims → resolve → apply) via the shared _core kernels, so the
+    metric stream, every termination decision and the final state are
+    bit-identical to the distributed path at P=1. Two in-process-only
+    shortcuts (both value-identical): the totals request/serve exchange
+    collapses to passing the full sorted totals straight to _eval_core,
+    and after the first supersteps the edge gather is frontier-filtered
+    through a per-level dst index (_gather_ctx) — lock tails touch a tiny
+    frontier, so full O(E) rescans per superstep are pure waste."""
+    assert csr["vlo"] == 0
+    step = start_step - 1
+    stall_window = 8
+    best_active = None
+    since_best = 0
+    react: list = []
+    ctx = _gather_ctx(csr)
+    for step in range(start_step, max_supersteps + 1):
+        if react:
+            state = _absorb_core(state, 0, react)
+        comm = state["comm"]
+        d, c, w, d2, p2 = _level_gather(ctx, comm, state["active"], True,
+                                        step, seed)
+        vals = (state["agg"].astype(np.float64) if kind == "cpm"
+                else csr["deg_w"])
+        tids, tsums = segsum_by_key(comm, vals)
+        _, tcnts = segsum_by_key(comm, np.ones(len(comm), np.float64))
+        totals = (tids, tsums, tcnts.astype(np.int64))
+        moves, eligible = _eval_core(csr, state, totals, kind, param,
+                                     step, seed, True, [((d, c, w),
+                                                         (d2, p2))])
+        n_mv = len(moves["v"])
+        cc = np.concatenate([moves["old"], moves["new"]])
+        vv = np.concatenate([moves["v"], moves["v"]])
+        delta = np.concatenate([moves["delta"], moves["delta"]])
+        acc_all = _resolve_claims_core([(cc, vv, delta)])[0]
+        accepted = (acc_all[:n_mv] & acc_all[n_mv:]) if n_mv else \
+            np.empty(0, bool)
+        state, moved, react = _apply_core(csr, state, moves, eligible,
+                                          accepted, 1, 1)
+        n_active = int(state["active"].sum())
+        total_moves += moved
+        # identical bookkeeping order to the distributed lock loop
+        if best_active is None or n_active < best_active:
+            next_best, next_since = n_active, 0
+        else:
+            next_best, next_since = best_active, since_best + 1
+        if moved == 0 and n_active == 0:
+            break
+        best_active, since_best = next_best, next_since
+        if since_best >= stall_window:
+            break
+    return state, total_moves, step
+
+
 @ray.remote(num_returns=4)
 def _run_level_task(csr, state, kind, param, seed, max_supersteps,
                     start_step, total_moves):
@@ -751,9 +906,7 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
     since_best = 0
     prev_moved = None
     stalled = False
-    src_slot = local_src_per_slot(csr)
-    dst = csr["indices"]
-    nonself = dst != (src_slot + csr["vlo"])
+    ctx = _gather_ctx(csr)
     for step in range(start_step, max_supersteps + 1):
         vals = (state["agg"].astype(np.float64) if kind == "cpm"
                 else csr["deg_w"])
@@ -762,9 +915,8 @@ def _run_level_task(csr, state, kind, param, seed, max_supersteps,
                                  np.ones(len(state["comm"]), np.float64))
         totals = (tids, tvals, tcnts.astype(np.int64))
 
-        d, c, w = segsum_by_pair(
-            dst[nonself], state["comm"][src_slot][nonself],
-            csr["weights"][nonself])
+        d, c, w, _, _ = _level_gather(ctx, state["comm"], state["active"],
+                                      False, step, seed)
         gshard = ((d, c, w), (np.empty(0, np.int64),
                               np.empty(0, np.uint64)))
         moves, rest = _eval_core(csr, state, totals, kind, param,

@@ -39,7 +39,7 @@ class LeidenConfig:
     max_levels: int = 20
     max_supersteps: int = 100    # reference CUDA caps at 10 greedy supersteps
     seed: int = 42
-    # True reproduces the CUDA per-community try-locks (one membership
+    # True runs the per-community try-lock mode (one membership
     # change per community per superstep); False (default) lets communities
     # absorb many vertices per superstep — see moving.run_local_moving.
     # QUALITY TRADEOFF (documented, deliberate): with False, all proposed
@@ -49,7 +49,12 @@ class LeidenConfig:
     # FALLS BACK to lock mode (moving.run_local_moving lock_fallback) and
     # finishes under the monotone per-community try-lock semantics instead
     # of ending unconverged; use lock_communities=True to run strictly
-    # monotone from the first superstep.
+    # monotone from the first superstep. Lock-mode resting follows the
+    # reference's complete Python queue semantics (a visited vertex with
+    # no improving move leaves the frontier and re-enters only when a
+    # neighbor moves, custom_leiden.py:584-593) rather than the CUDA
+    # visited-flags, which on dense coarse graphs drain at only
+    # ~V/avg_degree vertices per superstep — see moving._eval_core.
     lock_communities: bool = False
 
 

@@ -8,6 +8,14 @@ atomicAdd partials), and shards them by the destination's owner partition
 (`num_returns=P` fan-out — the all-to-all exchange Ray Data's shuffle uses
 internally). Owners merge shards and update their slice of vertex state.
 No per-row data touches the driver; the driver only sees scalar metrics.
+
+Scale note: the exchange creates P ObjectRefs per task, O(P²) per wave.
+That is fine to the P=512 cap (_derive_P) this engine uses — ~260k refs,
+well inside Ray's per-node limits — and each ref's payload shrinks as
+1/P², so bytes stay O(E). Beyond thousands of partitions the exchange
+would need tree/multi-hop routing (combine shards at √P intermediate
+hops); the shard_by_owner layout already groups rows per owner, so that
+change would be local to fanout().
 """
 
 from __future__ import annotations
