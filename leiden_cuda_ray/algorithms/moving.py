@@ -500,8 +500,11 @@ def _apply_core(csr, state, moves, eligible, accepted, block, P):
     comm = state["comm"].copy()
     active = state["active"].copy()
     comm[mv_loc[accepted]] = moves["new"][accepted]
-    # resting vertices deactivate; claim losers stay active to retry;
-    # accepted movers always rest (they re-enter only via reactivation)
+    # resting vertices deactivate; claim losers stay active to retry.
+    # Accepted movers always rest — queue semantics in BOTH modes: a moved
+    # vertex leaves the queue and re-enters only via neighbor reactivation
+    # (custom_leiden.py:584-593), even if it still holds a direction-gated
+    # positive candidate (fast mode) or lost a second claim (lock mode).
     active[eligible] = False
     active[mv_loc[~accepted]] = True
     active[mv_loc[accepted]] = False

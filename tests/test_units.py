@@ -162,3 +162,54 @@ def test_segmax_uint64_zero_priority():
     # all-zero pool still returns 0
     k, v = segmax_by_key(np.array([1], np.int64), np.array([0], np.uint64))
     assert v.tolist() == [0]
+
+
+def _lock_shards():
+    """Triangle gather rows + real coloring priorities (all active)."""
+    src, dst, w = weighted_triangle_edges()
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    prio = vertex_priority(s, 2, 42)
+    d2, p2 = segmax_by_key(d, prio)
+    return ((d, s.copy(), ww), (d2, p2))
+
+
+def test_lock_mode_queue_resting():
+    """Lock-mode resting follows the reference queue semantics
+    (custom_leiden.py:584-593): every ACTIVE vertex is evaluated, one with
+    no positive-delta move rests immediately; positive movers either claim
+    (when color-eligible) or stay active for their turn."""
+    from leiden_cuda_ray.algorithms.moving import _apply_core
+
+    src, dst, w = weighted_triangle_edges()
+    csr = build_partition_csr(np.concatenate([src, dst]),
+                              np.concatenate([dst, src]),
+                              np.concatenate([w, w]), 0, 3)
+    state = {"comm": np.arange(3, dtype=np.int64),
+             "agg": np.ones(3, np.int64),
+             "active": np.ones(3, bool)}
+    totals = (np.arange(3, dtype=np.int64), np.ones(3, np.float64),
+              np.ones(3, np.int64))
+    shards = (_lock_shards(),)
+
+    # gamma so high no move improves: ALL actives rest in one superstep
+    # (CUDA visited-flags would keep non-priority-maxima active for turns)
+    moves, rest = _eval_core(csr, state, totals, "cpm", 10.0, 2, 42,
+                             True, shards)
+    assert len(moves["v"]) == 0
+    assert rest.all()
+
+    # gamma=0.1: every vertex has a positive move (no direction gating in
+    # lock mode), so nobody rests in eval; only the color-eligible
+    # priority maximum emits a move, and _apply_core rests it on accept
+    moves, rest = _eval_core(csr, state, totals, "cpm", 0.1, 2, 42,
+                             True, shards)
+    assert not rest.any()
+    own = vertex_priority(np.arange(3, dtype=np.int64), 2, 42)
+    assert moves["v"].tolist() == [int(np.argmax(own))]
+    new_state, moved, _ = _apply_core(
+        csr, state, moves, rest, np.ones(1, bool), 1, 1)
+    assert moved == 1
+    assert not new_state["active"][moves["v"][0]]      # mover rests
+    assert new_state["active"].sum() == 2              # others wait turns
