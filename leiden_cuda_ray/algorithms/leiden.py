@@ -26,7 +26,11 @@ from leiden_cuda_ray.algorithms.coarsen import (
     coarsen,
     propagate_level,
 )
-from leiden_cuda_ray.algorithms.moving import init_move_state, run_local_moving
+from leiden_cuda_ray.algorithms import moving as _moving
+from leiden_cuda_ray.algorithms.moving import (
+    init_move_state,
+    run_local_moving,
+)
 from leiden_cuda_ray.config import LeidenConfig
 from leiden_cuda_ray.graph.build import Graph
 from leiden_cuda_ray.graph.csr import part_range
@@ -225,8 +229,14 @@ def leiden(graph: Graph, cfg: LeidenConfig = LeidenConfig(),
 
         t0 = _time.perf_counter()
         # a crash during the stall-guard lock fallback must resume INTO the
-        # lock phase (the phase is recorded in the checkpoint metrics)
-        lock_this = cfg.lock_communities or (
+        # lock phase (the phase is recorded in the checkpoint metrics).
+        # Graphs small enough for the in-process sequential drain
+        # (moving.SEQ_V_MAX — every coarse level, by coarsen's P=1
+        # collapse) skip the fast mode entirely: the drain IS the
+        # reference algorithm (custom_leiden.py:534-599), monotone and
+        # exact, and one drain is faster than fast-mode supersteps plus a
+        # fallback. Fast mode exists for the scale the drain can't hold.
+        lock_this = cfg.lock_communities or cur.V <= _moving.SEQ_V_MAX or (
             ctl0 is not None and ctl0.get("phase") == "lock")
         states, moves, steps = run_local_moving(
             cur, states, "cpm", cfg.gamma, cfg.seed + 1000 * level,

@@ -649,6 +649,30 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
                 ckpt_cb=ckpt_cb, lock_communities=True)
         return states, total_moves, step
     P = graph.P
+    if graph.V <= LOCK_DRAIN_V_MAX:
+        # Graphs that fit one worker run the reference's sequential queue
+        # algorithm in one task: exact monotone convergence instead of
+        # ~100 colored-BSP supersteps. The drain is a function of the
+        # graph alone (any P), and resume needs no mid-level state: one
+        # drain-end checkpoint is published; a crash mid-drain resumes
+        # from the pre-drain checkpoint and re-drains the identical state
+        # to the identical fixpoint.
+        merged, moved_ref = _run_seq_level_task.remote(
+            kind, param, *graph.parts, *states)
+        moved = int(ray.get(moved_ref))
+        total_moves += moved
+        step = start_step
+        if P == 1:
+            out_states = [merged]
+        else:
+            out_states = [_slice_state.remote(merged, lo, hi)
+                          for lo, hi in graph.ranges()]
+        if ckpt_cb is not None:
+            ckpt_cb(step, out_states,
+                    {"moves": moved, "active": 0,
+                     "total_moves": total_moves, "best_active": 0,
+                     "since_best": 0, "phase": "lock"})
+        return out_states, total_moves, step
     if P == 1 and ckpt_cb is None and not ctl:
         # whole-level in-process lock loop (bit-identical, see
         # _run_lock_level_task); checkpointed/resumed levels keep the
@@ -662,6 +686,9 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     stall_window = 8
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
+    if best_active is not None and since_best >= stall_window:
+        # resumed exactly at the stall step: return without another wave
+        return states, total_moves, step
     # No speculation here (unlike _run_fast): lock supersteps are
     # kernel-heavy full-gather waves, and measured end-to-end the wasted
     # speculative work past each level's break point COSTS more than the
@@ -832,6 +859,139 @@ def _level_gather(ctx, comm, active, with_prio, superstep, seed):
     return d, c, w, d2, p2
 
 
+# ------------------------------------------------- sequential drain ----
+
+# Graphs at or below this vertex count skip fast mode entirely and run
+# local moving as the reference's sequential queue algorithm (matches
+# coarsen's P=1 collapse threshold, so every coarse Leiden level drains).
+SEQ_V_MAX = 32_768
+
+# Lock-mode EXECUTION strategy cutover: at or below this vertex count the
+# lock phase (stall fallback or explicit lock_communities) runs as the
+# in-process sequential drain — one task holding the merged graph
+# (~1.5 GB at V=1M with E~60M). Above it, the distributed colored-BSP
+# claims loop runs: at 100 TB scale V >> this and the drain never applies.
+# Module attribute (read at call time) so tests can force the distributed
+# path on small fixtures.
+LOCK_DRAIN_V_MAX = 1 << 20
+
+
+def _seq_queue_core(offsets, indices, weights, self_w, deg_w, comm, vals,
+                    active, kind, param):
+    """The reference's COMPLETE sequential queue local moving
+    (custom_leiden.py:534-599) with the SURVEY §7.4 determinization: FIFO
+    queue seeded with the active vertices in ascending id, greedy argmax
+    community choice (the lowest community id among candidates within
+    1e-15 of the max — the oracle's ascending scan), and a mover
+    re-enqueuing its neighbors outside its new community in
+    sorted-adjacency order. EXACT: drains to a state where no
+    single-vertex move improves the objective — no superstep cap, no
+    limit cycles, no stall guard. Same ΔCPM/Δmod formulas as _eval_core
+    (leiden_kernel.cu:135; self-loop counted in k_v→C per
+    custom_leiden.py:88-94).
+
+    In-process only (V <= SEQ_V_MAX): the dense `tot` array is O(V) by
+    design here — at most 32k entries inside a single task, never
+    broadcast. comm/active are modified in place; vals = agg counts (CPM)
+    or weighted degree (modularity); param = gamma or m.
+    Returns the number of applied moves."""
+    from collections import deque
+
+    V = len(comm)
+    tot = np.zeros(V, np.float64)
+    np.add.at(tot, comm, vals)
+    q = deque(np.flatnonzero(active).tolist())
+    in_q = active.copy()
+    moved = 0
+    is_cpm = kind == "cpm"
+    while q:
+        v = q.popleft()
+        in_q[v] = False
+        active[v] = False
+        lo, hi = offsets[v], offsets[v + 1]
+        nbrs = indices[lo:hi]
+        nw = weights[lo:hi]
+        ns = nbrs != v
+        if not ns.all():
+            nbrs, nw = nbrs[ns], nw[ns]
+        if not len(nbrs):
+            continue
+        nc = comm[nbrs]
+        cids, inv = np.unique(nc, return_inverse=True)
+        ks = np.bincount(inv, weights=nw)
+        old = comm[v]
+        sw = self_w[v]
+        i_old = int(np.searchsorted(cids, old))
+        has_old = i_old < len(cids) and cids[i_old] == old
+        k_old = sw + (ks[i_old] if has_old else 0.0)
+        k_new = ks + sw
+        a_v = vals[v]
+        if is_cpm:
+            delta = ((k_new - param * a_v * tot[cids])
+                     - (k_old - param * a_v * (tot[old] - a_v)))
+        else:
+            delta = ((k_new - k_old) / param
+                     + a_v * (tot[old] - tot[cids] - a_v)
+                     / (2.0 * param * param))
+        if has_old:
+            delta[i_old] = -np.inf
+        # the oracle's ascending scan keeps the LOWEST community id among
+        # candidates within 1e-15 of the max (mathematically equal deltas
+        # land ~1e-17 apart in float; distinct ones differ by >> 1e-15)
+        M = delta.max()
+        if not (M > 1e-15):
+            continue
+        bi = int(np.argmax(delta > M - 1e-15))
+        best = int(cids[bi])
+        tot[old] -= a_v
+        tot[best] += a_v
+        comm[v] = best
+        moved += 1
+        wake = nbrs[(nc != best) & ~in_q[nbrs]]
+        if len(wake):
+            in_q[wake] = True
+            active[wake] = True
+            q.extend(wake.tolist())
+    return moved
+
+
+@ray.remote(num_returns=2)
+def _run_seq_level_task(kind, param, *parts_and_states):
+    """Whole-graph sequential drain in ONE task (V <= SEQ_V_MAX).
+
+    Merges the contiguous partition CSRs/states (partitions own ascending
+    [vlo, vhi) ranges covering [0, V)), runs _seq_queue_core, returns the
+    merged final state + applied move count. The merge makes the result a
+    function of the GRAPH alone, so it is bit-identical at every partition
+    count — the cross-P determinism invariant the colored-BSP path keeps."""
+    P = len(parts_and_states) // 2
+    csrs = parts_and_states[:P]
+    sts = parts_and_states[P:]
+    indices = np.concatenate([c["indices"] for c in csrs])
+    weights = np.concatenate([c["weights"] for c in csrs])
+    offs = [np.asarray(csrs[0]["offsets"])]
+    shift = len(csrs[0]["indices"])
+    for c in csrs[1:]:
+        offs.append(np.asarray(c["offsets"][1:]) + shift)
+        shift += len(c["indices"])
+    offsets = np.concatenate(offs)
+    self_w = np.concatenate([c["self_w"] for c in csrs])
+    deg_w = np.concatenate([c["deg_w"] for c in csrs])
+    comm = np.concatenate([np.asarray(s["comm"]) for s in sts])
+    agg = np.concatenate([np.asarray(s["agg"]) for s in sts])
+    active = np.concatenate([np.asarray(s["active"]) for s in sts])
+    vals = agg.astype(np.float64) if kind == "cpm" else deg_w
+    moved = _seq_queue_core(offsets, indices, weights, self_w, deg_w,
+                            comm, vals, active, kind, param)
+    return {"comm": comm, "agg": agg, "active": active}, moved
+
+
+@ray.remote
+def _slice_state(state, lo, hi):
+    return {"comm": state["comm"][lo:hi], "agg": state["agg"][lo:hi],
+            "active": state["active"][lo:hi]}
+
+
 @ray.remote(num_returns=3)
 def _run_lock_level_task(csr, state, kind, param, seed, max_supersteps,
                          start_step, total_moves):
@@ -974,6 +1134,10 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     best_active = ctl.get("best_active")
     since_best = ctl.get("since_best", 0)
     prev_moved = ctl.get("prev_moved")
+    if best_active is not None and since_best >= stall_window:
+        # resumed exactly at the stall step: the uninterrupted run broke
+        # before applying another superstep — do the same
+        return states, total_moves, start_step - 1, True
 
     # Pipelined submission: up to `lookahead` supersteps are in flight
     # before the driver reads the metrics that decide termination. The DAG

@@ -47,14 +47,17 @@ class LeidenConfig:
     # superstep stale, so the objective is not guaranteed monotone within a
     # superstep. When the stall guard detects a limit cycle, the level
     # FALLS BACK to lock mode (moving.run_local_moving lock_fallback) and
-    # finishes under the monotone per-community try-lock semantics instead
-    # of ending unconverged; use lock_communities=True to run strictly
-    # monotone from the first superstep. Lock-mode resting follows the
-    # reference's complete Python queue semantics (a visited vertex with
-    # no improving move leaves the frontier and re-enters only when a
-    # neighbor moves, custom_leiden.py:584-593) rather than the CUDA
-    # visited-flags, which on dense coarse graphs drain at only
-    # ~V/avg_degree vertices per superstep — see moving._eval_core.
+    # finishes monotonically instead of ending unconverged; use
+    # lock_communities=True to run strictly monotone from the first
+    # superstep. Lock-mode EXECUTION depends on graph size: graphs that
+    # fit one worker (V <= moving.LOCK_DRAIN_V_MAX) run the reference's
+    # COMPLETE sequential queue algorithm in-process
+    # (moving._seq_queue_core, custom_leiden.py:534-599 — exact monotone
+    # convergence, no superstep cap); larger graphs run the distributed
+    # colored-BSP per-community claims loop with queue-semantics resting
+    # (see moving._eval_core). Graphs at or below moving.SEQ_V_MAX —
+    # every coarse Leiden level, by coarsen's P=1 collapse — skip fast
+    # mode entirely and drain directly.
     lock_communities: bool = False
 
 

@@ -84,7 +84,9 @@ def _move_nodes_fast(adj, nodes, comm, agg, gamma):
         comm_agg[best] += agg[v]
         comm[v] = best
         moved_any = True
-        for u in adj[v]:
+        # §7.4 determinization: re-enqueue in ascending id order (the
+        # reference appends in adj-dict insertion order)
+        for u in sorted(adj[v]):
             if u != v and comm[u] != best and u not in in_q:
                 q.append(u)
                 in_q.add(u)

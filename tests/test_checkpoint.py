@@ -27,10 +27,12 @@ def test_kill_and_resume_bitwise_identical(tmp_path):
     refs, info = leiden(g1, cfg)
     expected = _final(refs)
 
+    # every level drains in one pass now (sequential queue), so the run
+    # publishes one checkpoint per level — crash at the first one
     ck = Checkpointer(str(tmp_path), "leiden")
     g2 = build_graph_from_arrays(src, dst, w, P=2)
     with pytest.raises(CheckpointCrash):
-        leiden(g2, cfg, checkpointer=ck, crash_after=3)
+        leiden(g2, cfg, checkpointer=ck, crash_after=1)
 
     man = ck.latest()
     assert man is not None and man["algorithm"] == "leiden"
@@ -127,7 +129,7 @@ def test_kill_and_resume_via_shared_uri_root(tmp_path):
     ck = Checkpointer(root, "leiden")
     g2 = build_graph_from_arrays(src, dst, w, P=2)
     with pytest.raises(CheckpointCrash):
-        leiden(g2, cfg, checkpointer=ck, crash_after=3)
+        leiden(g2, cfg, checkpointer=ck, crash_after=1)
     assert ck.latest() is not None
 
     g3 = build_graph_from_arrays(src, dst, w, P=2)
@@ -174,7 +176,10 @@ def test_resume_mid_lock_fallback_phase(tmp_path):
     g2 = build_graph_from_arrays(src, dst, w, P=2)
     leiden(g2, cfg, checkpointer=probe)
     assert "lock" in probe.phases, "fixture must trigger the lock fallback"
-    crash_at = probe.phases.index("lock") + 2  # two ckpts into lock phase
+    # the sequential lock drain publishes ONE drain-end checkpoint per
+    # level: crash exactly at the first lock-phase checkpoint, so resume
+    # re-enters the lock phase on the drained state
+    crash_at = probe.phases.index("lock") + 1
 
     ck = Checkpointer(str(tmp_path / "real"), "leiden")
     g3 = build_graph_from_arrays(src, dst, w, P=2)
