@@ -81,8 +81,12 @@ def run_single(graph_only: bool = False) -> dict:
     # the same computation the reference CUDA benchmark times (its 10.662s
     # youtube-links figure is 10 greedy local-moving supersteps); the
     # quality-refining lock tail is part of the full-leiden stage below.
+    # scaling legs take min-of-3: the efficiency ratio is hostage to
+    # hypervisor noise amplified by BSP barriers (max-of-P per wave), and
+    # the min is the defensible estimate of the machine's true rate
+    n_reps = 3 if os.environ.get("GRAFT_SCALING_LEG") == "1" else 2
     t_lm = float("inf")
-    for _rep in range(2):
+    for _rep in range(n_reps):
         t0 = time.perf_counter()
         states = [init_move_state.remote(graph.parts[i])
                   for i in range(graph.P)]
@@ -120,7 +124,7 @@ def run_single(graph_only: bool = False) -> dict:
         modularity = q["modularity"]
 
     t_pr = float("inf")
-    for _rep in range(2):
+    for _rep in range(n_reps):
         t0 = time.perf_counter()
         ranks, pr_iters, _err = pagerank(graph)
         ray.get(ranks)
@@ -193,23 +197,30 @@ def run_scaling() -> dict:
     # analysis; override with GRAFT_SCALING_CPUS)
     pair = [int(x) for x in
             os.environ.get("GRAFT_SCALING_CPUS", "2,8").split(",")]
+    # the sandbox host shows 2x hypervisor-noise swings drifting over
+    # minutes; alternating the legs (lo, hi, lo, hi) and keeping each
+    # leg's best run de-skews the ratio from that drift
+    rounds = int(os.environ.get("GRAFT_SCALING_ROUNDS", "2"))
     out = {}
-    for cpus in pair:
-        env = dict(os.environ)
-        env["RAY_GRAFT_CPUS"] = str(cpus)
-        env["GRAFT_SCALING_LEG"] = "1"
-        proc = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--single-json",
-             "--graph-only"],
-            capture_output=True, text=True, env=env, cwd=os.path.dirname(
-                os.path.abspath(__file__)))
-        lines = [l for l in proc.stdout.strip().splitlines() if
-                 l.startswith("{")]
-        if not lines:
-            raise RuntimeError(
-                f"bench subprocess (cpus={cpus}) produced no JSON:\n"
-                f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
-        out[cpus] = json.loads(lines[-1])
+    for _round in range(rounds):
+        for cpus in pair:
+            env = dict(os.environ)
+            env["RAY_GRAFT_CPUS"] = str(cpus)
+            env["GRAFT_SCALING_LEG"] = "1"
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--single-json", "--graph-only"],
+                capture_output=True, text=True, env=env,
+                cwd=os.path.dirname(os.path.abspath(__file__)))
+            lines = [l for l in proc.stdout.strip().splitlines() if
+                     l.startswith("{")]
+            if not lines:
+                raise RuntimeError(
+                    f"bench subprocess (cpus={cpus}) produced no JSON:\n"
+                    f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
+            leg = json.loads(lines[-1])
+            if cpus not in out or leg["value"] > out[cpus]["value"]:
+                out[cpus] = leg
     lo, hi = pair
     t_lo = out[lo]["value"]
     t_hi = out[hi]["value"]
