@@ -15,6 +15,7 @@ from leiden_cuda_ray.algorithms.leiden import (
     _n_distinct,
     _n_distinct_part,
 )
+from leiden_cuda_ray.algorithms import moving as _moving
 from leiden_cuda_ray.algorithms.moving import init_move_state, run_local_moving
 from leiden_cuda_ray.config import LouvainConfig
 from leiden_cuda_ray.graph.build import Graph
@@ -30,9 +31,13 @@ def louvain(graph: Graph, cfg: LouvainConfig = LouvainConfig()):
     for level in range(cfg.max_levels):
         states = [init_move_state.remote(cur.parts[i])
                   for i in range(cur.P)]
+        # same size gating as Leiden: graphs small enough for the
+        # in-process sequential drain skip the non-monotone fast mode
         states, moves, steps = run_local_moving(
             cur, states, "mod", cur.m, cfg.seed + 1000 * level,
-            cfg.max_supersteps, lock_communities=cfg.lock_communities)
+            cfg.max_supersteps,
+            lock_communities=(cfg.lock_communities
+                              or cur.V <= _moving.SEQ_V_MAX))
         comm_refs = [_get_comm.remote(s) for s in states]
         n_comms = ray.get(_n_distinct.remote(
             *[_n_distinct_part.remote(s) for s in states]))
