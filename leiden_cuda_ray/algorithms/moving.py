@@ -935,13 +935,27 @@ def _seq_queue_core(offsets, indices, weights, self_w, deg_w, comm, vals,
                      / (2.0 * param * param))
         if has_old:
             delta[i_old] = -np.inf
-        # the oracle's ascending scan keeps the LOWEST community id among
-        # candidates within 1e-15 of the max (mathematically equal deltas
-        # land ~1e-17 apart in float; distinct ones differ by >> 1e-15)
+        # Reference tie rule (custom_leiden.py:428-450 determinized):
+        # ascending scan updating on `d > best + 1e-15`. Equivalent here:
+        # among the near-max set run the same scan (it keeps the lowest
+        # community id across mathematically-equal deltas, which land
+        # ~ulp apart in float; distinct ones differ by >> 1e-15). NB the
+        # subtraction M - 1e-15 rounds back to M once ulp(M)/2 > 1e-15,
+        # making the mask empty — fall back to the exact-max set, which
+        # is what the oracle's scan degrades to at that magnitude.
         M = delta.max()
         if not (M > 1e-15):
             continue
-        bi = int(np.argmax(delta > M - 1e-15))
+        sel = np.flatnonzero(delta > M - 1e-15)
+        if len(sel) == 0:
+            sel = np.flatnonzero(delta == M)
+        bi = int(sel[0])
+        bd = delta[bi]
+        for j in sel[1:]:
+            dj = delta[j]
+            if dj > bd + 1e-15:
+                bd = dj
+                bi = int(j)
         best = int(cids[bi])
         tot[old] -= a_v
         tot[best] += a_v

@@ -61,6 +61,44 @@ def test_seq_queue_matches_oracle_exactly(gamma):
     assert moved > 0  # the drain did real work
 
 
+def test_seq_queue_weighted_large_deltas():
+    """Regression: with edge weights >> 1 the best delta exceeds the
+    magnitude where `M - 1e-15` rounds back to M; the near-max mask went
+    empty and argmax(all-False) = 0 picked a garbage move (possibly the
+    -inf own-community slot). The drain must stay oracle-exact and CPM
+    (which starts at 0 from singletons) must end non-negative."""
+    src, dst, w, n = _er_graph(seed=23)
+    rng = np.random.RandomState(7)
+    w = (10.0 * rng.randint(1, 11, len(src))).astype(np.float64)
+    gamma = 0.05
+
+    s = np.concatenate([src, dst])
+    d = np.concatenate([dst, src])
+    ww = np.concatenate([w, w])
+    csr = build_partition_csr(s, d, ww, 0, n)
+    comm = np.arange(n, dtype=np.int64)
+    moved = _seq_queue_core(csr["offsets"], csr["indices"], csr["weights"],
+                            csr["self_w"], csr["deg_w"], comm,
+                            np.ones(n, np.float64), np.ones(n, bool),
+                            "cpm", gamma)
+    assert moved > 0
+
+    adj, nodes = _build_adj(src, dst, w)
+    ocomm, _ = _move_nodes_fast(adj, nodes, {v: v for v in nodes},
+                                {v: 1.0 for v in nodes}, gamma)
+    expected = np.array([ocomm.get(v, v) for v in range(n)], np.int64)
+    assert np.array_equal(comm, expected)
+
+    # CPM must not go below its singleton start (0): every applied move
+    # claims a positive delta
+    srcg = np.repeat(np.arange(n, dtype=np.int64), np.diff(csr["offsets"]))
+    intra = comm[srcg] == comm[csr["indices"]]
+    w_in = csr["weights"][intra].sum() / 2.0
+    sizes = np.bincount(comm, minlength=n).astype(np.float64)
+    cpm = w_in - gamma * (sizes * (sizes - 1) / 2).sum()
+    assert cpm > 0
+
+
 def test_seq_queue_second_drain_matches_oracle_second_drain():
     """Re-draining the drained state stays in lockstep with the oracle
     (the queue rule wakes only MOVERS' neighbors, so a second all-active
