@@ -159,10 +159,13 @@ def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
     one bucket per ~distinct document."""
     import ray
 
-    refs = banded_ds.materialize().to_arrow_refs()
+    banded_mat = banded_ds.materialize()
+    refs = banded_mat.to_arrow_refs()
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    K = max(1, min(cpus, 32))
-    n_map = max(1, min(len(refs), 4 * cpus))
+    # width scales with DATA, not cpus: K reducers x K returns is pure
+    # overhead when the banded row count is small
+    K = max(1, min(cpus, 32, -(-banded_mat.count() // 250_000)))
+    n_map = max(1, min(len(refs), 4 * K))
     groups = [refs[i::n_map] for i in range(n_map)]
 
     def _map(K, *blocks):
@@ -252,7 +255,83 @@ def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
         out_blocks = [outs[0][0]]
     import ray.data
 
-    return ray.data.from_arrow_refs(out_blocks)
+    return ray.data.from_arrow_refs(out_blocks), int(sum(counts))
+
+
+# Pair sets at or below this size estimate Jaccard via a broadcast
+# semi-join (one task holds the <= 2*cap signature subset, ~256 MB at the
+# cap) instead of two Ray Data hash joins, whose fixed shuffle cost
+# (2 x num_partitions aggregator actors + full signature-table shuffle)
+# dwarfs small pair sets. Above the cap — the regime a 100-TB corpus's
+# duplicate mass actually produces — the join path runs unchanged.
+_SMALL_PAIRS_MAX = 250_000
+
+
+def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
+                              threshold):
+    """est_jaccard for a SMALL pair set: broadcast the pair-member id set,
+    filter the signature table to members (vectorized searchsorted), and
+    compare signatures for all pairs in one task."""
+    import ray
+    import ray.data
+
+    tables = ray.get(pairs_ds.to_arrow_refs())
+    lo = np.concatenate([np.asarray(t.column("doc_a"), np.int64)
+                         for t in tables]) if tables else \
+        np.empty(0, np.int64)
+    hi = np.concatenate([np.asarray(t.column("doc_b"), np.int64)
+                         for t in tables]) if tables else \
+        np.empty(0, np.int64)
+    empty = pa.table({"doc_a": pa.array([], pa.int64()),
+                      "doc_b": pa.array([], pa.int64()),
+                      "est_jaccard": pa.array([], pa.float64())})
+    if not len(lo):
+        return ray.data.from_arrow(empty)
+    members_ref = ray.put(np.unique(np.concatenate([lo, hi])))
+
+    def sel(batch: pa.Table) -> pa.Table:
+        members = ray.get(members_ref)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        pos = np.searchsorted(members, ids)
+        pos[pos == len(members)] = 0
+        keep = members[pos] == ids
+        if not keep.any():
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             "sig": pa.array([], pa.list_(pa.int64()))})
+        return batch.select([id_col, "sig"]).filter(pa.array(keep))
+
+    sub_refs = sig_ds.map_batches(
+        sel, batch_format="pyarrow",
+        zero_copy_batch=True).materialize().to_arrow_refs()
+
+    def assemble(lo, hi, *blocks):
+        ids_l, sig_l = [], []
+        for t in blocks:
+            if t.num_rows == 0:
+                continue
+            n = t.num_rows
+            ids_l.append(np.asarray(t.column(id_col), np.int64))
+            sig_l.append(np.asarray(
+                t.column("sig").combine_chunks().flatten(),
+                np.int64).reshape(n, -1))
+        if not ids_l:
+            return empty
+        ids = np.concatenate(ids_l)
+        sigs = np.concatenate(sig_l)
+        order = np.argsort(ids)
+        ids, sigs = ids[order], sigs[order]
+        ia = np.searchsorted(ids, lo)
+        ib = np.searchsorted(ids, hi)
+        est = (sigs[ia] == sigs[ib]).mean(axis=1)
+        keep = est >= threshold
+        return pa.table({
+            "doc_a": pa.array(lo[keep], pa.int64()),
+            "doc_b": pa.array(hi[keep], pa.int64()),
+            "est_jaccard": pa.array(est[keep], pa.float64()),
+        })
+
+    out = ray.remote(assemble).remote(lo, hi, *sub_refs)
+    return ray.data.from_arrow_refs([out])
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
@@ -307,10 +386,18 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
             id_col: pa.array(out_id, pa.int64()),
         })
 
+    # signatures are consumed twice (banding + the estimate's semi-join);
+    # materialize the compact (id, sig) table once instead of recomputing
+    # the shingle->minhash lineage per consumer
+    sig_ds = sig_ds.materialize()
     banded = sig_ds.map_batches(to_bands, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    pairs = _bucket_pairs_exchange(banded, id_col, bucket_cap)
+    pairs, n_pairs = _bucket_pairs_exchange(banded, id_col, bucket_cap)
+
+    if n_pairs <= _SMALL_PAIRS_MAX:
+        return _estimate_pairs_broadcast(pairs, sig_ds, id_col, num_perm,
+                                         threshold)
 
     # attach both signatures (pair set << corpus) and estimate exactly.
     # Arrow hash joins reject list<> payload columns, so signatures travel

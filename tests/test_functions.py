@@ -39,6 +39,22 @@ def test_minhash_finds_near_dups(docs_ds):
     assert (0, 3) not in got  # unrelated
 
 
+def test_lsh_join_path_matches_broadcast_path(docs_ds, monkeypatch):
+    """Large pair sets take the Ray-Data-join estimate path; it must
+    produce the identical pairs as the small-set broadcast path."""
+    from leiden_cuda_ray.functions import dedup
+
+    sigs = dedup.minhash_signatures(docs_ds)
+    small = dedup.lsh_candidate_pairs(sigs, threshold=0.5).to_pandas()
+    monkeypatch.setattr(dedup, "_SMALL_PAIRS_MAX", -1)
+    joined = dedup.lsh_candidate_pairs(sigs, threshold=0.5).to_pandas()
+    key = ["doc_a", "doc_b"]
+    a = small.sort_values(key).reset_index(drop=True)
+    b = joined.sort_values(key).reset_index(drop=True)
+    assert a[key].equals(b[key])
+    assert np.allclose(a["est_jaccard"], b["est_jaccard"])
+
+
 def test_minhash_dedup_keepers(docs_ds):
     from leiden_cuda_ray.functions.dedup import minhash_dedup_keepers
 
