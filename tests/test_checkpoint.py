@@ -162,6 +162,39 @@ class _SpyCheckpointer(Checkpointer):
         super().save_superstep(level, step, graph, states, metrics)
 
 
+def test_resume_at_stall_point_enters_drain(tmp_path, monkeypatch):
+    """Production path for V in (SEQ_V_MAX, LOCK_DRAIN_V_MAX]: fast
+    supersteps -> stall guard -> in-process drain. Crash at the LAST
+    fast-phase checkpoint (the stall step): resume must restore the
+    loop-control state, detect the stall WITHOUT applying another fast
+    superstep, and re-drain to the uninterrupted result bit-identically."""
+    from leiden_cuda_ray.algorithms import moving
+
+    monkeypatch.setattr(moving, "SEQ_V_MAX", 0)  # keep fast-first
+    src, dst, w = _torus_edges()
+    cfg = LeidenConfig(gamma=0.05)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+
+    probe = _SpyCheckpointer(str(tmp_path / "probe"), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    leiden(g2, cfg, checkpointer=probe)
+    assert "fast" in probe.phases and "lock" in probe.phases
+    crash_at = probe.phases.index("lock")  # last fast ckpt = stall step
+    assert probe.phases[crash_at - 1] == "fast"
+
+    ck = Checkpointer(str(tmp_path / "real"), "leiden")
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g3, cfg, checkpointer=ck, crash_after=crash_at)
+    assert ck.latest()["metrics"]["phase"] == "fast"
+
+    g4 = build_graph_from_arrays(src, dst, w, P=2)
+    refs4, _ = leiden(g4, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs4), expected)
+
+
 def test_resume_mid_lock_fallback_phase(tmp_path):
     """Crash INSIDE the stall-guard lock-fallback phase; resume must
     re-enter the lock loop (phase recorded in the manifest metrics) and
