@@ -612,15 +612,20 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
     take the stall-guard decisions at exactly the supersteps an
     uninterrupted run would (the bit-identical-resume guarantee).
 
-    lock_communities=True reproduces the CUDA reference's per-community
-    try-locks (at most ONE membership change per community per superstep,
-    leiden_kernel.cu:144-159) as a deterministic claims reduce. The default
-    False skips the claims exchange entirely: in BSP the community totals
-    are recomputed from scratch next superstep, so the lock's consistency
-    role disappears and the hash-priority coloring alone prevents adjacent
-    conflicting moves — communities can absorb many vertices per superstep,
-    cutting superstep counts by an order of magnitude on large groups.
-    Both modes are deterministic for any partition count P.
+    lock_communities=True runs the monotone reference semantics. Its
+    EXECUTION is size-gated: graphs fitting one worker
+    (V <= LOCK_DRAIN_V_MAX) drain in-process with the reference's
+    sequential queue algorithm (_seq_queue_core, custom_leiden.py:534-599
+    — exact convergence, oracle-verified move-for-move); larger graphs
+    run the CUDA reference's per-community try-locks
+    (leiden_kernel.cu:144-159) as a distributed deterministic claims
+    reduce. The default False skips the claims exchange entirely: in BSP
+    the community totals are recomputed from scratch next superstep, so
+    the lock's consistency role disappears and the hash-priority coloring
+    alone prevents adjacent conflicting moves — communities can absorb
+    many vertices per superstep, cutting superstep counts by an order of
+    magnitude on large groups. All modes are deterministic for any
+    partition count P.
 
     Stall guard: limit cycles of the simultaneous-move dynamics (periodic
     move patterns that never converge) are detected by the frontier size —
