@@ -103,10 +103,10 @@ def run_single(graph_only: bool = False) -> dict:
     # the same computation the reference CUDA benchmark times (its 10.662s
     # youtube-links figure is 10 greedy local-moving supersteps); the
     # quality-refining lock tail is part of the full-leiden stage below.
-    # scaling legs take min-of-3: the efficiency ratio is hostage to
-    # hypervisor noise amplified by BSP barriers (max-of-P per wave), and
-    # the min is the defensible estimate of the machine's true rate
-    n_reps = 3 if os.environ.get("GRAFT_SCALING_LEG") == "1" else 2
+    # min-of-3: the timings are hostage to hypervisor noise amplified by
+    # BSP barriers (max-of-P per wave); the min is the defensible
+    # estimate of the machine's true rate
+    n_reps = 3
     t_lm = float("inf")
     for _rep in range(n_reps):
         t0 = time.perf_counter()
