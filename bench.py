@@ -187,6 +187,25 @@ def run_single(graph_only: bool = False) -> dict:
         text.token_stats(ray.data.read_parquet(docs_path)).count()
         queries["token_stats"] = time.perf_counter() - t0
 
+        t0 = time.perf_counter()
+        text.language_id(ray.data.read_parquet(docs_path)).count()
+        text.quality_score(ray.data.read_parquet(docs_path)).count()
+        queries["langid_quality"] = time.perf_counter() - t0
+
+    emb_path = f"{sf_dir}/embeddings.parquet"
+    if not graph_only and os.path.exists(emb_path):
+        import numpy as np
+
+        from leiden_cuda_ray.functions import similarity
+
+        emb = ray.data.read_parquet(emb_path)
+        first = emb.take(8)
+        qmat = np.stack([np.asarray(r["embedding"], np.float32)
+                         for r in first])
+        t0 = time.perf_counter()
+        similarity.knn_brute(emb, qmat, k=5).count()
+        queries["knn_brute"] = time.perf_counter() - t0
+
     supersteps = lm_steps + pr_iters
     value = graph.sym_edges * supersteps / (t_lm + t_pr)
 
