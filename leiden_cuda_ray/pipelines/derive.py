@@ -48,12 +48,18 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
     """
     # column-pruned reads: never ship `content` to stages that don't need it
     corpus_meta = read_corpus(corpus_path, columns=["repo", "path"])
-    # materialize shared intermediates: Datasets are lazy, so every consumer
-    # would otherwise re-execute the upstream chain (ft feeds the numbering
-    # AND the import resolution)
-    ft = file_table(corpus_meta).materialize()
-    numbering, num_vertices = build_vertex_numbering(ft)
+    # numbering sorts the raw (repo, path) rows and dedups INSIDE the
+    # sorted blocks (stages/numbering.py) — no standalone groupby-distinct
+    # shuffle; the file table (distinct + stem) then derives from the
+    # numbering with a stateless map instead of its own shuffle
+    numbering, num_vertices = build_vertex_numbering(corpus_meta,
+                                                     dedup=True)
     numbering = numbering.materialize()
+    from leiden_cuda_ray.stages.imports import _stem_batch
+
+    ft = numbering.select_columns(["repo", "path"]).map_batches(
+        _stem_batch, batch_format="pyarrow",
+        zero_copy_batch=True).materialize()
 
     from leiden_cuda_ray.stages.idmap import build_vertex_maps
 

@@ -43,11 +43,69 @@ def zip_with_index(ds, id_column: str = "vertex"):
     return ray.data.from_arrow_refs(out_refs), int(np.sum(counts))
 
 
-def build_vertex_numbering(file_table_ds):
-    """Dataset[repo, path, ...] (distinct) → (Dataset[repo, path, vertex], V).
+def _dedup_sorted_refs(refs, keys: list[str]):
+    """Distinct rows of globally-sorted blocks, without another shuffle.
 
-    Deterministic: ids are the rank in (repo, path) sort order.
+    Per-block consecutive dedup runs in parallel tasks; only each block's
+    boundary keys (first/last row) reach the driver, which drops a
+    block-leading row when it equals the previous block's last key —
+    duplicates of one key split across blocks collapse to its first
+    occurrence. Returns the deduped block refs."""
+    import ray
+
+    @ray.remote(num_returns=3)
+    def _dedup_block(t: pa.Table, keys):
+        if t.num_rows == 0:
+            return t, None, None
+        cols = [np.asarray(t.column(k)).astype(object) for k in keys]
+        keep = np.ones(t.num_rows, bool)
+        # a row is a duplicate only if EVERY key equals the previous row's
+        same = np.ones(t.num_rows - 1, bool)
+        for c in cols:
+            same &= c[1:] == c[:-1]
+        keep[1:] = ~same
+        first = tuple(c[0] for c in cols)
+        last = tuple(c[-1] for c in cols)
+        return t.filter(pa.array(keep)), first, last
+
+    @ray.remote
+    def _drop_first(t: pa.Table) -> pa.Table:
+        return t.slice(1)
+
+    out = [list(_dedup_block.remote(r, keys)) for r in refs]
+    firsts = ray.get([o[1] for o in out])
+    lasts = ray.get([o[2] for o in out])
+    deduped = []
+    prev_last = None
+    for (tref, _f, _l), first, last in zip(out, firsts, lasts):
+        if first is None:
+            continue
+        if prev_last is not None and first == prev_last:
+            tref = _drop_first.remote(tref)
+            # a block holding only duplicates of prev_last becomes empty;
+            # its last key equals prev_last, so the chain continues
+        deduped.append(tref)
+        prev_last = last
+    return deduped
+
+
+def build_vertex_numbering(file_table_ds, dedup: bool = False):
+    """Dataset[repo, path, ...] → (Dataset[repo, path, vertex], V).
+
+    Deterministic: ids are the rank in (repo, path) sort order. With
+    dedup=True the input may contain duplicate (repo, path) rows (e.g.
+    one row per commit): the distinct happens INSIDE the sort's output
+    blocks (_dedup_sorted_refs) instead of a separate groupby shuffle.
     """
+    import ray
+    import ray.data
+
     sorted_ds = file_table_ds.select_columns(["repo", "path"]).sort(
         ["repo", "path"])
-    return zip_with_index(sorted_ds, "vertex")
+    if not dedup:
+        return zip_with_index(sorted_ds, "vertex")
+    refs = sorted_ds.materialize().to_arrow_refs()
+    deduped = _dedup_sorted_refs(refs, ["repo", "path"])
+    if not deduped:
+        deduped = refs[:1]
+    return zip_with_index(ray.data.from_arrow_refs(deduped), "vertex")
