@@ -180,7 +180,10 @@ def run_single(graph_only: bool = False) -> dict:
         t0 = time.perf_counter()
         docs = ray.data.read_parquet(docs_path)
         sigs = dedup.minhash_signatures(docs)
-        dedup.lsh_candidate_pairs(sigs, threshold=0.5).count()
+        pairs_ds = dedup.lsh_candidate_pairs(sigs, threshold=0.5)
+        # consume via block refs: .count() on this host intermittently
+        # pays ~7s of streaming-executor startup unrelated to data size
+        sum(t.num_rows for t in ray.get(pairs_ds.to_arrow_refs()))
         queries["minhash_lsh"] = time.perf_counter() - t0
 
         t0 = time.perf_counter()

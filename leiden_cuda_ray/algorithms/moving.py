@@ -680,8 +680,10 @@ def run_local_moving(graph: Graph, states: list, kind: str, param: float,
         return out_states, total_moves, step
     if P == 1 and ckpt_cb is None and not ctl:
         # whole-level in-process lock loop (bit-identical, see
-        # _run_lock_level_task); checkpointed/resumed levels keep the
-        # distributed path so the saved state sequence is unchanged
+        # _run_lock_level_task) — the niche above the drain cutover:
+        # single-partition graphs with V > LOCK_DRAIN_V_MAX (super-sparse
+        # giants); checkpointed/resumed levels keep the distributed path
+        # so the saved state sequence is unchanged
         state, tot, step = _run_lock_level_task.remote(
             graph.parts[0], states[0], kind, param, seed, max_supersteps,
             start_step, total_moves)
