@@ -162,10 +162,11 @@ def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
     banded_mat = banded_ds.materialize()
     refs = banded_mat.to_arrow_refs()
     cpus = int(ray.cluster_resources().get("CPU", 4))
-    # width scales with DATA, not cpus: K reducers x K returns is pure
-    # overhead when the banded row count is small
-    K = max(1, min(cpus, 32, -(-banded_mat.count() // 250_000)))
-    n_map = max(1, min(len(refs), 4 * K))
+    # reducer width follows CPUs, not input rows: the reduce work is the
+    # PAIR emission, which can be quadratic in bucket size and therefore
+    # much larger than the banded input
+    K = max(1, min(cpus, 32))
+    n_map = max(1, min(len(refs), 4 * cpus))
     groups = [refs[i::n_map] for i in range(n_map)]
 
     def _map(K, *blocks):
@@ -258,20 +259,23 @@ def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
     return ray.data.from_arrow_refs(out_blocks), int(sum(counts))
 
 
-# Pair sets at or below this size estimate Jaccard via a broadcast
-# semi-join (one task holds the <= 2*cap signature subset, ~256 MB at the
-# cap) instead of two Ray Data hash joins, whose fixed shuffle cost
-# (2 x num_partitions aggregator actors + full signature-table shuffle)
-# dwarfs small pair sets. Above the cap — the regime a 100-TB corpus's
-# duplicate mass actually produces — the join path runs unchanged.
-_SMALL_PAIRS_MAX = 250_000
+# Candidate-pair sets at or below this size estimate Jaccard via a
+# broadcast semi-join (filter signatures to the pair members, compare in
+# pair-chunk tasks against the shared subset) instead of two Ray Data
+# hash joins, whose fixed shuffle cost (2 x num_partitions aggregator
+# actors + a full signature-table shuffle, executed once more by any
+# schema fetch) dwarfs moderate pair sets. Above the cap — or when the
+# member subset itself is too large to share whole (_MEMBERS_MAX rows,
+# ~0.5 GB of signatures) — the join path runs unchanged.
+_SMALL_PAIRS_MAX = 4_000_000
+_MEMBERS_MAX = 1_000_000
+_ASSEMBLE_CHUNK = 500_000
 
 
 def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
                               threshold):
-    """est_jaccard for a SMALL pair set: broadcast the pair-member id set,
-    filter the signature table to members (vectorized searchsorted), and
-    compare signatures for all pairs in one task."""
+    """est_jaccard via broadcast semi-join, or None when the pair-member
+    set exceeds _MEMBERS_MAX (caller falls back to the join path)."""
     import ray
     import ray.data
 
@@ -287,7 +291,10 @@ def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
                       "est_jaccard": pa.array([], pa.float64())})
     if not len(lo):
         return ray.data.from_arrow(empty)
-    members_ref = ray.put(np.unique(np.concatenate([lo, hi])))
+    members = np.unique(np.concatenate([lo, hi]))
+    if len(members) > _MEMBERS_MAX:
+        return None
+    members_ref = ray.put(members)
 
     def sel(batch: pa.Table) -> pa.Table:
         members = ray.get(members_ref)
@@ -330,8 +337,11 @@ def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
             "est_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    out = ray.remote(assemble).remote(lo, hi, *sub_refs)
-    return ray.data.from_arrow_refs([out])
+    rtask = ray.remote(assemble)
+    outs = [rtask.remote(lo[i:i + _ASSEMBLE_CHUNK],
+                         hi[i:i + _ASSEMBLE_CHUNK], *sub_refs)
+            for i in range(0, len(lo), _ASSEMBLE_CHUNK)]
+    return ray.data.from_arrow_refs(outs)
 
 
 def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
@@ -396,8 +406,10 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
     pairs, n_pairs = _bucket_pairs_exchange(banded, id_col, bucket_cap)
 
     if n_pairs <= _SMALL_PAIRS_MAX:
-        return _estimate_pairs_broadcast(pairs, sig_ds, id_col, num_perm,
-                                         threshold)
+        est = _estimate_pairs_broadcast(pairs, sig_ds, id_col, num_perm,
+                                        threshold)
+        if est is not None:
+            return est
 
     # attach both signatures (pair set << corpus) and estimate exactly.
     # Arrow hash joins reject list<> payload columns, so signatures travel
@@ -423,14 +435,24 @@ def lsh_candidate_pairs(sig_ds, id_col: str = "doc_id", bands: int = 16,
     packed = sig_ds.map_batches(pack, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
+    # NB: never call .columns() here — it executes the join pipeline once
+    # (limit-1 schema fetch) and the consumer then re-executes it; the
+    # rename/drop runs per batch instead, schema-agnostic and lazy
+    def _clean(new_name):
+        def fn(batch: pa.Table) -> pa.Table:
+            if id_col in batch.column_names:
+                batch = batch.drop_columns([id_col])
+            return batch.rename_columns(
+                [new_name if c == "sigb" else c
+                 for c in batch.column_names])
+        return fn
+
     j1 = hash_join(pairs, packed, on=("doc_a",), right_on=(id_col,),
-                   right_suffix="_a")
-    j1 = j1.rename_columns({"sigb": "sig_a"})
-    if id_col in j1.columns():
-        j1 = j1.drop_columns([id_col])
+                   right_suffix="_a").map_batches(
+        _clean("sig_a"), batch_format="pyarrow", zero_copy_batch=True)
     j2 = hash_join(j1, packed, on=("doc_b",), right_on=(id_col,),
-                   right_suffix="_b")
-    j2 = j2.rename_columns({"sigb": "sig_b"})
+                   right_suffix="_b").map_batches(
+        _clean("sig_b"), batch_format="pyarrow", zero_copy_batch=True)
 
     def _unpack(col, n) -> np.ndarray:
         arr = col.combine_chunks()
