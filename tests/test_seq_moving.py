@@ -11,6 +11,8 @@ sequential queue algorithm (custom_leiden.py:534-599). These tests pin
 import numpy as np
 import pytest
 import ray
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from leiden_cuda_ray.algorithms.louvain import louvain
 from leiden_cuda_ray.algorithms.moving import _seq_queue_core
@@ -59,6 +61,34 @@ def test_seq_queue_matches_oracle_exactly(gamma):
     expected = np.array([ocomm.get(v, v) for v in range(n)], np.int64)
     assert np.array_equal(comm, expected)
     assert moved > 0  # the drain did real work
+
+
+@settings(max_examples=40, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       n=st.integers(5, 40),
+       p_pct=st.integers(5, 40),
+       gamma=st.sampled_from([0.02, 0.05, 0.09, 0.1, 0.3]),
+       wscale=st.sampled_from([1.0, 10.0]))
+def test_seq_queue_matches_oracle_property(seed, n, p_pct, gamma, wscale):
+    """Property: the vectorized drain equals the reference oracle's queue
+    mover on arbitrary small ER graphs, unit or x10 integer weights (both
+    sides compute exact float sums, so equality is deterministic)."""
+    rng = np.random.RandomState(seed)
+    su, sv = np.triu_indices(n, k=1)
+    keep = rng.rand(len(su)) < p_pct / 100.0
+    src = su[keep].astype(np.int64)
+    dst = sv[keep].astype(np.int64)
+    if not len(src):
+        return
+    w = wscale * rng.randint(1, 4, len(src)).astype(np.float64)
+
+    comm, active, _ = _drain(src, dst, w, n, gamma)
+    assert not active.any()
+    adj, nodes = _build_adj(src, dst, w)
+    ocomm, _ = _move_nodes_fast(adj, nodes, {v: v for v in nodes},
+                                {v: 1.0 for v in nodes}, gamma)
+    expected = np.array([ocomm.get(v, v) for v in range(n)], np.int64)
+    assert np.array_equal(comm, expected)
 
 
 def test_seq_queue_weighted_large_deltas():
