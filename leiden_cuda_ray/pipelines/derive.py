@@ -19,7 +19,7 @@ import pyarrow as pa
 from leiden_cuda_ray.sources.corpus import read_corpus
 from leiden_cuda_ray.stages.cocommit import cocommit_edges
 from leiden_cuda_ray.stages.edges import canonicalize_edges
-from leiden_cuda_ray.stages.imports import extract_imports, file_table, resolve_imports
+from leiden_cuda_ray.stages.imports import extract_imports, resolve_imports
 from leiden_cuda_ray.stages.numbering import build_vertex_numbering
 
 
