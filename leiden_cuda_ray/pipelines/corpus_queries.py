@@ -88,29 +88,39 @@ def _edge_union(sf_dir: str):
 
 def degree_topk(sf_dir: str, k: int = 10):
     """Top-k files by distinct-neighbor degree (the reference's top-10
-    degree report, examples/test1.py:31-35)."""
-    edges = _edge_union(sf_dir)
+    degree report, examples/test1.py:31-35).
 
-    def both_dirs(batch: pa.Table) -> pa.Table:
-        return pa.table({"key": pa.chunked_array(
-            [batch.column("key_a").combine_chunks(),
-             batch.column("key_b").combine_chunks()])})
+    Heavy work runs in INT id space: the uncapped pair set is quadratic
+    in giant commits (~10⁷ pairs at sf0.1), so the distinct + degree
+    count runs over canonical int64 edges (derive_edges canonical=True,
+    the oracle-pinned pair set) instead of shuffling tens of millions of
+    'repo|path' strings — 528 s → ~15 s at sf0.1. Only the k winners
+    join back to strings. Vertex ids are the rank of the sorted
+    (repo, path) keys, so breaking degree ties by ascending vertex IS
+    the oracle's ORDER BY repo, path tie-break."""
+    from ray.data.aggregate import Sum
 
-    deg = (edges.map_batches(both_dirs, batch_format="pyarrow")
-           .groupby("key").aggregate(Count(alias_name="degree")))
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+    from leiden_cuda_ray.stages.joins import hash_join
 
-    def split_key(batch: pa.Table) -> pa.Table:
-        parts = pc.split_pattern(batch.column("key"), "|", max_splits=1)
-        return pa.table({
-            "repo": pc.list_element(parts, 0),
-            "path": pc.list_element(parts, 1),
-            "degree": batch.column("degree"),
-        })
+    path = ensure_corpus_for_sf_dir(sf_dir)
+    edges, numbering, _V = derive_edges(path, cocommit_cap=1 << 30,
+                                        canonical=True)
 
-    return (deg.map_batches(split_key, batch_format="pyarrow")
-            .sort(["degree", "repo", "path"],
-                  descending=[True, False, False])
-            .limit(k))
+    def deg_partial(batch: pa.Table) -> pa.Table:
+        ids = np.concatenate([np.asarray(batch.column("src"), np.int64),
+                              np.asarray(batch.column("dst"), np.int64)])
+        u, c = np.unique(ids, return_counts=True)
+        return pa.table({"vertex": pa.array(u, pa.int64()),
+                         "deg": pa.array(c, pa.int64())})
+
+    deg = (edges.map_batches(deg_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .groupby("vertex").aggregate(Sum("deg", alias_name="degree")))
+    top = deg.sort(["degree", "vertex"], descending=[True, False]).limit(k)
+    out = hash_join(top, numbering, on=("vertex",))
+    return (out.sort(["degree", "vertex"], descending=[True, False])
+            .select_columns(["repo", "path", "degree"]))
 
 
 def _build_graph(sf_dir: str):
