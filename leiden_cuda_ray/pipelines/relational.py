@@ -143,11 +143,17 @@ def region_revenue(sf_dir: str):
     cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
     orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
 
+    # every projection below CASTS every output column explicitly: Ray's
+    # hash-shuffle join emits pandas blocks, and an EMPTY pandas block
+    # round-trips passthrough columns as null-typed arrow — one such block
+    # gives the next join conflicting schemas ("No match or multiple
+    # matches for key field"), which only shows up at partition counts
+    # where some join partition is empty
     def cents(batch: pa.Table) -> pa.Table:
         price_c = np.rint(np.asarray(batch.column("o_totalprice"),
                                      np.float64) * 100.0).astype(np.int64)
         return pa.table({
-            "o_custkey": batch.column("o_custkey"),
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
             "price_c": pa.array(price_c, pa.int64()),
         })
 
@@ -158,7 +164,7 @@ def region_revenue(sf_dir: str):
     def nat_key(batch: pa.Table) -> pa.Table:
         return pa.table({
             "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int32()),
-            "price_c": batch.column("price_c"),
+            "price_c": pc.cast(batch.column("price_c"), pa.int64()),
         })
 
     on_nation = hash_join(
@@ -168,7 +174,7 @@ def region_revenue(sf_dir: str):
     def reg_key(batch: pa.Table) -> pa.Table:
         return pa.table({
             "n_regionkey": pc.cast(batch.column("n_regionkey"), pa.int32()),
-            "price_c": batch.column("price_c"),
+            "price_c": pc.cast(batch.column("price_c"), pa.int64()),
         })
 
     on_region = hash_join(
