@@ -18,7 +18,6 @@ import pyarrow.compute as pc
 
 import ray
 import ray.data
-from ray.data.aggregate import Count
 
 from leiden_cuda_ray.algorithms.common import state_to_dataset
 from leiden_cuda_ray.config import LeidenConfig, LouvainConfig
@@ -26,8 +25,6 @@ from leiden_cuda_ray.sources.corpus import (
     ensure_corpus_for_sf_dir,
     read_corpus,
 )
-from leiden_cuda_ray.stages.cocommit import cocommit_edges
-from leiden_cuda_ray.stages.edges import canonicalize_edges
 from leiden_cuda_ray.stages.hashing import with_sha256
 from leiden_cuda_ray.stages.imports import extract_imports, file_table, resolve_imports
 
@@ -43,13 +40,56 @@ def corpus_sha256(sf_dir: str):
 
 def cocommit_pairs(sf_dir: str):
     """Uncapped co-commit pairs with co-occurrence weight (SQL-oracle-able;
-    the capped skew-guarded variant is what the graph build uses)."""
+    the capped skew-guarded variant is what the graph build uses).
+
+    Runs in INT id space: the uncapped pair stream is quadratic in giant
+    commits, so emitting and counting '4 string column' rows shuffles GBs
+    of strings (437 s at sf0.1). derive's broadcast id map emits vid
+    pairs, the canonical exchange counts occurrences, and only the OUTPUT
+    rows join back to strings. Vid order is (repo, path) rank, so
+    (min vid, max vid) is the same canonical orientation as the string
+    form."""
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+    from leiden_cuda_ray.stages.joins import hash_join
+
     path = ensure_corpus_for_sf_dir(sf_dir)
-    corpus = read_corpus(path, columns=["repo", "commit", "path"])
-    pairs = cocommit_edges(corpus, cap=1 << 30)
-    return pairs.groupby(
-        ["src_repo", "src_path", "dst_repo", "dst_path"]).aggregate(
-        Count(alias_name="weight"))
+    edges, numbering, _V = derive_edges(path, cocommit_cap=1 << 30,
+                                        canonical=True,
+                                        include_imports=False)
+
+    def wcast(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch.column("src"), pa.int64()),
+            "dst": pc.cast(batch.column("dst"), pa.int64()),
+            "weight": pc.cast(pc.round(batch.column("weight")),
+                              pa.int64()),
+        })
+
+    e = edges.map_batches(wcast, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    j1 = hash_join(e, numbering, on=("src",), right_on=("vertex",))
+
+    def name_src(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_repo": pc.cast(batch.column("repo"), pa.string()),
+            "src_path": pc.cast(batch.column("path"), pa.string()),
+            "dst": pc.cast(batch.column("dst"), pa.int64()),
+            "weight": pc.cast(batch.column("weight"), pa.int64()),
+        })
+
+    j2 = hash_join(j1.map_batches(name_src, batch_format="pyarrow"),
+                   numbering, on=("dst",), right_on=("vertex",))
+
+    def name_dst(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_repo": pc.cast(batch.column("src_repo"), pa.string()),
+            "src_path": pc.cast(batch.column("src_path"), pa.string()),
+            "dst_repo": pc.cast(batch.column("repo"), pa.string()),
+            "dst_path": pc.cast(batch.column("path"), pa.string()),
+            "weight": pc.cast(batch.column("weight"), pa.int64()),
+        })
+
+    return j2.map_batches(name_dst, batch_format="pyarrow")
 
 
 def import_pairs(sf_dir: str):
