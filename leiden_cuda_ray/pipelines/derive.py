@@ -17,9 +17,8 @@ import numpy as np
 import pyarrow as pa
 
 from leiden_cuda_ray.sources.corpus import read_corpus
-from leiden_cuda_ray.stages.cocommit import cocommit_edges
 from leiden_cuda_ray.stages.edges import canonicalize_edges
-from leiden_cuda_ray.stages.imports import extract_imports, resolve_imports
+from leiden_cuda_ray.stages.imports import extract_imports
 from leiden_cuda_ray.stages.numbering import build_vertex_numbering
 
 
@@ -57,7 +56,9 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
     numbering = numbering.materialize()
     from leiden_cuda_ray.stages.imports import _stem_batch
 
-    ft = numbering.select_columns(["repo", "path"]).map_batches(
+    # ft carries the vid so the join-fallback path can resolve import
+    # targets (repo, stem) -> vertex in ONE join on the import stream
+    ft = numbering.map_batches(
         _stem_batch, batch_format="pyarrow",
         zero_copy_batch=True).materialize()
 
@@ -108,41 +109,68 @@ def _derive_int_edges_broadcast(corpus_path, maps_ref, cocommit_cap,
 def _derive_int_edges_joins(corpus_path, ft, numbering, cocommit_cap,
                             num_join_partitions, include_imports,
                             include_cocommit):
-    """Round-1 distributed path: string pairs → two hash joins (the scale
-    fallback when the numbering exceeds the broadcast threshold)."""
-    pair_sets = []
+    """Distributed scale path (numbering > max_broadcast_keys, i.e. the
+    100-TB regime): endpoints are resolved to int64 vertex ids BEFORE
+    pairing, so every string-key hash join runs over a linear-cardinality
+    stream (corpus rows / import statements) and the quadratic co-commit
+    pair stream only ever exists in int space. Pairing goes through the
+    same `cocommit_vid_edges` as the broadcast path, so both branches emit
+    the identical edge set (capped groups included). Round 2 paired in
+    4-string-column space and joined the PAIR stream twice — the shape the
+    sf0.1 sweep measured at 437 s vs 44 s (COVERAGE.md)."""
+    from leiden_cuda_ray.stages.cocommit import cocommit_vid_edges
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    edge_sets = []
     if include_imports:
         corpus_imp = read_corpus(
             corpus_path, columns=["repo", "path", "lang", "content"])
         raw_imports = extract_imports(corpus_imp)
-        pair_sets.append(resolve_imports(raw_imports, ft,
-                                         num_partitions=num_join_partitions))
+        # src endpoint: one join on the import-statement stream
+        with_src = hash_join(
+            raw_imports, numbering, on=("src_repo", "src_path"),
+            right_on=("repo", "path"), num_partitions=num_join_partitions,
+            right_suffix="_n").rename_columns({"vertex": "src"})
+        # dst endpoint: stem table carries the vid, so one more join
+        # resolves (repo, stem) -> dst vid with the join's fan-out
+        # semantics (a stem matching k files emits k edges)
+        with_both = hash_join(
+            with_src.select_columns(["src", "dst_repo", "dst_stem"]),
+            ft, on=("dst_repo", "dst_stem"), right_on=("repo", "stem"),
+            num_partitions=num_join_partitions, right_suffix="_t")
+
+        def _project(batch: pa.Table) -> pa.Table:
+            src = np.asarray(batch.column("src"), np.int64)
+            dst = np.asarray(batch.column("vertex"), np.int64)
+            keep = src != dst  # drop self-imports
+            return pa.table({"src": src[keep], "dst": dst[keep],
+                             "weight": np.ones(int(keep.sum()),
+                                               np.float64)})
+
+        edge_sets.append(with_both.map_batches(_project,
+                                               batch_format="pyarrow"))
     if include_cocommit:
         corpus_cc = read_corpus(corpus_path,
                                 columns=["repo", "commit", "path"])
-        pair_sets.append(cocommit_edges(corpus_cc, cap=cocommit_cap))
+        # resolve (repo, path) -> vid on the CORPUS rows (linear), then
+        # pair in int space — identical to the broadcast branch
+        mapped = hash_join(
+            corpus_cc, numbering, on=("repo", "path"),
+            num_partitions=num_join_partitions, right_suffix="_n")
 
-    pairs = pair_sets[0]
-    for extra in pair_sets[1:]:
-        pairs = pairs.union(extra)
+        def _to_vid(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "repo": batch.column("repo"),
+                "commit": batch.column("commit"),
+                "vid": pa.array(np.asarray(batch.column("vertex"),
+                                           np.int64), pa.int64()),
+            })
 
-    from leiden_cuda_ray.stages.joins import hash_join
+        mapped = mapped.map_batches(_to_vid, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+        edge_sets.append(cocommit_vid_edges(mapped, cap=cocommit_cap))
 
-    with_src = hash_join(
-        pairs, numbering, on=("src_repo", "src_path"),
-        right_on=("repo", "path"), num_partitions=num_join_partitions,
-        right_suffix="_n").rename_columns({"vertex": "src"})
-    with_both = hash_join(
-        with_src.select_columns(["src", "dst_repo", "dst_path"]),
-        numbering, on=("dst_repo", "dst_path"), right_on=("repo", "path"),
-        num_partitions=num_join_partitions,
-        right_suffix="_n").rename_columns({"vertex": "dst"})
-
-    def _project(batch: pa.Table) -> pa.Table:
-        src = np.asarray(batch.column("src"), np.int64)
-        dst = np.asarray(batch.column("dst"), np.int64)
-        keep = src != dst  # drop self-imports
-        return pa.table({"src": src[keep], "dst": dst[keep],
-                         "weight": np.ones(int(keep.sum()), np.float64)})
-
-    return with_both.map_batches(_project, batch_format="pyarrow")
+    out = edge_sets[0]
+    for extra in edge_sets[1:]:
+        out = out.union(extra)
+    return out

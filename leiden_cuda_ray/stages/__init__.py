@@ -1,6 +1,6 @@
 from leiden_cuda_ray.stages.hashing import with_sha256
 from leiden_cuda_ray.stages.imports import extract_imports, file_table, resolve_imports
-from leiden_cuda_ray.stages.cocommit import cocommit_edges
+from leiden_cuda_ray.stages.cocommit import cocommit_vid_edges
 from leiden_cuda_ray.stages.edges import (
     canonicalize_edges,
     symmetrize,
@@ -13,7 +13,7 @@ __all__ = [
     "extract_imports",
     "resolve_imports",
     "file_table",
-    "cocommit_edges",
+    "cocommit_vid_edges",
     "canonicalize_edges",
     "symmetrize",
     "dedup_min_weight",

@@ -140,8 +140,12 @@ def _stem_batch(batch: pa.Table) -> pa.Table:
     # "src/mod_007.py" -> "mod_007": basename without extension (vectorized)
     base = pc.replace_substring_regex(paths, r"^.*/", "")
     stem = pc.replace_substring_regex(base, r"\.[^.]*$", "")
-    return pa.table({"repo": batch.column("repo"), "path": paths,
-                     "stem": stem})
+    cols = {"repo": batch.column("repo"), "path": paths, "stem": stem}
+    if "vertex" in batch.column_names:
+        # derive's join-fallback path resolves import targets by stem and
+        # needs the vid to come out of that single join
+        cols["vertex"] = batch.column("vertex")
+    return pa.table(cols)
 
 
 def file_table(corpus_ds):

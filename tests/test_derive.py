@@ -8,7 +8,7 @@ import pytest
 import ray.data
 
 from leiden_cuda_ray.sources.corpus import CorpusParams, generate_corpus_rows
-from leiden_cuda_ray.stages.cocommit import _pairs_for_group
+from leiden_cuda_ray.stages.cocommit import _pairs_for_vids
 from leiden_cuda_ray.stages.hashing import with_sha256
 from leiden_cuda_ray.pipelines.derive import derive_edges
 
@@ -21,8 +21,8 @@ def test_sha256_stage(tiny_corpus):
 
 
 def test_cocommit_cap():
-    paths = np.array([f"p{i:03d}" for i in range(200)])
-    lo, hi = _pairs_for_group(paths, cap=64)
+    vids = np.arange(1000, 1200, dtype=np.int64)
+    lo, hi = _pairs_for_vids(vids, cap=64)
     assert len(lo) <= 2 * 200  # ring + chords, not C(200,2)=19900
     assert np.all(lo < hi)
     # connectivity of the capped group (union-find over emitted pairs)
@@ -40,8 +40,8 @@ def test_cocommit_cap():
 
 
 def test_cocommit_small_group_all_pairs():
-    paths = np.array(["a", "b", "c"])
-    lo, hi = _pairs_for_group(paths, cap=64)
+    vids = np.array([3, 7, 11], dtype=np.int64)
+    lo, hi = _pairs_for_vids(vids, cap=64)
     assert sorted(zip(lo.tolist(), hi.tolist())) == [(0, 1), (0, 2), (1, 2)]
 
 
@@ -83,6 +83,21 @@ def test_broadcast_and_join_paths_identical(tiny_corpus):
     t1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     t2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
     assert t1.equals(t2)
+
+
+def test_broadcast_and_join_paths_identical_capped(tiny_corpus):
+    """Bit-identical even when the skew cap triggers: both branches pair
+    through the same _pairs_for_vids (vid-hashed ring + chords), so a
+    capped giant commit picks the same down-sampled pair set either way."""
+    e1, _, _ = derive_edges(tiny_corpus, cocommit_cap=3)
+    e2, _, _ = derive_edges(tiny_corpus, cocommit_cap=3,
+                            max_broadcast_keys=0)
+    t1 = e1.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    t2 = e2.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert t1.equals(t2)
+    # cap actually bit: fewer pairs than the uncapped run
+    eu, _, _ = derive_edges(tiny_corpus)
+    assert len(t1) < len(eu.to_pandas())
 
 
 def test_import_extraction_vectorized_matches_rowloop(tiny_corpus):
