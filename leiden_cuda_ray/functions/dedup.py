@@ -698,10 +698,16 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
     return buckets.groupby("bucket").map_groups(emit, batch_format="pandas")
 
 
+#: hard cap on the brute-force exact pairer — above this, the O(n·d)
+#: broadcast matrix and O(n²) scan stop being a sane baseline
+EXACT_PAIRS_MAX_ROWS = 100_000
+
+
 def embedding_dup_pairs_exact(emb_ds, id_col: str = "vec_id",
                               vec_col: str = "embedding",
                               threshold: float = 0.95,
-                              concurrency: int = 2):
+                              concurrency: int = 2,
+                              max_rows: int = EXACT_PAIRS_MAX_ROWS):
     """Exact cosine near-dup pair join — the brute-force baseline.
 
     Broadcast nested-loop: the full normalized matrix is `ray.put` ONCE and
@@ -712,6 +718,10 @@ def embedding_dup_pairs_exact(emb_ds, id_col: str = "vec_id",
     path. All math in float64, so a DuckDB oracle that casts the vectors
     to DOUBLE[] agrees away from the threshold boundary.
 
+    Guarded: refuses inputs above `max_rows` vectors (ValueError naming
+    `embedding_dup_pairs`) so the oracle path can never be launched by
+    accident against a at-scale table and materialize it driver-side.
+
     → Dataset[vec_a, vec_b, cosine] with cosine rounded to 6 decimals.
     """
     import ray
@@ -719,6 +729,13 @@ def embedding_dup_pairs_exact(emb_ds, id_col: str = "vec_id",
     from leiden_cuda_ray.functions.similarity import _normalize, _to_matrix
 
     proj = emb_ds.select_columns([id_col, vec_col])
+    n = proj.count()
+    if n > max_rows:
+        raise ValueError(
+            f"embedding_dup_pairs_exact is the brute-force O(n²) oracle "
+            f"baseline and refuses {n} vectors (max_rows={max_rows}); use "
+            f"embedding_dup_pairs (hyperplane-LSH bucketed) as the scale "
+            f"path.")
     pdf = proj.to_pandas()
     all_ids = pdf[id_col].to_numpy(np.int64)
     M = _normalize(np.stack([np.asarray(v, np.float64)

@@ -120,6 +120,19 @@ def test_embedding_dup_pairs_exact_matches_numpy():
     assert sorted(want) == got and len(got) == len(set(got))
 
 
+def test_embedding_dup_pairs_exact_refuses_at_scale():
+    """The brute-force oracle path must never materialize a big table
+    driver-side: above max_rows it errors and names the LSH scale path."""
+    import pytest
+
+    from leiden_cuda_ray.functions.dedup import embedding_dup_pairs_exact
+
+    rows = [{"vec_id": i, "embedding": [float(i), 1.0]} for i in range(12)]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    with pytest.raises(ValueError, match="embedding_dup_pairs"):
+        embedding_dup_pairs_exact(ds, max_rows=10)
+
+
 def test_knn_brute_matches_numpy():
     from leiden_cuda_ray.functions.similarity import knn_brute
 
