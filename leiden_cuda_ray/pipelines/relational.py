@@ -283,31 +283,50 @@ def events_json_stats(sf_dir: str):
                        Count(alias_name="n_events")))
 
 
-def sessionize_events(sf_dir: str, gap_minutes: int = 30):
+def sessionize_events(sf_dir: str, gap_minutes: int = 30,
+                      num_partitions: int = 64):
     """per-user sessionization: a session breaks after a 30-min silence.
 
-    groupby(user).map_groups with a sorted cumulative-gap scan — the Ray
-    shape for streaming/window semantics (SURVEY.md §2.7: the engine's only
-    'window' op; the reference is pure batch)."""
+    The window op (SURVEY.md §2.7) vectorized: users are hash-bucketed
+    into `num_partitions` groups, so ONE shuffle co-locates each user and
+    the scan runs once per PARTITION (a single sorted diff-and-cumsum
+    over every user in the bucket) instead of once per user — the
+    per-group pandas frame overhead of groupby(user).map_groups amortizes
+    away while the output stays row-identical."""
     ev = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
     gap = np.timedelta64(gap_minutes, "m")
 
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
-        ts = g["ts"].to_numpy()
-        new_sess = np.ones(len(g), bool)
-        if len(g) > 1:
-            new_sess[1:] = (ts[1:] - ts[:-1]) > gap
-        # emit one row PER SESSION straight from the group (the whole
-        # user is already co-located) — no second shuffle of per-event
-        # rows, no tiny-block aggregate downstream
-        starts = np.flatnonzero(new_sess)
-        counts = np.diff(np.append(starts, len(g)))
-        return pd.DataFrame({
-            "user_id": np.full(len(starts), g["user_id"].iloc[0],
-                               np.int64),
-            "session_id": np.arange(len(starts), dtype=np.int64),
-            "n_events": counts.astype(np.int64),
-        })
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        # multiplicative mix so adversarial id patterns still spread
+        part = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(num_partitions)
+        return batch.append_column("part",
+                                   pa.array(part.astype(np.int64),
+                                            pa.int64()))
 
-    return ev.groupby("user_id").map_groups(fn, batch_format="pandas")
+    def emit(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["user_id", "ts", "event_id"])
+        uid = g["user_id"].to_numpy(np.int64)
+        ts = g["ts"].to_numpy()
+        n = len(g)
+        new_sess = np.ones(n, bool)
+        if n > 1:
+            new_sess[1:] = ((uid[1:] != uid[:-1])
+                            | ((ts[1:] - ts[:-1]) > gap))
+        starts = np.flatnonzero(new_sess)
+        counts = np.diff(np.append(starts, n)).astype(np.int64)
+        su = uid[starts]
+        # session_id = rank within user; sessions of one user are
+        # consecutive, so subtract the index of the user's first session
+        idx = np.arange(len(starts), dtype=np.int64)
+        user_first = np.ones(len(starts), bool)
+        user_first[1:] = su[1:] != su[:-1]
+        session_id = idx - np.maximum.accumulate(np.where(user_first,
+                                                          idx, 0))
+        return pd.DataFrame({"user_id": su, "session_id": session_id,
+                             "n_events": counts})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pandas"))
