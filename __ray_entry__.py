@@ -199,6 +199,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_triangles": cq.graph_triangles,
         "graph_leiden": cq.graph_leiden,
         "graph_louvain": cq.graph_louvain,
+        # objective-recompute invariants: write the partition, return the
+        # exact-integer objective; the oracle recomputes it from the file
+        "graph_leiden_objective": cq.graph_leiden_objective,
+        "graph_louvain_objective": cq.graph_louvain_objective,
     }
 
 
@@ -339,6 +343,70 @@ sym AS MATERIALIZED (
 r0 AS MATERIALIZED (SELECT v, v AS l FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, l AS label FROM r{iters}"""
+
+
+def _objective_scaffold_sql(part_glob: str) -> str:
+    """Shared CTEs for the objective-recompute oracles: the canonical
+    weighted int edge table (same construction the pagerank oracle pins)
+    plus the engine's WRITTEN partition parquet. Everything integer:
+    weights are co-occurrence counts, so CAST(... AS BIGINT) is exact."""
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd,
+         CAST(1 AS BIGINT) AS w FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+         CAST(weight AS BIGINT) FROM cocommit_edges),
+wedge AS MATERIALIZED (
+  SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb,
+         CAST(SUM(w) AS BIGINT) AS w FROM wpair GROUP BY 1, 2),
+iedge AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+part AS MATERIALIZED (
+  SELECT vertex, community FROM read_parquet('{part_glob}')),
+win AS (SELECT COALESCE(SUM(e.w), 0) AS w_in FROM iedge e
+        JOIN part pa ON pa.vertex = e.u
+        JOIN part pb ON pb.vertex = e.t
+        WHERE pa.community = pb.community)"""
+
+
+def _leiden_objective_sql() -> str:
+    """Recompute 20·CPM(γ=0.05) from the engine's written leiden partition:
+    20·CPM = 20·W_in − Σ_c n_c(n_c−1)/2, all BIGINT (graph_leiden_objective
+    returns the identical integer, so the hash compare IS the invariant
+    'reported objective matches the output partition')."""
+    return f"""{_objective_scaffold_sql(
+        '/tmp/graft_oracle/sf0.01/leiden_comm/*.parquet')}
+SELECT CAST(20 * (SELECT w_in FROM win)
+            - (SELECT SUM(n * (n - 1)) FROM
+               (SELECT CAST(COUNT(*) AS BIGINT) AS n
+                FROM part GROUP BY community)) // 2 AS BIGINT) AS cpm20,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM part)
+         AS num_communities"""
+
+
+def _louvain_objective_sql() -> str:
+    """Recompute the exact-integer modularity numerator from the engine's
+    written louvain partition: Q = qnum/(2m)² with
+    qnum = 2m·Σ_c sum_in_c − Σ_c (Σ_{v∈c} deg_v)²,
+    sum_in double-counting internal edges (the engine's convention,
+    objectives.py; the derived graph has no self-loops)."""
+    return f"""{_objective_scaffold_sql(
+        '/tmp/graft_oracle/sf0.01/louvain_comm/*.parquet')},
+deg AS (SELECT u, SUM(w) AS d FROM
+          (SELECT u, w FROM iedge UNION ALL SELECT t, w FROM iedge)
+        GROUP BY u),
+tot AS (SELECT pa.community, CAST(SUM(d.d) AS BIGINT) AS t
+        FROM part pa JOIN deg d ON d.u = pa.vertex GROUP BY 1),
+twom AS (SELECT CAST(2 * SUM(w) AS BIGINT) AS m2 FROM wedge)
+SELECT CAST((SELECT m2 FROM twom) * (2 * (SELECT w_in FROM win))
+            - (SELECT SUM(t * t) FROM tot) AS BIGINT) AS qnum,
+       (SELECT m2 FROM twom) AS two_m,
+       (SELECT CAST(COUNT(DISTINCT community) AS BIGINT) FROM part)
+         AS num_communities"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -551,6 +619,8 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_labelprop": _labelprop_sql(),
+        "graph_leiden_objective": _leiden_objective_sql(),
+        "graph_louvain_objective": _louvain_objective_sql(),
         "graph_components": f"""
             -- min-label fixpoint: component(v) = min vertex id reachable
             -- from v (the engine's labeling convention, components.py)

@@ -97,8 +97,19 @@ def _fold(gamma, m, *parts):
     cpm_val = float((w_in_once - gamma * N * (N - 1) / 2.0).sum())
     sum_in = W_nonself + 2.0 * W_self
     q = float((sum_in / (2 * m) - (T / (2 * m)) ** 2).sum())
+    # exact integer aggregates (weights are integer counts, so every sum
+    # below is an exactly-representable integer): the objective-recompute
+    # oracles check 20·CPM(γ=0.05) and the modularity numerator as BIGINTs
+    # against a DuckDB recompute over the engine's written partition
+    ints = {
+        "win2": int(W_nonself.sum()),          # doubled non-self intra w
+        "wself": int(W_self.sum()),            # self-loop intra w
+        "snn": int((N.astype(np.int64) * (N.astype(np.int64) - 1)).sum()),
+        "stt": int((T.astype(np.int64) ** 2).sum()),  # Σ_c (Σ deg_w)²
+        "two_m": int(round(2 * m)),
+    }
     return {"cpm": cpm_val, "modularity": q,
-            "num_communities": int(len(all_c))}
+            "num_communities": int(len(all_c)), "ints": ints}
 
 
 def score(graph: Graph, comm_refs: list, gamma: float,

@@ -266,6 +266,75 @@ def graph_louvain(sf_dir: str):
     return state_to_dataset(graph, refs, "community")
 
 
+def _write_partition(sf_dir: str, ds, name: str) -> str:
+    """Write a (vertex, community) partition under /tmp/graft_oracle/<tier>
+    so the DuckDB objective oracle can recompute the objective from the
+    engine's actual output. Returns the directory."""
+    import os
+    import shutil
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_oracle/{tier}/{name}"
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out, exist_ok=True)
+    ds.write_parquet(out)
+    return out
+
+
+def graph_leiden_objective(sf_dir: str):
+    """Oracle-checked invariant for graph_leiden (VERDICT r2 item 5): the
+    engine's partition is written to parquet and its CPM(γ=0.05) is
+    returned in EXACT integer form, 20·CPM = 20·W_in − Σ_c n_c(n_c−1)
+    (edge weights are integer co-occurrence counts and 20γ = 1, so both
+    sides are BIGINTs — no float summation-order hazard). The DuckDB
+    oracle recomputes the same integer from the written partition joined
+    to the edge CTE; the engine-side assert ties the reported float cpm
+    to the integer form. Mirrors the reference's external CPM check
+    (examples/leiden-alg.py:12-23)."""
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.objectives import score
+
+    graph, _ = _build_graph(sf_dir)
+    refs, _info = leiden(graph, LeidenConfig(gamma=0.05))
+    s = score(graph, refs, gamma=0.05)
+    i = s["ints"]
+    # 20·CPM = 20·W_in − Σ n(n−1)/2  (20γ = 1; n(n−1) even → exact int)
+    cpm20 = 10 * i["win2"] + 20 * i["wself"] - i["snn"] // 2
+    assert abs(cpm20 / 20.0 - s["cpm"]) <= 1e-6 * max(1.0, abs(s["cpm"])), \
+        (cpm20, s["cpm"])
+    ds = state_to_dataset(graph, refs, "community")
+    _write_partition(sf_dir, ds, "leiden_comm")
+    return ray.data.from_arrow(pa.table({
+        "cpm20": pa.array([cpm20], pa.int64()),
+        "num_communities": pa.array([s["num_communities"]], pa.int64()),
+    }))
+
+
+def graph_louvain_objective(sf_dir: str):
+    """Oracle-checked invariant for graph_louvain: modularity in exact
+    integer form. Q = qnum / (2m)² with
+    qnum = 2m·Σ_c sum_in_c − Σ_c (Σ_{v∈c} deg_v)² — every term an
+    integer (weights are counts), so the DuckDB recompute over the
+    written partition matches as BIGINTs."""
+    from leiden_cuda_ray.algorithms.louvain import louvain
+    from leiden_cuda_ray.algorithms.objectives import score
+
+    graph, _ = _build_graph(sf_dir)
+    refs, _info = louvain(graph, LouvainConfig())
+    s = score(graph, refs, gamma=0.05)
+    i = s["ints"]
+    qnum = i["two_m"] * (i["win2"] + 2 * i["wself"]) - i["stt"]
+    assert abs(qnum / float(i["two_m"]) ** 2 - s["modularity"]) <= 1e-9, \
+        (qnum, s["modularity"])
+    ds = state_to_dataset(graph, refs, "community")
+    _write_partition(sf_dir, ds, "louvain_comm")
+    return ray.data.from_arrow(pa.table({
+        "qnum": pa.array([qnum], pa.int64()),
+        "two_m": pa.array([i["two_m"]], pa.int64()),
+        "num_communities": pa.array([s["num_communities"]], pa.int64()),
+    }))
+
+
 def sf_of(sf_dir: str) -> float:
     import os
 
