@@ -195,6 +195,42 @@ def test_resume_at_stall_point_enters_drain(tmp_path, monkeypatch):
     assert np.array_equal(_final(refs4), expected)
 
 
+def test_resume_inside_distributed_lock_loop(tmp_path, monkeypatch):
+    """V above LOCK_DRAIN_V_MAX (forced via monkeypatch): the stall
+    fallback runs the DISTRIBUTED claims loop — the 100-TB-scale shape —
+    which checkpoints every lock superstep. Crash inside that loop (past
+    its first superstep) and resume bit-identically; pins that the
+    claims-loop state sequence itself is resumable, not just the
+    in-process drain's single drain-end checkpoint."""
+    from leiden_cuda_ray.algorithms import moving
+
+    monkeypatch.setattr(moving, "SEQ_V_MAX", 0)
+    monkeypatch.setattr(moving, "LOCK_DRAIN_V_MAX", 0)
+    src, dst, w = _torus_edges()
+    cfg = LeidenConfig(gamma=0.05)
+
+    g1 = build_graph_from_arrays(src, dst, w, P=2)
+    expected = _final(leiden(g1, cfg)[0])
+
+    probe = _SpyCheckpointer(str(tmp_path / "probe"), "leiden")
+    g2 = build_graph_from_arrays(src, dst, w, P=2)
+    leiden(g2, cfg, checkpointer=probe)
+    assert probe.phases.count("lock") >= 2, \
+        "distributed lock loop must checkpoint per superstep"
+    # crash strictly inside the lock loop: after its second checkpoint
+    crash_at = probe.phases.index("lock") + 2
+
+    ck = Checkpointer(str(tmp_path / "real"), "leiden")
+    g3 = build_graph_from_arrays(src, dst, w, P=2)
+    with pytest.raises(CheckpointCrash):
+        leiden(g3, cfg, checkpointer=ck, crash_after=crash_at)
+    assert ck.latest()["metrics"]["phase"] == "lock"
+
+    g4 = build_graph_from_arrays(src, dst, w, P=2)
+    refs4, _ = leiden(g4, cfg, checkpointer=ck, resume=True)
+    assert np.array_equal(_final(refs4), expected)
+
+
 def test_resume_mid_lock_fallback_phase(tmp_path):
     """Crash INSIDE the stall-guard lock-fallback phase; resume must
     re-enter the lock loop (phase recorded in the manifest metrics) and
