@@ -127,14 +127,43 @@ def _push_pack_core(csr, state, block, P, pid, kind):
     return [(empty_react, g1[j], t1[j], t2[j]) for j in range(P)]
 
 
+#: test override for the pack-group count (None = one group per node)
+_FORCE_GROUPS: int | None = None
+
+
+def _pack_groups(P: int) -> int:
+    """Pack-group count G (transport granularity only — per-destination
+    entries and all math are unchanged). Grouping folds the slices for
+    `span = ceil(P/G)` destinations into ONE object, so a wave creates
+    O(P·G) objects instead of O(P²): the object graph is the measured
+    superstep floor (the G sweep at sf0.1/P=32: G=32 3.98s, G=16 3.03s,
+    G=8 3.41s, G=1 5.91s — fat objects lose because every consumer
+    deserializes all P entries). Default span=2 halves the per-wave
+    object count for at most 2× pull waste when the paired destinations
+    land on different nodes; G never drops below the cluster node count,
+    so no node ever receives slices for a third node's partitions."""
+    if _FORCE_GROUPS is not None:
+        return max(1, min(P, _FORCE_GROUPS))
+    try:
+        n = max(1, sum(1 for x in ray.nodes() if x.get("Alive", False)))
+    except Exception:
+        n = 1
+    return min(P, max(n, -(-P // 2)))
+
+
+def _group(entries, P, G):
+    """Per-destination entries [P] → G contiguous group tuples."""
+    span = -(-P // G)
+    return [tuple(entries[g * span:min((g + 1) * span, P)])
+            for g in range(G)]
+
+
 @ray.remote
-def _push_pack(csr, state, block, P, pid, kind):
+def _push_pack(csr, state, block, P, pid, kind, G):
     """Bootstrap wave for the fast-mode loop (steady-state packs are
-    produced inside _eval_apply_push)."""
-    out = _push_pack_core(csr, state, block, P, pid, kind)
-    if P == 1:
-        return out[0]
-    return tuple(out)
+    produced inside _eval_apply_push). Returns G group objects."""
+    groups = _group(_push_pack_core(csr, state, block, P, pid, kind), P, G)
+    return tuple(groups) if G > 1 else groups[0]
 
 
 @ray.remote
@@ -149,11 +178,18 @@ def _serve_totals(P, *shards):
 
 
 @ray.remote
-def _serve_packed(P, *packs):
-    """Fast-mode serve: packs[i] = (react, gather, contrib, request) —
-    reads the contrib/request fields only (react/gather ride to this
-    partition's own eval task in the same object)."""
-    return _serve_totals_core(P, [(p[2], p[3]) for p in packs])
+def _serve_packed(P, k, G, *pack_groups):
+    """Fast-mode serve for owner k: pack_groups[i] = origin i's group
+    object covering k; the (react, gather, contrib, request) entry for k
+    sits at k % span. Reads contrib/request only. Returns G reply-group
+    objects (replies for the consumers of each group)."""
+    span = -(-P // G)
+    ent = [pg[k % span] for pg in pack_groups]
+    replies = _serve_totals_core(P, [(e[2], e[3]) for e in ent])
+    if P == 1:
+        replies = [replies]
+    groups = _group(list(replies), P, G)
+    return tuple(groups) if G > 1 else groups[0]
 
 
 def _serve_totals_core(P, shards):
@@ -343,24 +379,14 @@ def _eval_core(csr, state, totals, kind, param, superstep, seed, lock,
     return moves, rest
 
 
-@ray.remote
-def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
-                     pid, *shards):
-    """Fast-mode steady-state kernel: absorb the previous superstep's
-    reactivations (riding inside the packs), evaluate, apply — then
-    immediately compute the NEXT superstep's push pack from the new state,
-    so a superstep is only TWO waves (serve totals → eval+apply+push) and
-    the driver submits 2P tasks with ~2P refs each instead of 3P.
-
-    shards = (*totals replies [P], *packs [P]); packs[i] =
-    (react, gather, contrib, request) from origin i.
-    Returns (new_state, moved, n_active, *next_packs [P]) where
-    next_packs[j] carries the reactivation shard for j."""
-    totals = _merge_replies(shards[:P])
-    packs = shards[P:]
+def _eap_core(csr, state, kind, param, superstep, seed, block, P, pid,
+              replies, reacts, statics):
+    """Shared fast-mode kernel: absorb reactivations, evaluate, apply,
+    push the next packs. statics[i] = (gather, contrib, request)."""
+    totals = _merge_replies(replies)
     empty_prio = (np.empty(0, np.int64), np.empty(0, np.uint64))
-    gshards = [(p[1], empty_prio) for p in packs]
-    state = _absorb_core(state, csr["vlo"], [p[0] for p in packs])
+    gshards = [(s[0], empty_prio) for s in statics]
+    state = _absorb_core(state, csr["vlo"], reacts)
     moves, rest = _eval_core(csr, state, totals, kind, param, superstep,
                              seed, False, gshards)
     accepted = np.ones(len(moves["v"]), bool)
@@ -368,10 +394,103 @@ def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
         csr, state, moves, rest, accepted, block, P)
     n_active = int(new_state["active"].sum())
     next_packs = _push_pack_core(csr, new_state, block, P, pid, kind)
+    return new_state, moved, n_active, out_shards, next_packs
+
+
+def _split_meta(moved, n_active, out_shards, next_packs, P):
+    """Driver metadata for the frontier-sparse tail: per-destination
+    reactivation counts and, per totals owner, WHICH consumers the next
+    requests name (the exact serve-needed condition — requests are pushed
+    on behalf of gather consumers, so a bare count per owner is not
+    enough to decide whether a skipped consumer makes the serve idle)."""
+    req_consumers = np.zeros((P, P), bool)
+    for k in range(P):
+        cons = next_packs[k][3][1]
+        if len(cons):
+            req_consumers[k][np.unique(cons)] = True
+    return {"moved": moved, "active": n_active,
+            "react_counts": np.array([len(s[0]) for s in out_shards],
+                                     np.int64),
+            "req_consumers": req_consumers}
+
+
+@ray.remote
+def _eval_apply_push(csr, state, kind, param, superstep, seed, block, P,
+                     pid, G, *shards, split=False):
+    """Fast-mode steady-state kernel: absorb the previous superstep's
+    reactivations (riding inside the packs), evaluate, apply — then
+    immediately compute the NEXT superstep's push pack from the new state,
+    so a superstep is only TWO waves (serve totals → eval+apply+push).
+
+    shards = (*reply groups [P: one per owner], *pack groups [P: one per
+    origin]), each group object covering this pid (entry at pid % span);
+    pack entries are (react, gather, contrib, request).
+    Returns (new_state, moved, n_active, *next pack groups [G]).
+
+    split=True is the dense→sparse transition (num_returns=2+P+G):
+    returns (new_state, meta, *react_shards [P], *static groups [G]) —
+    reacts separated per DESTINATION so the sparse tail can reuse a
+    skipped partition's statics without re-delivering consumed
+    reactivations (absorb re-activates, and the priority gating is
+    superstep-parity-dependent, so a double absorb would fork the
+    trajectory from the dense run)."""
+    span = -(-P // G)
+    off = pid % span
+    replies = [rg[off] for rg in shards[:P]]
+    packs = [pg[off] for pg in shards[P:]]
+    new_state, moved, n_active, out_shards, next_packs = _eap_core(
+        csr, state, kind, param, superstep, seed, block, P, pid,
+        replies, [p[0] for p in packs], [p[1:] for p in packs])
+    if split:
+        meta = _split_meta(moved, n_active, out_shards, next_packs, P)
+        sgroups = _group([p[1:] for p in next_packs], P, G)
+        return (new_state, meta, *out_shards, *sgroups)
     out = [(out_shards[j], *next_packs[j][1:]) for j in range(P)]
+    groups = _group(out, P, G)
+    if G == 1:
+        return new_state, moved, n_active, groups[0]
+    return (new_state, moved, n_active, *groups)
+
+
+@ray.remote
+def _eval_apply_push_split(csr, state, kind, param, superstep, seed,
+                           block, P, pid, G, *shards):
+    """Sparse-tail steady-state kernel: identical math to
+    _eval_apply_push, split transport. shards = (*reply groups [P],
+    *react_shards [P] (per destination = this pid), *static groups [P:
+    origin i's group covering pid]). Returns (new_state, meta,
+    *react_shards [P], *static groups [G])."""
+    span = -(-P // G)
+    off = pid % span
+    replies = [rg[off] for rg in shards[:P]]
+    reacts = shards[P:2 * P]
+    statics = [sg[off] for sg in shards[2 * P:]]
+    new_state, moved, n_active, out_shards, next_packs = _eap_core(
+        csr, state, kind, param, superstep, seed, block, P, pid,
+        replies, reacts, statics)
+    meta = _split_meta(moved, n_active, out_shards, next_packs, P)
+    sgroups = _group([p[1:] for p in next_packs], P, G)
+    return (new_state, meta, *out_shards, *sgroups)
+
+
+@ray.remote
+def _serve_static(P, k, G, *static_groups):
+    """Sparse-tail serve for owner k: static_groups[i] = origin i's group
+    covering k; entries are (gather, contrib, request). Returns G
+    reply-group objects."""
+    span = -(-P // G)
+    ent = [sg[k % span] for sg in static_groups]
+    replies = _serve_totals_core(P, [(e[1], e[2]) for e in ent])
     if P == 1:
-        return new_state, moved, n_active, out[0]
-    return (new_state, moved, n_active, *out)
+        replies = [replies]
+    groups = _group(list(replies), P, G)
+    return tuple(groups) if G > 1 else groups[0]
+
+
+@ray.remote
+def _absorb_shards(state, vlo, *shards):
+    """Absorb bare reactivation shards (sparse-tail stall handoff)."""
+    return _absorb_core(state, vlo, shards)
 
 
 def _lock_push_core(csr, state, block, P, pid, superstep, seed, kind,
@@ -590,10 +709,10 @@ def _absorb(state, vlo, *shards):
 
 
 @ray.remote
-def _absorb_packed(state, vlo, *packs):
-    """Absorb the reactivations riding in packs (checkpoint-time state
-    normalization)."""
-    return _absorb_core(state, vlo, [p[0] for p in packs])
+def _absorb_packed(state, vlo, off, *pack_groups):
+    """Absorb the reactivations riding in the pack groups covering this
+    partition (checkpoint-time state normalization)."""
+    return _absorb_core(state, vlo, [pg[off][0] for pg in pack_groups])
 
 
 def run_local_moving(graph: Graph, states: list, kind: str, param: float,
@@ -1170,33 +1289,36 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     # state sequence is unchanged.
     lookahead = 0 if ckpt_cb is not None else 3
 
+    # pack-group transport: packs[i] = list of G group refs from origin i
+    # (group g covers destinations [g*span, (g+1)*span))
+    G = _pack_groups(P)
+    span = -(-P // G)
+
     def _bootstrap_packs(cur_states):
         packs = []
         for i in range(P):
-            r = _push_pack.options(num_returns=P if P > 1 else 1).remote(
-                graph.parts[i], cur_states[i], graph.block, P, i, kind)
-            packs.append(list(r) if P > 1 else [r])
-        return [[packs[i][j] for i in range(P)] for j in range(P)]
+            r = _push_pack.options(num_returns=G if G > 1 else 1).remote(
+                graph.parts[i], cur_states[i], graph.block, P, i, kind, G)
+            packs.append(list(r) if G > 1 else [r])
+        return packs
 
     def _submit(step_i, cur_states, cur_packs):
         serves = [
-            _serve_packed.options(num_returns=P if P > 1 else 1).remote(
-                P, *cur_packs[k])
+            _serve_packed.options(num_returns=G if G > 1 else 1).remote(
+                P, k, G, *[cur_packs[i][k // span] for i in range(P)])
             for k in range(P)
         ]
-        if P == 1:
-            replies = [[serves[0]]]
-        else:
-            replies = [[serves[k][j] for k in range(P)] for j in range(P)]
+        sgroups = [list(s) if G > 1 else [s] for s in serves]
         outs = [
-            _eval_apply_push.options(num_returns=3 + P).remote(
+            _eval_apply_push.options(num_returns=3 + G).remote(
                 graph.parts[j], cur_states[j], kind, param, step_i,
-                seed, graph.block, P, j,
-                *replies[j], *cur_packs[j])
+                seed, graph.block, P, j, G,
+                *[sgroups[k][j // span] for k in range(P)],
+                *[cur_packs[i][j // span] for i in range(P)])
             for j in range(P)
         ]
         new_states = [o[0] for o in outs]
-        new_packs = [[outs[i][3 + j] for i in range(P)] for j in range(P)]
+        new_packs = [[outs[i][3 + g] for g in range(G)] for i in range(P)]
         moved_refs = [o[1] for o in outs]
         act_refs = [o[2] for o in outs]
         return new_states, new_packs, moved_refs, act_refs
@@ -1208,9 +1330,17 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
     sub_states = states
     sub_packs = _bootstrap_packs(states)
     stalled = False
+    terminated = False
+    # frontier-sparse handoff: once moved AND active collapse below the
+    # cut, stop pipelining dense full-width waves and let the sparse tail
+    # submit only the partitions that still have work (ckpt runs keep the
+    # dense loop: the saved per-superstep state sequence must not change)
+    go_sparse = False
+    sparse_cut = (max(32, graph.V // SPARSE_CUT_DIV)
+                  if SPARSE_CUT_DIV else -1)  # 0 disables (A/B testing)
 
     while True:
-        while (len(pending) <= lookahead
+        while (not go_sparse and len(pending) <= lookahead
                and submit_step < max_supersteps):
             submit_step += 1
             sub_states, sub_packs, moved_refs, act_refs = \
@@ -1237,7 +1367,9 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
             # absorb is idempotent for an unchanged community assignment)
             states = [
                 _absorb_packed.remote(states[j], graph.ranges()[j][0],
-                                      *packs[j])
+                                      j % span,
+                                      *[packs[i][j // span]
+                                        for i in range(P)])
                 for j in range(P)
             ]
             sub_states = states
@@ -1249,11 +1381,13 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
                                    "phase": "fast"})
 
         if moved == 0 and prev_moved == 0:
+            terminated = True
             break
         prev_moved = moved
         # moved == 0 => no new reactivations, and last step's pending ones
         # were absorbed before this eval: a zero frontier is final
         if moved == 0 and n_active == 0:
+            terminated = True
             break
         best_active, since_best = next_best, next_since
         if since_best >= stall_window:
@@ -1264,8 +1398,152 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
                 # handoff (the ckpt branch already normalized states above)
                 states = [
                     _absorb_packed.remote(states[j], graph.ranges()[j][0],
-                                          *packs[j])
+                                          j % span,
+                                          *[packs[i][j // span]
+                                            for i in range(P)])
                     for j in range(P)
                 ]
+            break
+        if (not go_sparse and ckpt_cb is None and P > 1
+                and moved <= sparse_cut and n_active <= sparse_cut):
+            go_sparse = True
+    if (go_sparse and not terminated and not stalled
+            and step < max_supersteps):
+        return _run_sparse_tail(graph, states, packs, kind, param, seed,
+                                max_supersteps, step, total_moves,
+                                prev_moved, best_active, since_best)
+    return states, total_moves, step, stalled
+
+
+#: frontier-sparse switch: hand the fast loop to the sparse tail once
+#: moved and active both fall to max(32, V // SPARSE_CUT_DIV)
+SPARSE_CUT_DIV = 128
+
+
+def _run_sparse_tail(graph, states, packs, kind, param, seed,
+                     max_supersteps, step, total_moves, prev_moved,
+                     best_active, since_best):
+    """Frontier-sparse synchronous tail: once the frontier collapses,
+    supersteps stop paying for empty partitions. Each superstep submits
+    eval tasks ONLY for partitions with active vertices or pending
+    incoming reactivations, and serve tasks ONLY for owners whose current
+    requests name a running consumer. Skipped partitions' static packs
+    (gather/contrib/request — pure functions of their unchanged state)
+    are reused by reference; reactivation shards travel as separate refs
+    so a consumed react is never delivered twice (absorb re-activates,
+    and move gating is superstep-parity-dependent, so a double absorb
+    would fork the trajectory from the dense run).
+
+    The metric stream (moved/active per superstep) is exactly the dense
+    loop's — a skipped partition would compute moved=0, keep active=0 and
+    emit identical packs — so termination, stall decisions, superstep
+    counts and the final state are bit-identical at any P; waves just
+    narrow with the frontier. Returns (states, total_moves, step,
+    stalled)."""
+    P = graph.P
+    G = _pack_groups(P)
+    span = -(-P // G)
+    stall_window = 8
+    stalled = False
+    empty_react = ray.put((np.empty(0, np.int64), np.empty(0, np.int64)))
+    _er = (np.empty(0, np.int64), np.empty(0, np.float64),
+           np.empty(0, np.int64))
+    empty_reply_group = ray.put(tuple(_er for _ in range(span)))
+    reacts = [[None] * P for _ in range(P)]    # reacts[i][j]: i → j
+    statics = [[None] * G for _ in range(P)]   # statics[i][g]: group refs
+    act = np.zeros(P, np.int64)
+    react_counts = np.zeros((P, P), np.int64)  # [i][j]
+    # req_consumers[i][k][j]: i's current requests to owner k name consumer j
+    req_consumers = np.zeros((P, P, P), bool)
+    states = list(states)
+    first = True
+
+    while step < max_supersteps:
+        step += 1
+        if first:
+            # transition superstep: full width, combined packs in, split out
+            run = list(range(P))
+            serves = {k: _serve_packed.options(
+                num_returns=G if G > 1 else 1).remote(
+                    P, k, G, *[packs[i][k // span] for i in range(P)])
+                for k in range(P)}
+            sg = {k: (list(s) if G > 1 else [s]) for k, s in serves.items()}
+            outs = {
+                j: _eval_apply_push.options(num_returns=2 + P + G).remote(
+                    graph.parts[j], states[j], kind, param, step, seed,
+                    graph.block, P, j, G,
+                    *[sg[k][j // span] for k in range(P)],
+                    *[packs[i][j // span] for i in range(P)],
+                    split=True)
+                for j in run
+            }
+            first = False
+        else:
+            run = [j for j in range(P)
+                   if act[j] > 0 or react_counts[:, j].any()]
+            if not run:
+                # zero frontier, no pending reactivations: the dense loop
+                # would run one full no-op wave (moved=0, active=0) and
+                # break on its termination checks — break without the wave
+                break
+            need = np.zeros((P, P), bool)
+            for i in range(P):
+                need |= req_consumers[i]
+            serves = {
+                k: _serve_static.options(
+                    num_returns=G if G > 1 else 1).remote(
+                        P, k, G, *[statics[i][k // span]
+                                   for i in range(P)])
+                for k in range(P) if need[k][run].any()
+            }
+            sg = {k: (list(s) if G > 1 else [s]) for k, s in serves.items()}
+            outs = {}
+            for j in run:
+                replies_j = [sg[k][j // span] if k in sg
+                             else empty_reply_group for k in range(P)]
+                outs[j] = _eval_apply_push_split.options(
+                    num_returns=2 + P + G).remote(
+                        graph.parts[j], states[j], kind, param, step,
+                        seed, graph.block, P, j, G, *replies_j,
+                        *[reacts[i][j] for i in range(P)],
+                        *[statics[i][j // span] for i in range(P)])
+        # reacts delivered to the running consumers are consumed
+        for j in run:
+            for i in range(P):
+                reacts[i][j] = empty_react
+                react_counts[i][j] = 0
+        metas = ray.get([outs[j][1] for j in run])
+        moved = 0
+        for j, meta in zip(run, metas):
+            states[j] = outs[j][0]
+            for d in range(P):
+                reacts[j][d] = outs[j][2 + d]
+            for g in range(G):
+                statics[j][g] = outs[j][2 + P + g]
+            act[j] = meta["active"]
+            react_counts[j] = meta["react_counts"]
+            req_consumers[j] = meta["req_consumers"]
+            moved += meta["moved"]
+        total_moves += moved
+        n_active = int(act.sum())
+        # bookkeeping + termination: byte-for-byte the dense loop's logic
+        if best_active is None or n_active < best_active:
+            next_best, next_since = n_active, 0
+        else:
+            next_best, next_since = best_active, since_best + 1
+        if moved == 0 and prev_moved == 0:
+            break
+        prev_moved = moved
+        if moved == 0 and n_active == 0:
+            break
+        best_active, since_best = next_best, next_since
+        if since_best >= stall_window:
+            stalled = True
+            # pending reactivations must be visible to the lock fallback
+            states = [
+                _absorb_shards.remote(states[j], graph.ranges()[j][0],
+                                      *[reacts[i][j] for i in range(P)])
+                for j in range(P)
+            ]
             break
     return states, total_moves, step, stalled
