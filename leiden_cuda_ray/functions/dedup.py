@@ -260,14 +260,16 @@ def _bucket_pairs_exchange(banded_ds, id_col: str, bucket_cap: int):
 
 
 # Candidate-pair sets at or below this size estimate Jaccard via a
-# broadcast semi-join (filter signatures to the pair members, compare in
-# pair-chunk tasks against the shared subset) instead of two Ray Data
-# hash joins, whose fixed shuffle cost (2 x num_partitions aggregator
-# actors + a full signature-table shuffle, executed once more by any
-# schema fetch) dwarfs moderate pair sets. Above the cap — or when the
-# member subset itself is too large to share whole (_MEMBERS_MAX rows,
-# ~0.5 GB of signatures) — the join path runs unchanged.
-_SMALL_PAIRS_MAX = 4_000_000
+# broadcast semi-join (filter signatures to the pair members, assemble the
+# member→signature table ONCE, compare in pair-chunk tasks) instead of two
+# Ray Data hash joins: the joins replicate the 512-byte packed signature
+# onto EVERY pair row (2 × pairs × sig bytes through the shuffle — 8 GB
+# and 170 s for the 8.3M-pair set the sf1 sweep produced), while the
+# broadcast path ships the signatures once and the pairs once. The
+# driver-side pair arrays are 16 B/pair (1 GB at the cap); the member
+# subset is capped separately (_MEMBERS_MAX rows, ~0.5 GB of signatures).
+# Beyond either cap the join path runs unchanged.
+_SMALL_PAIRS_MAX = 64_000_000
 _MEMBERS_MAX = 1_000_000
 _ASSEMBLE_CHUNK = 500_000
 
@@ -311,7 +313,8 @@ def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
         sel, batch_format="pyarrow",
         zero_copy_batch=True).materialize().to_arrow_refs()
 
-    def assemble(lo, hi, *blocks):
+    def assemble(*blocks):
+        """Member→signature lookup, built ONCE (not per pair chunk)."""
         ids_l, sig_l = [], []
         for t in blocks:
             if t.num_rows == 0:
@@ -322,11 +325,16 @@ def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
                 t.column("sig").combine_chunks().flatten(),
                 np.int64).reshape(n, -1))
         if not ids_l:
-            return empty
+            return np.empty(0, np.int64), np.empty((0, 1), np.int64)
         ids = np.concatenate(ids_l)
         sigs = np.concatenate(sig_l)
         order = np.argsort(ids)
-        ids, sigs = ids[order], sigs[order]
+        return ids[order], sigs[order]
+
+    def est_chunk(lo, hi, table):
+        ids, sigs = table
+        if not len(ids):
+            return empty
         ia = np.searchsorted(ids, lo)
         ib = np.searchsorted(ids, hi)
         est = (sigs[ia] == sigs[ib]).mean(axis=1)
@@ -337,9 +345,10 @@ def _estimate_pairs_broadcast(pairs_ds, sig_ds, id_col, num_perm,
             "est_jaccard": pa.array(est[keep], pa.float64()),
         })
 
-    rtask = ray.remote(assemble)
+    table_ref = ray.remote(assemble).remote(*sub_refs)
+    rtask = ray.remote(est_chunk)
     outs = [rtask.remote(lo[i:i + _ASSEMBLE_CHUNK],
-                         hi[i:i + _ASSEMBLE_CHUNK], *sub_refs)
+                         hi[i:i + _ASSEMBLE_CHUNK], table_ref)
             for i in range(0, len(lo), _ASSEMBLE_CHUNK)]
     return ray.data.from_arrow_refs(outs)
 

@@ -51,8 +51,15 @@ def corpus_params_for_sf(sf: float) -> CorpusParams:
     # bench tier (sf0.1): ~256k files, ~4M planted import statements — sized
     # so per-partition superstep kernels dominate task-orchestration latency
     # and CPU scaling is observable (BASELINE.md scaling criterion)
-    return CorpusParams(n_clusters=20, repos_per_cluster=8,
-                        files_per_repo=1000, imports_per_file=16,
+    if sf <= 0.1:
+        return CorpusParams(n_clusters=20, repos_per_cluster=8,
+                            files_per_repo=1000, imports_per_file=16,
+                            commits_per_repo=40, giant_commit_files=512)
+    # scale tier (sf1): 1.6M files — V above moving.LOCK_DRAIN_V_MAX, so
+    # full Leiden executes the distributed claims loop (the 100-TB path)
+    # instead of the in-process drain
+    return CorpusParams(n_clusters=40, repos_per_cluster=8,
+                        files_per_repo=5000, imports_per_file=16,
                         commits_per_repo=40, giant_commit_files=512)
 
 
