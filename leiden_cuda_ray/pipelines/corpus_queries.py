@@ -93,14 +93,71 @@ def cocommit_pairs(sf_dir: str):
 
 
 def import_pairs(sf_dir: str):
-    """Resolved distinct import edges (src file → dst file)."""
+    """Resolved distinct import edges (src file → dst file).
+
+    INT id space end-to-end (same treatment as cocommit_pairs): resolve
+    endpoints through the broadcast id map, distinct on (src, dst) int64
+    pairs, and join strings back only onto the distinct OUTPUT rows —
+    the round-2 shape (hash join + 4-string-column distinct over the raw
+    statement stream) shuffled every import statement as strings (127 s
+    at 50k-doc sweep scale). Self-imports are kept (the oracle has no
+    self filter); the string-join path remains as the >2M-file fallback."""
+    from leiden_cuda_ray.pipelines.derive import derive_edges  # noqa: F401
+    from leiden_cuda_ray.stages.idmap import build_vertex_maps, make_import_mapper
+    from leiden_cuda_ray.stages.imports import _stem_batch
+    from leiden_cuda_ray.stages.joins import hash_join
+    from leiden_cuda_ray.stages.numbering import build_vertex_numbering
+
     path = ensure_corpus_for_sf_dir(sf_dir)
+    numbering, _V = build_vertex_numbering(
+        read_corpus(path, columns=["repo", "path"]), dedup=True)
+    numbering = numbering.materialize()
+    ft = numbering.map_batches(_stem_batch, batch_format="pyarrow",
+                               zero_copy_batch=True).materialize()
+    maps_ref = build_vertex_maps(ft, numbering)
     corpus = read_corpus(path, columns=["repo", "path", "lang", "content"])
-    ft = file_table(read_corpus(path, columns=["repo", "path"]))
-    resolved = resolve_imports(extract_imports(corpus), ft)
-    return resolved.groupby(
-        ["src_repo", "src_path", "dst_repo", "dst_path"]).count(
-    ).drop_columns(["count()"])
+    if maps_ref is None:
+        # distributed fallback (ambiguous stems / >2M files): string joins
+        resolved = resolve_imports(extract_imports(corpus),
+                                   ft.drop_columns(["vertex"]))
+        return resolved.groupby(
+            ["src_repo", "src_path", "dst_repo", "dst_path"]).count(
+        ).drop_columns(["count()"])
+
+    int_pairs = extract_imports(corpus).map_batches(
+        make_import_mapper(maps_ref, drop_self=False),
+        batch_format="pyarrow", zero_copy_batch=True)
+    distinct = int_pairs.groupby(["src", "dst"]).count().drop_columns(
+        ["count()"])
+
+    def cast_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pc.cast(batch.column("src"), pa.int64()),
+            "dst": pc.cast(batch.column("dst"), pa.int64()),
+        })
+
+    e = distinct.map_batches(cast_int, batch_format="pyarrow")
+    j1 = hash_join(e, numbering, on=("src",), right_on=("vertex",))
+
+    def name_src(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_repo": pc.cast(batch.column("repo"), pa.string()),
+            "src_path": pc.cast(batch.column("path"), pa.string()),
+            "dst": pc.cast(batch.column("dst"), pa.int64()),
+        })
+
+    j2 = hash_join(j1.map_batches(name_src, batch_format="pyarrow"),
+                   numbering, on=("dst",), right_on=("vertex",))
+
+    def name_dst(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "src_repo": pc.cast(batch.column("src_repo"), pa.string()),
+            "src_path": pc.cast(batch.column("src_path"), pa.string()),
+            "dst_repo": pc.cast(batch.column("repo"), pa.string()),
+            "dst_path": pc.cast(batch.column("path"), pa.string()),
+        })
+
+    return j2.map_batches(name_dst, batch_format="pyarrow")
 
 
 def _edge_union(sf_dir: str):

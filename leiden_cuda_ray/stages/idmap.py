@@ -104,10 +104,12 @@ def _resolve(hashes: np.ndarray, table_h: np.ndarray,
     return out
 
 
-def make_import_mapper(maps_ref):
+def make_import_mapper(maps_ref, drop_self: bool = True):
     """(src_repo, src_path, dst_repo, dst_stem) → (src, dst, weight) int
     edges; unresolved targets dropped (inner-join semantics). Stateless
-    task fn — the lookup arrays come zero-copy from the object store."""
+    task fn — the lookup arrays come zero-copy from the object store.
+    drop_self=False keeps self-imports (the import_pairs oracle has no
+    self filter; the graph build drops them)."""
     def fn(batch: pa.Table) -> pa.Table:
         import ray
 
@@ -120,7 +122,7 @@ def make_import_mapper(maps_ref):
         dst = _resolve(_key_hashes(batch.column("dst_repo"),
                                    batch.column("dst_stem")),
                        maps["stem_hash"], maps["stem_vid"])
-        keep = (dst >= 0) & (src != dst)
+        keep = (dst >= 0) & (src != dst) if drop_self else (dst >= 0)
         return pa.table({
             "src": pa.array(src[keep], pa.int64()),
             "dst": pa.array(dst[keep], pa.int64()),
