@@ -95,24 +95,62 @@ def _orient(csr, deg_lookup):
     return offsets, dst_k, counts
 
 
+#: heap budget per wedge-emit task: one chunk never materializes more
+#: wedges than this (~200 MB of (a, b, u) int64 at 8M)
+_CHUNK_WEDGES = 8_000_000
+
+
 @ray.remote
-def _emit_wedges(csr, block, P, V, *deg_replies):
+def _oriented(csr, V, *deg_replies):
+    """Per-partition oriented artifacts, built ONCE and shared by every
+    emit chunk and probe through the object store: sorted probe keys
+    (u*V + v), oriented CSR (offsets/nbrs/counts) and the sparse degree
+    lookup for wedge routing."""
     deg_lookup = _merge_deg_replies(deg_replies)
     offsets, nbrs, counts = _orient(csr, deg_lookup)
-    ids_l, degs_l = deg_lookup
     vlo = csr["vlo"]
+    src_slot = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    adj_keys = (src_slot + vlo) * V + nbrs  # ascending by construction
+    return {"adj_keys": adj_keys, "offsets": offsets, "nbrs": nbrs,
+            "counts": counts, "ids": deg_lookup[0],
+            "degs": deg_lookup[1], "vlo": vlo}
+
+
+@ray.remote
+def _plan_chunks(o):
+    """Row-range chunk bounds so no emit task holds more than
+    _CHUNK_WEDGES wedges. The un-chunked emitter materialized a whole
+    partition's wedge set at once — Σ C(outdeg⁺, 2) explodes on the
+    uncapped co-commit cliques (the sf1 sweep OOM-killed workers)."""
+    w = o["counts"].astype(np.int64)
+    w = w * (w - 1) // 2
+    cum = np.cumsum(w) if len(w) else np.zeros(0, np.int64)
+    total = int(cum[-1]) if len(cum) else 0
+    n_chunks = max(1, -(-total // _CHUNK_WEDGES))
+    targets = (np.arange(1, n_chunks) * total) // n_chunks
+    splits = np.searchsorted(cum, targets, side="left") + 1
+    return np.concatenate([[0], splits, [len(w)]]).astype(np.int64)
+
+
+@ray.remote
+def _emit_wedges_chunk(o, block, P, V, lo, hi):
+    """Wedges for local rows [lo, hi) of the oriented CSR, routed to the
+    owner of the orientation-smaller endpoint."""
+    offsets, nbrs = o["offsets"], o["nbrs"]
+    counts = o["counts"][lo:hi]
+    ids_l, degs_l = o["ids"], o["degs"]
+    vlo = o["vlo"]
     a_out, b_out, u_out = [], [], []
     # group rows by oriented out-degree k: one vectorized triu per distinct k
     for k in np.unique(counts):
         if k < 2:
             continue
-        rows = np.flatnonzero(counts == k)
+        rows = lo + np.flatnonzero(counts == k)
         starts = offsets[rows]
         mat = nbrs[starts[:, None] + np.arange(k)]
         iu, ju = np.triu_indices(int(k), 1)
         x = mat[:, iu].ravel()
         y = mat[:, ju].ravel()
-        # route the query to the orientation-smaller endpoint
         dx = degs_l[np.searchsorted(ids_l, x)]
         dy = degs_l[np.searchsorted(ids_l, y)]
         x_first = (dx < dy) | ((dx == dy) & (x < y))
@@ -134,14 +172,17 @@ def _emit_wedges(csr, block, P, V, *deg_replies):
 
 
 @ray.remote
-def _probe_and_route(csr, n_deg, block, P, V, *shards):
-    deg_lookup = _merge_deg_replies(shards[:n_deg])
-    wedge_shards = shards[n_deg:]
-    offsets, nbrs, counts = _orient(csr, deg_lookup)
-    vlo = csr["vlo"]
-    src_slot = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    adj_keys = (src_slot + vlo) * V + nbrs  # ascending by construction
-    tri_v = []
+def _probe_and_route(o, block, P, V, *wedge_shards):
+    """Probe b ∈ N⁺(a) for every incoming wedge shard (one shard per
+    emit chunk — processed one at a time, never concatenated) and
+    accumulate per-vertex +1 contributions as SPARSE (id, count) pairs,
+    merged incrementally so heap stays bounded by distinct ids, not by
+    raw triangle corners."""
+    from leiden_cuda_ray.graph.runtime import segsum_by_key
+
+    adj_keys = o["adj_keys"]
+    acc_ids = np.empty(0, np.int64)
+    acc_cnt = np.empty(0, np.float64)
     for a, b, u in wedge_shards:
         if len(a) == 0 or len(adj_keys) == 0:
             continue
@@ -150,10 +191,15 @@ def _probe_and_route(csr, n_deg, block, P, V, *shards):
         inb = pos < len(adj_keys)
         hit = np.zeros(len(q), bool)
         hit[inb] = adj_keys[pos[inb]] == q[inb]
-        if hit.any():
-            tri_v.append(np.concatenate([a[hit], b[hit], u[hit]]))
-    allv = np.concatenate(tri_v) if tri_v else np.empty(0, np.int64)
-    shards = shard_by_owner(allv, block, P)
+        if not hit.any():
+            continue
+        ids, cnt = segsum_by_key(
+            np.concatenate([a[hit], b[hit], u[hit]]),
+            np.ones(3 * int(hit.sum()), np.float64))
+        acc_ids, acc_cnt = segsum_by_key(
+            np.concatenate([acc_ids, ids]),
+            np.concatenate([acc_cnt, cnt]))
+    shards = shard_by_owner(acc_ids, block, P, acc_cnt)
     if P == 1:
         return shards[0]
     return tuple(shards)
@@ -162,9 +208,9 @@ def _probe_and_route(csr, n_deg, block, P, V, *shards):
 @ray.remote
 def _count(vlo, nv, *shards):
     counts = np.zeros(nv, np.int64)
-    for (ids,) in shards:
+    for ids, cnt in shards:
         if len(ids):
-            counts += np.bincount(ids - vlo, minlength=nv)
+            counts[ids - vlo] += cnt.astype(np.int64)
     return counts
 
 
@@ -190,14 +236,30 @@ def triangle_counts(graph: Graph):
     else:
         deg_replies = [[serves[k][i] for k in range(P)] for i in range(P)]
 
-    wedge_shards = fanout(
-        _emit_wedges,
-        [(graph.parts[i], graph.block, P, graph.V, *deg_replies[i])
-         for i in range(P)], P)
+    oriented = [
+        _oriented.remote(graph.parts[i], graph.V, *deg_replies[i])
+        for i in range(P)
+    ]
+    bounds = ray.get([_plan_chunks.remote(o) for o in oriented])
+
+    # chunked emit: heap-bounded tasks; shards live in plasma (spillable)
+    wedge_shard_lists: list[list] = [[] for _ in range(P)]
+    for i in range(P):
+        b = bounds[i]
+        for c in range(len(b) - 1):
+            if b[c] == b[c + 1]:
+                continue
+            r = _emit_wedges_chunk.options(
+                num_returns=P if P > 1 else 1).remote(
+                    oriented[i], graph.block, P, graph.V,
+                    int(b[c]), int(b[c + 1]))
+            refs = list(r) if P > 1 else [r]
+            for j in range(P):
+                wedge_shard_lists[j].append(refs[j])
+
     contrib_shards = fanout(
         _probe_and_route,
-        [(graph.parts[j], len(deg_replies[j]), graph.block, P, graph.V,
-          *deg_replies[j], *wedge_shards[j])
+        [(oriented[j], graph.block, P, graph.V, *wedge_shard_lists[j])
          for j in range(P)], P)
     counts = [
         _count.remote(graph.ranges()[j][0],
