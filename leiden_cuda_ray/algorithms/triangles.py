@@ -10,12 +10,23 @@ Plan per partition (three sharded exchanges, no dense-V array anywhere):
   1. degree request/reply: each partition asks the owners of exactly the
      vertex ids it references (own + neighbors) and builds a sparse sorted
      (ids, deg) lookup from the replies;
-  2. orient local CSR rows with the lookup; emit wedges (a, b, origin u)
-     for each oriented neighbor pair of u, routed to owner(a) where
-     orientation key(a) < key(b);
-  3. owners test b ∈ N+(a) by binary search over the encoded oriented
-     adjacency, then route +1 count contributions to owner(u)/owner(a)/
-     owner(b).
+  2. orient local CSR rows with the lookup;
+  3. ADJACENCY request/reply: each partition pulls the oriented out-rows
+     N⁺(v) of exactly the distinct vertex ids in its oriented neighbor
+     lists, merging the replies into a sorted (a*V + b) probe-key array;
+  4. wedges are generated AND probed locally, one heap-bounded chunk at a
+     time: emit (a, b) for each oriented neighbor pair of local u, test
+     b ∈ N⁺(a) against the pulled keys, fold +1 contributions into a
+     sparse (id, count) accumulator, and only route the folded sparse
+     counts to their owners.
+
+Wedges never cross the wire and never accumulate in the object store.
+The previous design shipped every wedge to owner(a) and fan-in probed
+them, which meant ALL Σ C(outdeg⁺, 2) wedges were alive in plasma at once
+— on sf1's co-commit cliques that is ~10⁹ wedges (a 64-clique alone holds
+64³/6 ≈ 44k), which OOM-killed workers un-chunked and filled the spill
+disk chunked. Pulled adjacency is bounded by Σ|N⁺(v)| over referenced v
+≤ E per partition — linear, not quadratic, in local edges.
 
 Encoding a pair as a*V+b needs V < 2^31.5; larger graphs would switch to a
 segmented (per-row searchsorted) membership test — asserted, not silent.
@@ -95,33 +106,34 @@ def _orient(csr, deg_lookup):
     return offsets, dst_k, counts
 
 
-#: heap budget per wedge-emit task: one chunk never materializes more
-#: wedges than this (~200 MB of (a, b, u) int64 at 8M)
+#: heap budget per probe chunk: one chunk never materializes more wedges
+#: than this (~200 MB of (a, b, u) int64 at 8M), and wedges never leave
+#: the task that generated them
 _CHUNK_WEDGES = 8_000_000
+
+#: chunks folded serially inside one probe task; more tasks = better
+#: balance on skewed partitions, fewer = less pulled-key rebuild overhead
+_CHUNKS_PER_TASK = 4
 
 
 @ray.remote
 def _oriented(csr, V, *deg_replies):
     """Per-partition oriented artifacts, built ONCE and shared by every
-    emit chunk and probe through the object store: sorted probe keys
-    (u*V + v), oriented CSR (offsets/nbrs/counts) and the sparse degree
-    lookup for wedge routing."""
+    serve/probe task through the object store: oriented CSR
+    (offsets/nbrs/counts) and the sparse degree lookup for wedge
+    ordering."""
     deg_lookup = _merge_deg_replies(deg_replies)
     offsets, nbrs, counts = _orient(csr, deg_lookup)
-    vlo = csr["vlo"]
-    src_slot = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
-    adj_keys = (src_slot + vlo) * V + nbrs  # ascending by construction
-    return {"adj_keys": adj_keys, "offsets": offsets, "nbrs": nbrs,
-            "counts": counts, "ids": deg_lookup[0],
-            "degs": deg_lookup[1], "vlo": vlo}
+    return {"offsets": offsets, "nbrs": nbrs, "counts": counts,
+            "ids": deg_lookup[0], "degs": deg_lookup[1],
+            "vlo": csr["vlo"]}
 
 
 @ray.remote
 def _plan_chunks(o):
-    """Row-range chunk bounds so no emit task holds more than
-    _CHUNK_WEDGES wedges. The un-chunked emitter materialized a whole
-    partition's wedge set at once — Σ C(outdeg⁺, 2) explodes on the
-    uncapped co-commit cliques (the sf1 sweep OOM-killed workers)."""
+    """Row-range chunk bounds so no probe chunk holds more than
+    _CHUNK_WEDGES wedges (Σ C(outdeg⁺, 2) explodes on co-commit
+    cliques)."""
     w = o["counts"].astype(np.int64)
     w = w * (w - 1) // 2
     cum = np.cumsum(w) if len(w) else np.zeros(0, np.int64)
@@ -133,9 +145,44 @@ def _plan_chunks(o):
 
 
 @ray.remote
-def _emit_wedges_chunk(o, block, P, V, lo, hi):
-    """Wedges for local rows [lo, hi) of the oriented CSR, routed to the
-    owner of the orientation-smaller endpoint."""
+def _request_adj(o, block, P):
+    """Distinct oriented-neighbor ids, sharded by owner — the request
+    half of the adjacency pull."""
+    ids = np.unique(o["nbrs"])
+    shards = shard_by_owner(ids, block, P)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
+
+
+@ray.remote
+def _serve_adj(o, *req_shards):
+    """Reply (ids, row_lens, nbrs_concat) per requesting partition: the
+    oriented out-rows of exactly the requested local ids."""
+    offsets, nbrs, counts, vlo = (o["offsets"], o["nbrs"], o["counts"],
+                                  o["vlo"])
+    out = []
+    for (ids,) in req_shards:
+        slots = ids - vlo
+        lens = counts[slots].astype(np.int64)
+        total = int(lens.sum())
+        if total:
+            starts = offsets[slots]
+            base = np.repeat(starts - np.concatenate([[0],
+                                                      np.cumsum(lens)[:-1]]),
+                             lens)
+            sub = nbrs[base + np.arange(total)]
+        else:
+            sub = np.empty(0, np.int64)
+        out.append((ids, lens, sub))
+    if len(req_shards) == 1:
+        return out[0]
+    return tuple(out)
+
+
+def _wedges_for_rows(o, lo, hi):
+    """All wedges (a, b, u) for local rows [lo, hi) of the oriented CSR,
+    ordered so key(a) < key(b) under the (deg, id) orientation key."""
     offsets, nbrs = o["offsets"], o["nbrs"]
     counts = o["counts"][lo:hi]
     ids_l, degs_l = o["ids"], o["degs"]
@@ -160,30 +207,30 @@ def _emit_wedges_chunk(o, block, P, V, lo, hi):
         b_out.append(b)
         u_out.append(np.repeat(rows + vlo, len(iu)))
     if a_out:
-        a = np.concatenate(a_out)
-        b = np.concatenate(b_out)
-        u = np.concatenate(u_out)
-    else:
-        a = b = u = np.empty(0, np.int64)
-    shards = shard_by_owner(a, block, P, b, u)
-    if P == 1:
-        return shards[0]
-    return tuple(shards)
+        return (np.concatenate(a_out), np.concatenate(b_out),
+                np.concatenate(u_out))
+    e = np.empty(0, np.int64)
+    return e, e, e
 
 
 @ray.remote
-def _probe_and_route(o, block, P, V, *wedge_shards):
-    """Probe b ∈ N⁺(a) for every incoming wedge shard (one shard per
-    emit chunk — processed one at a time, never concatenated) and
-    accumulate per-vertex +1 contributions as SPARSE (id, count) pairs,
-    merged incrementally so heap stays bounded by distinct ids, not by
-    raw triangle corners."""
+def _probe_rows(o, block, P, V, bounds, *adj_replies):
+    """Generate wedges for the chunk ranges in `bounds` and probe them
+    in place against the pulled oriented adjacency, folding +1
+    contributions into a sparse (id, count) accumulator. Only the folded
+    sparse counts are routed to owners — wedges die inside this task."""
     from leiden_cuda_ray.graph.runtime import segsum_by_key
 
-    adj_keys = o["adj_keys"]
+    keys_parts = [np.repeat(ids, lens) * V + sub
+                  for ids, lens, sub in adj_replies if len(sub)]
+    # replies arrive in owner order (disjoint ascending id ranges) with
+    # sorted rows, so the concatenation is globally sorted
+    adj_keys = (np.concatenate(keys_parts) if keys_parts
+                else np.empty(0, np.int64))
     acc_ids = np.empty(0, np.int64)
     acc_cnt = np.empty(0, np.float64)
-    for a, b, u in wedge_shards:
+    for c in range(len(bounds) - 1):
+        a, b, u = _wedges_for_rows(o, int(bounds[c]), int(bounds[c + 1]))
         if len(a) == 0 or len(adj_keys) == 0:
             continue
         q = a * V + b
@@ -240,31 +287,45 @@ def triangle_counts(graph: Graph):
         _oriented.remote(graph.parts[i], graph.V, *deg_replies[i])
         for i in range(P)
     ]
+
+    # adjacency request/reply exchange: each partition pulls N⁺(v) for
+    # exactly the distinct ids in its oriented neighbor lists
+    adj_req = fanout(
+        _request_adj, [(oriented[i], graph.block, P) for i in range(P)], P)
+    adj_serves = [
+        _serve_adj.options(num_returns=P if P > 1 else 1).remote(
+            oriented[k], *adj_req[k])
+        for k in range(P)
+    ]
+    if P == 1:
+        adj_replies = [[adj_serves[0]]]
+    else:
+        adj_replies = [[adj_serves[k][i] for k in range(P)]
+                       for i in range(P)]
+
     bounds = ray.get([_plan_chunks.remote(o) for o in oriented])
 
-    # chunked emit: heap-bounded tasks; shards live in plasma (spillable)
-    wedge_shard_lists: list[list] = [[] for _ in range(P)]
+    # local emit+probe, _CHUNKS_PER_TASK chunk ranges per task: wedges
+    # are generated and consumed inside one heap-bounded task
+    contrib_shard_lists: list[list] = [[] for _ in range(P)]
     for i in range(P):
         b = bounds[i]
-        for c in range(len(b) - 1):
-            if b[c] == b[c + 1]:
+        for t0 in range(0, len(b) - 1, _CHUNKS_PER_TASK):
+            sub = b[t0:t0 + _CHUNKS_PER_TASK + 1]
+            if sub[0] == sub[-1] and len(b) > 2:
                 continue
-            r = _emit_wedges_chunk.options(
+            r = _probe_rows.options(
                 num_returns=P if P > 1 else 1).remote(
-                    oriented[i], graph.block, P, graph.V,
-                    int(b[c]), int(b[c + 1]))
+                    oriented[i], graph.block, P, graph.V, sub,
+                    *adj_replies[i])
             refs = list(r) if P > 1 else [r]
             for j in range(P):
-                wedge_shard_lists[j].append(refs[j])
+                contrib_shard_lists[j].append(refs[j])
 
-    contrib_shards = fanout(
-        _probe_and_route,
-        [(oriented[j], graph.block, P, graph.V, *wedge_shard_lists[j])
-         for j in range(P)], P)
     counts = [
         _count.remote(graph.ranges()[j][0],
                       graph.ranges()[j][1] - graph.ranges()[j][0],
-                      *contrib_shards[j])
+                      *contrib_shard_lists[j])
         for j in range(P)
     ]
 
