@@ -1419,6 +1419,11 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
 #: moved and active both fall to max(32, V // SPARSE_CUT_DIV)
 SPARSE_CUT_DIV = 128
 
+#: when a probe/test sets this to a list, the sparse tail appends the
+#: wave width (number of eval tasks submitted) of every superstep it
+#: runs — evidence that waves narrow with the frontier
+SPARSE_WAVE_LOG: list | None = None
+
 
 def _run_sparse_tail(graph, states, packs, kind, param, seed,
                      max_supersteps, step, total_moves, prev_moved,
@@ -1463,6 +1468,8 @@ def _run_sparse_tail(graph, states, packs, kind, param, seed,
         if first:
             # transition superstep: full width, combined packs in, split out
             run = list(range(P))
+            if SPARSE_WAVE_LOG is not None:
+                SPARSE_WAVE_LOG.append(P)
             serves = {k: _serve_packed.options(
                 num_returns=G if G > 1 else 1).remote(
                     P, k, G, *[packs[i][k // span] for i in range(P)])
@@ -1481,6 +1488,8 @@ def _run_sparse_tail(graph, states, packs, kind, param, seed,
         else:
             run = [j for j in range(P)
                    if act[j] > 0 or react_counts[:, j].any()]
+            if SPARSE_WAVE_LOG is not None:
+                SPARSE_WAVE_LOG.append(len(run))
             if not run:
                 # zero frontier, no pending reactivations: the dense loop
                 # would run one full no-op wave (moved=0, active=0) and

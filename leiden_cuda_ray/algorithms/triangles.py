@@ -214,19 +214,25 @@ def _wedges_for_rows(o, lo, hi):
 
 
 @ray.remote
-def _probe_rows(o, block, P, V, bounds, *adj_replies):
+def _merge_adj(V, *adj_replies):
+    """Pulled-adjacency probe keys (a*V + b), built ONCE per partition
+    and shared by its probe tasks through the object store. Replies
+    arrive in owner order (disjoint ascending id ranges) with sorted
+    rows, so the concatenation is globally sorted."""
+    keys_parts = [np.repeat(ids, lens) * V + sub
+                  for ids, lens, sub in adj_replies if len(sub)]
+    return (np.concatenate(keys_parts) if keys_parts
+            else np.empty(0, np.int64))
+
+
+@ray.remote
+def _probe_rows(o, block, P, V, bounds, adj_keys):
     """Generate wedges for the chunk ranges in `bounds` and probe them
     in place against the pulled oriented adjacency, folding +1
     contributions into a sparse (id, count) accumulator. Only the folded
     sparse counts are routed to owners — wedges die inside this task."""
     from leiden_cuda_ray.graph.runtime import segsum_by_key
 
-    keys_parts = [np.repeat(ids, lens) * V + sub
-                  for ids, lens, sub in adj_replies if len(sub)]
-    # replies arrive in owner order (disjoint ascending id ranges) with
-    # sorted rows, so the concatenation is globally sorted
-    adj_keys = (np.concatenate(keys_parts) if keys_parts
-                else np.empty(0, np.int64))
     acc_ids = np.empty(0, np.int64)
     acc_cnt = np.empty(0, np.float64)
     for c in range(len(bounds) - 1):
@@ -302,6 +308,8 @@ def triangle_counts(graph: Graph):
     else:
         adj_replies = [[adj_serves[k][i] for k in range(P)]
                        for i in range(P)]
+    adj_keys = [_merge_adj.remote(graph.V, *adj_replies[i])
+                for i in range(P)]
 
     bounds = ray.get([_plan_chunks.remote(o) for o in oriented])
 
@@ -317,7 +325,7 @@ def triangle_counts(graph: Graph):
             r = _probe_rows.options(
                 num_returns=P if P > 1 else 1).remote(
                     oriented[i], graph.block, P, graph.V, sub,
-                    *adj_replies[i])
+                    adj_keys[i])
             refs = list(r) if P > 1 else [r]
             for j in range(P):
                 contrib_shard_lists[j].append(refs[j])
