@@ -160,10 +160,13 @@ def run_single(graph_only: bool = False) -> dict:
         ray.get(labels)
         queries["connected_components"] = time.perf_counter() - t0
 
-        # min-of-2: the first run pays Ray worker scale-up for the burst
-        # of intersection tasks (~12 s cold vs ~3 s steady-state)
+        # min-of-3 (same rationale as local moving / pagerank): the first
+        # run pays per-worker first-touch page-fault warm-up (~12 s cold
+        # vs ~1 s steady-state — a pure-numpy kernel in 32 fresh Ray
+        # workers shows the identical 8x cold/warm swing), and single
+        # warm runs still ride the hypervisor-noise band
         t_tri = float("inf")
-        for _rep in range(2):
+        for _rep in range(3):
             t0 = time.perf_counter()
             counts, total_tri = triangle_counts(graph)
             ray.get(counts)

@@ -89,6 +89,13 @@ def _merge_deg_replies(replies):
 def _orient(csr, deg_lookup):
     """Oriented CSR: keep slot (u→v) iff (deg_u,u) < (deg_v,v), drop selfs.
 
+    Each row's out-neighbors are stored sorted by the ORIENTATION KEY
+    (deg, id), not by id: wedge pairs taken in stored order (iu < ju) are
+    then already (a, b)-ordered with key(a) < key(b), so the probe needs
+    no per-wedge degree lookups at all (two searchsorted passes and five
+    temp arrays per wedge batch gone — first-touch page faults across 32
+    concurrent workers were the dominant cost of the old kernel).
+
     deg_lookup: sparse sorted (ids, degs) covering own + neighbor ids."""
     ids, degs = deg_lookup
     src_slot = local_src_per_slot(csr)
@@ -99,6 +106,10 @@ def _orient(csr, deg_lookup):
     keep = (du < dv) | ((du == dv) & (src_g < dst))
     src_k = src_slot[keep]
     dst_k = dst[keep]
+    dv_k = dv[keep]
+    order = np.lexsort((dst_k, dv_k, src_k))
+    src_k = src_k[order]
+    dst_k = dst_k[order]
     nv = csr["vhi"] - csr["vlo"]
     counts = np.bincount(src_k, minlength=nv)
     offsets = np.zeros(nv + 1, np.int64)
@@ -107,41 +118,63 @@ def _orient(csr, deg_lookup):
 
 
 #: heap budget per probe chunk: one chunk never materializes more wedges
-#: than this (~200 MB of (a, b, u) int64 at 8M), and wedges never leave
-#: the task that generated them
-_CHUNK_WEDGES = 8_000_000
+#: than this, and wedges never leave the task that generated them.
+#: Chunks are spans of the per-partition WEDGE-INDEX space (not row
+#: boundaries), so a single hub row with C(outdeg⁺, 2) above the budget
+#: is split internally by triu-index ranges — the heap bound holds for
+#: any degree distribution.
+_CHUNK_WEDGES = 2_000_000
 
 #: chunks folded serially inside one probe task; more tasks = better
-#: balance on skewed partitions, fewer = less pulled-key rebuild overhead
-_CHUNKS_PER_TASK = 4
+#: balance on skewed partitions, fewer = less pulled-key re-touch overhead
+_CHUNKS_PER_TASK = 2
 
 
 @ray.remote
 def _oriented(csr, V, *deg_replies):
     """Per-partition oriented artifacts, built ONCE and shared by every
     serve/probe task through the object store: oriented CSR
-    (offsets/nbrs/counts) and the sparse degree lookup for wedge
-    ordering."""
+    (offsets/nbrs/counts, rows key-sorted) and the per-row wedge-count
+    prefix sum used to map wedge-index chunks back to rows."""
     deg_lookup = _merge_deg_replies(deg_replies)
     offsets, nbrs, counts = _orient(csr, deg_lookup)
-    return {"offsets": offsets, "nbrs": nbrs, "counts": counts,
-            "ids": deg_lookup[0], "degs": deg_lookup[1],
-            "vlo": csr["vlo"]}
-
-
-@ray.remote
-def _plan_chunks(o):
-    """Row-range chunk bounds so no probe chunk holds more than
-    _CHUNK_WEDGES wedges (Σ C(outdeg⁺, 2) explodes on co-commit
-    cliques)."""
-    w = o["counts"].astype(np.int64)
+    w = counts.astype(np.int64)
     w = w * (w - 1) // 2
-    cum = np.cumsum(w) if len(w) else np.zeros(0, np.int64)
-    total = int(cum[-1]) if len(cum) else 0
-    n_chunks = max(1, -(-total // _CHUNK_WEDGES))
-    targets = (np.arange(1, n_chunks) * total) // n_chunks
-    splits = np.searchsorted(cum, targets, side="left") + 1
-    return np.concatenate([[0], splits, [len(w)]]).astype(np.int64)
+    wcum = np.zeros(len(w) + 1, np.int64)
+    np.cumsum(w, out=wcum[1:])
+    return {"offsets": offsets, "nbrs": nbrs, "counts": counts,
+            "wcum": wcum, "vlo": csr["vlo"]}
+
+
+def _plan_chunks(wedge_total):
+    """Equal-size chunk bounds over the partition's wedge-index space
+    [0, wedge_total): every chunk holds ≤ _CHUNK_WEDGES wedges regardless
+    of how skewed the per-row wedge counts are (Σ C(outdeg⁺, 2) explodes
+    on co-commit cliques; a single hub row can exceed the budget alone)."""
+    bounds = np.arange(0, wedge_total, _CHUNK_WEDGES, dtype=np.int64)
+    return np.concatenate([bounds, [wedge_total]])
+
+
+def _triu_range(k, p0, p1):
+    """Pair-index slice [p0, p1) of np.triu_indices(k, 1), computed
+    directly (no O(k²) materialization): row-major (i, j) pairs, i < j.
+
+    i(t) solves t ∈ [S(i), S(i+1)) with S(i) = i·k − i(i+1)/2; the float
+    closed form is corrected exactly afterwards, so the result is
+    bit-identical to slicing np.triu_indices (tested)."""
+    t = np.arange(p0, p1, dtype=np.int64)
+    b = 2 * k - 1
+    i = ((b - np.sqrt(b * b - 8.0 * t)) // 2).astype(np.int64)
+    i = np.clip(i, 0, k - 2)
+    # exact correction for float rounding (off by at most 1 either way)
+    start = i * (2 * k - i - 1) // 2
+    i = np.where(t < start, i - 1, i)
+    start = i * (2 * k - i - 1) // 2
+    nxt = (i + 1) * (2 * k - i - 2) // 2
+    i = np.where(t >= nxt, i + 1, i)
+    start = i * (2 * k - i - 1) // 2
+    j = t - start + i + 1
+    return i, j
 
 
 @ray.remote
@@ -180,32 +213,52 @@ def _serve_adj(o, *req_shards):
     return tuple(out)
 
 
-def _wedges_for_rows(o, lo, hi):
-    """All wedges (a, b, u) for local rows [lo, hi) of the oriented CSR,
-    ordered so key(a) < key(b) under the (deg, id) orientation key."""
-    offsets, nbrs = o["offsets"], o["nbrs"]
-    counts = o["counts"][lo:hi]
-    ids_l, degs_l = o["ids"], o["degs"]
+def _wedges_for_span(o, wlo, whi):
+    """Wedges (a, b, u) for the partition's wedge-index span [wlo, whi).
+
+    Rows fully inside the span go through one vectorized triu per distinct
+    out-degree; a row only partially covered (a hub whose C(outdeg⁺, 2)
+    straddles or exceeds the chunk budget) is sliced by _triu_range, so no
+    single row can blow the heap bound. Rows are key-sorted, so pairs in
+    stored order already satisfy key(a) < key(b)."""
+    offsets, nbrs, wcum = o["offsets"], o["nbrs"], o["wcum"]
     vlo = o["vlo"]
     a_out, b_out, u_out = [], [], []
-    # group rows by oriented out-degree k: one vectorized triu per distinct k
-    for k in np.unique(counts):
-        if k < 2:
-            continue
-        rows = lo + np.flatnonzero(counts == k)
-        starts = offsets[rows]
-        mat = nbrs[starts[:, None] + np.arange(k)]
-        iu, ju = np.triu_indices(int(k), 1)
-        x = mat[:, iu].ravel()
-        y = mat[:, ju].ravel()
-        dx = degs_l[np.searchsorted(ids_l, x)]
-        dy = degs_l[np.searchsorted(ids_l, y)]
-        x_first = (dx < dy) | ((dx == dy) & (x < y))
-        a = np.where(x_first, x, y)
-        b = np.where(x_first, y, x)
-        a_out.append(a)
-        b_out.append(b)
-        u_out.append(np.repeat(rows + vlo, len(iu)))
+
+    def _partial(row, p0, p1):
+        c = int(o["counts"][row])
+        iu, ju = _triu_range(c, p0, p1)
+        nb = nbrs[offsets[row]:offsets[row] + c]
+        a_out.append(nb[iu])
+        b_out.append(nb[ju])
+        u_out.append(np.full(p1 - p0, row + vlo, np.int64))
+
+    r0 = int(np.searchsorted(wcum, wlo, side="right")) - 1
+    r1 = int(np.searchsorted(wcum, whi, side="left"))  # rows [r0, r1)
+    if r0 >= r1:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    full_lo, full_hi = r0, r1
+    if wcum[r0] < wlo:  # head row partially covered
+        _partial(r0, int(wlo - wcum[r0]), int(min(whi, wcum[r0 + 1])
+                                               - wcum[r0]))
+        full_lo = r0 + 1
+    if full_hi > full_lo and wcum[r1] > whi:  # tail row partially covered
+        _partial(r1 - 1, 0, int(whi - wcum[r1 - 1]))
+        full_hi = r1 - 1
+    if full_hi > full_lo:
+        counts = o["counts"][full_lo:full_hi]
+        # one vectorized triu per distinct out-degree k among full rows
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            rows = full_lo + np.flatnonzero(counts == k)
+            starts = offsets[rows]
+            mat = nbrs[starts[:, None] + np.arange(k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            a_out.append(mat[:, iu].ravel())
+            b_out.append(mat[:, ju].ravel())
+            u_out.append(np.repeat(rows + vlo, len(iu)))
     if a_out:
         return (np.concatenate(a_out), np.concatenate(b_out),
                 np.concatenate(u_out))
@@ -216,19 +269,22 @@ def _wedges_for_rows(o, lo, hi):
 @ray.remote
 def _merge_adj(V, *adj_replies):
     """Pulled-adjacency probe keys (a*V + b), built ONCE per partition
-    and shared by its probe tasks through the object store. Replies
-    arrive in owner order (disjoint ascending id ranges) with sorted
-    rows, so the concatenation is globally sorted."""
+    and shared by its probe tasks through the object store. Rows are
+    key-sorted (not id-sorted), so the concatenation needs one explicit
+    sort (K ≤ pulled edges per partition — cheap)."""
     keys_parts = [np.repeat(ids, lens) * V + sub
                   for ids, lens, sub in adj_replies if len(sub)]
-    return (np.concatenate(keys_parts) if keys_parts
-            else np.empty(0, np.int64))
+    if not keys_parts:
+        return np.empty(0, np.int64)
+    keys = np.concatenate(keys_parts)
+    keys.sort()
+    return keys
 
 
 @ray.remote
 def _probe_rows(o, block, P, V, bounds, adj_keys):
-    """Generate wedges for the chunk ranges in `bounds` and probe them
-    in place against the pulled oriented adjacency, folding +1
+    """Generate wedges for the wedge-index chunk spans in `bounds` and
+    probe them in place against the pulled oriented adjacency, folding +1
     contributions into a sparse (id, count) accumulator. Only the folded
     sparse counts are routed to owners — wedges die inside this task."""
     from leiden_cuda_ray.graph.runtime import segsum_by_key
@@ -236,14 +292,12 @@ def _probe_rows(o, block, P, V, bounds, adj_keys):
     acc_ids = np.empty(0, np.int64)
     acc_cnt = np.empty(0, np.float64)
     for c in range(len(bounds) - 1):
-        a, b, u = _wedges_for_rows(o, int(bounds[c]), int(bounds[c + 1]))
+        a, b, u = _wedges_for_span(o, int(bounds[c]), int(bounds[c + 1]))
         if len(a) == 0 or len(adj_keys) == 0:
             continue
         q = a * V + b
-        pos = np.searchsorted(adj_keys, q)
-        inb = pos < len(adj_keys)
-        hit = np.zeros(len(q), bool)
-        hit[inb] = adj_keys[pos[inb]] == q[inb]
+        pos = np.minimum(np.searchsorted(adj_keys, q), len(adj_keys) - 1)
+        hit = adj_keys[pos] == q
         if not hit.any():
             continue
         ids, cnt = segsum_by_key(
@@ -311,7 +365,12 @@ def triangle_counts(graph: Graph):
     adj_keys = [_merge_adj.remote(graph.V, *adj_replies[i])
                 for i in range(P)]
 
-    bounds = ray.get([_plan_chunks.remote(o) for o in oriented])
+    @ray.remote
+    def _wedge_total(o):
+        return int(o["wcum"][-1])
+
+    totals = ray.get([_wedge_total.remote(o) for o in oriented])
+    bounds = [_plan_chunks(t) for t in totals]
 
     # local emit+probe, _CHUNKS_PER_TASK chunk ranges per task: wedges
     # are generated and consumed inside one heap-bounded task

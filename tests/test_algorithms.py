@@ -294,3 +294,40 @@ def test_louvain_deterministic_across_P():
         refs, _ = louvain(g, LouvainConfig())
         results.append(_gather_state(refs))
     assert np.array_equal(results[0], results[1])
+
+
+def test_triu_range_matches_numpy():
+    from leiden_cuda_ray.algorithms.triangles import _triu_range
+
+    for k in (2, 3, 7, 64, 1001):
+        iu, ju = np.triu_indices(k, 1)
+        n = len(iu)
+        for p0, p1 in ((0, n), (1, n - 1), (n // 3, 2 * n // 3), (5, 5)):
+            a, b = _triu_range(k, p0, p1)
+            assert np.array_equal(a, iu[p0:p1])
+            assert np.array_equal(b, ju[p0:p1])
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_triangles_hub_row_split(P, monkeypatch):
+    """A single hub row whose C(outdeg, 2) exceeds the chunk budget must
+    be split internally by triu-index ranges (wedge-space chunking), not
+    silently blow the per-chunk heap bound."""
+    import leiden_cuda_ray.algorithms.triangles as T
+
+    monkeypatch.setattr(T, "_CHUNK_WEDGES", 7)
+    # hub 0 connected to 1..12, plus triangle-closing chords among leaves
+    rng = np.random.RandomState(7)
+    hub_dst = np.arange(1, 13, dtype=np.int64)
+    hub_src = np.zeros(12, np.int64)
+    chords = np.array([[1, 2], [2, 3], [4, 7], [8, 9], [10, 11], [3, 5]],
+                      np.int64)
+    src = np.concatenate([hub_src, chords[:, 0]])
+    dst = np.concatenate([hub_dst, chords[:, 1]])
+    w = np.ones(len(src))
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    counts, total = T.triangle_counts(g)
+    c = _gather_state(counts)
+    oracle = triangles_oracle(src, dst, 13)
+    assert np.array_equal(c, oracle)
+    assert total == oracle.sum() // 3
