@@ -17,9 +17,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-
-def _to_matrix(col) -> np.ndarray:
-    return np.stack([np.asarray(v, np.float64) for v in col.to_pylist()])
+from leiden_cuda_ray.functions.arrowutil import list_col_to_matrix as _to_matrix
 
 
 def _normalize(M: np.ndarray) -> np.ndarray:

@@ -26,7 +26,7 @@ from leiden_cuda_ray.sources.corpus import (
     read_corpus,
 )
 from leiden_cuda_ray.stages.hashing import with_sha256
-from leiden_cuda_ray.stages.imports import extract_imports, file_table, resolve_imports
+from leiden_cuda_ray.stages.imports import extract_imports
 
 _GRAPH_CACHE: dict = {}
 
@@ -92,7 +92,7 @@ def cocommit_pairs(sf_dir: str):
     return j2.map_batches(name_dst, batch_format="pyarrow")
 
 
-def import_pairs(sf_dir: str):
+def import_pairs(sf_dir: str, max_broadcast_keys: int = 2_000_000):
     """Resolved distinct import edges (src file → dst file).
 
     INT id space end-to-end (same treatment as cocommit_pairs): resolve
@@ -101,7 +101,8 @@ def import_pairs(sf_dir: str):
     the round-2 shape (hash join + 4-string-column distinct over the raw
     statement stream) shuffled every import statement as strings (127 s
     at 50k-doc sweep scale). Self-imports are kept (the oracle has no
-    self filter); the string-join path remains as the >2M-file fallback."""
+    self filter); the >2M-file fallback resolves endpoints with two
+    linear string joins, then runs the same int-space distinct."""
     from leiden_cuda_ray.pipelines.derive import derive_edges  # noqa: F401
     from leiden_cuda_ray.stages.idmap import build_vertex_maps, make_import_mapper
     from leiden_cuda_ray.stages.imports import _stem_batch
@@ -114,19 +115,37 @@ def import_pairs(sf_dir: str):
     numbering = numbering.materialize()
     ft = numbering.map_batches(_stem_batch, batch_format="pyarrow",
                                zero_copy_batch=True).materialize()
-    maps_ref = build_vertex_maps(ft, numbering)
+    maps_ref = build_vertex_maps(ft, numbering,
+                                 max_broadcast_keys=max_broadcast_keys)
     corpus = read_corpus(path, columns=["repo", "path", "lang", "content"])
     if maps_ref is None:
-        # distributed fallback (ambiguous stems / >2M files): string joins
-        resolved = resolve_imports(extract_imports(corpus),
-                                   ft.drop_columns(["vertex"]))
-        return resolved.groupby(
-            ["src_repo", "src_path", "dst_repo", "dst_path"]).count(
-        ).drop_columns(["count()"])
+        # distributed fallback (ambiguous stems / >2M files): endpoints
+        # resolved to int64 vids on the LINEAR import-statement stream
+        # (one string join per endpoint, same shape as derive's
+        # _derive_int_edges_joins), then distinct on (src, dst) int64 —
+        # never a 4-string-column groupby over the raw statement stream
+        # (the shape the sf1 sweep measured at 663 s vs 240 s broadcast)
+        raw = extract_imports(corpus)
+        with_src = hash_join(
+            raw, numbering, on=("src_repo", "src_path"),
+            right_on=("repo", "path"),
+            right_suffix="_n").rename_columns({"vertex": "src"})
+        with_both = hash_join(
+            with_src.select_columns(["src", "dst_repo", "dst_stem"]),
+            ft, on=("dst_repo", "dst_stem"), right_on=("repo", "stem"),
+            right_suffix="_t")
 
-    int_pairs = extract_imports(corpus).map_batches(
-        make_import_mapper(maps_ref, drop_self=False),
-        batch_format="pyarrow", zero_copy_batch=True)
+        def _proj(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pc.cast(batch.column("src"), pa.int64()),
+                "dst": pc.cast(batch.column("vertex"), pa.int64()),
+            })
+
+        int_pairs = with_both.map_batches(_proj, batch_format="pyarrow")
+    else:
+        int_pairs = extract_imports(corpus).map_batches(
+            make_import_mapper(maps_ref, drop_self=False),
+            batch_format="pyarrow", zero_copy_batch=True)
     distinct = int_pairs.groupby(["src", "dst"]).count().drop_columns(
         ["count()"])
 

@@ -116,3 +116,18 @@ def test_import_extraction_vectorized_matches_rowloop(tiny_corpus):
     key = ["src_repo", "src_path", "dst_repo", "dst_stem"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+def test_import_pairs_fallback_bit_identical():
+    """import_pairs' >2M-file join fallback (int-space distinct) must
+    emit exactly the broadcast branch's rows (VERDICT r3 item 3)."""
+    from leiden_cuda_ray.pipelines.corpus_queries import import_pairs
+
+    sf_dir = "/root/testdata/sf0.001"
+    cols = ["src_repo", "src_path", "dst_repo", "dst_path"]
+    a = (import_pairs(sf_dir).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    b = (import_pairs(sf_dir, max_broadcast_keys=0).to_pandas()
+         .sort_values(cols).reset_index(drop=True))
+    assert len(a) > 0
+    assert a.equals(b)
