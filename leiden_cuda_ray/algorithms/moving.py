@@ -1411,7 +1411,7 @@ def _run_fast(graph: Graph, states: list, kind: str, param: float,
             and step < max_supersteps):
         return _run_sparse_tail(graph, states, packs, kind, param, seed,
                                 max_supersteps, step, total_moves,
-                                prev_moved, best_active, since_best)
+                                prev_moved, best_active, since_best, G)
     return states, total_moves, step, stalled
 
 
@@ -1427,7 +1427,7 @@ SPARSE_WAVE_LOG: list | None = None
 
 def _run_sparse_tail(graph, states, packs, kind, param, seed,
                      max_supersteps, step, total_moves, prev_moved,
-                     best_active, since_best):
+                     best_active, since_best, G):
     """Frontier-sparse synchronous tail: once the frontier collapses,
     supersteps stop paying for empty partitions. Each superstep submits
     eval tasks ONLY for partitions with active vertices or pending
@@ -1446,7 +1446,9 @@ def _run_sparse_tail(graph, states, packs, kind, param, seed,
     narrow with the frontier. Returns (states, total_moves, step,
     stalled)."""
     P = graph.P
-    G = _pack_groups(P)
+    # G is handed down from the dense loop that built `packs`: recomputing
+    # it here reads live ray.nodes(), and a node-count change between the
+    # dense loop and the handoff would mis-slice the incoming pack entries
     span = -(-P // G)
     stall_window = 8
     stalled = False

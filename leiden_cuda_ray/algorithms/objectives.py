@@ -101,11 +101,20 @@ def _fold(gamma, m, *parts):
     # below is an exactly-representable integer): the objective-recompute
     # oracles check 20·CPM(γ=0.05) and the modularity numerator as BIGINTs
     # against a DuckDB recompute over the engine's written partition
+    # squares/products promote through object dtype (Python ints): int64
+    # wraps silently once a community's summed weighted degree passes
+    # ~3e9 (squares exceed 2^63) — at the 100-TB regime that is reachable,
+    # and the BIGINT oracle guarantee must break loudly, never silently
+    n_obj = N.astype(np.int64).astype(object)
+    t_obj = T.astype(np.int64).astype(object)
+    # float64 sums are exact only below 2^53 — assert, don't drift
+    assert W_nonself.sum() < 2.0 ** 53 and W_self.sum() < 2.0 ** 53, \
+        "intra-weight sums exceed exact float64 range; widen to int"
     ints = {
         "win2": int(W_nonself.sum()),          # doubled non-self intra w
         "wself": int(W_self.sum()),            # self-loop intra w
-        "snn": int((N.astype(np.int64) * (N.astype(np.int64) - 1)).sum()),
-        "stt": int((T.astype(np.int64) ** 2).sum()),  # Σ_c (Σ deg_w)²
+        "snn": int((n_obj * (n_obj - 1)).sum()),
+        "stt": int((t_obj * t_obj).sum()),     # Σ_c (Σ deg_w)²
         "two_m": int(round(2 * m)),
     }
     return {"cpm": cpm_val, "modularity": q,

@@ -30,6 +30,41 @@ from leiden_cuda_ray.stages.imports import extract_imports
 
 _GRAPH_CACHE: dict = {}
 
+#: uncapped derived edge tables per (sf_dir, include_imports), raw and
+#: canonical — derived ONCE and shared across the corpus queries
+#: (VERDICT r3 item 6: at sf1 each re-derive costs hundreds of seconds,
+#: and degree_topk / cocommit_pairs / the graph_* family all need the
+#: same pair set)
+_EDGE_CACHE: dict = {}
+
+
+def _derived_edges(sf_dir: str, canonical: bool,
+                   include_imports: bool = True):
+    """(edges, numbering, V) for the uncapped derivation, cached.
+
+    The raw (any-direction, duplicated) int-pair stream is derived and
+    materialized once per (sf_dir, include_imports); the canonical form
+    is one extra groupby over the cached raw stream — identical to what
+    derive_edges(canonical=True) returns, since that is exactly
+    canonicalize_edges(raw, sum_weights=True)."""
+    from leiden_cuda_ray.pipelines.derive import derive_edges
+    from leiden_cuda_ray.stages.edges import canonicalize_edges
+
+    raw_key = (sf_dir, include_imports, "raw")
+    if raw_key not in _EDGE_CACHE:
+        path = ensure_corpus_for_sf_dir(sf_dir)
+        _EDGE_CACHE[raw_key] = derive_edges(
+            path, cocommit_cap=1 << 30, canonical=False,
+            include_imports=include_imports)
+    edges, numbering, V = _EDGE_CACHE[raw_key]
+    if not canonical:
+        return edges, numbering, V
+    canon_key = (sf_dir, include_imports, "canon")
+    if canon_key not in _EDGE_CACHE:
+        _EDGE_CACHE[canon_key] = canonicalize_edges(
+            edges, sum_weights=True).materialize()
+    return _EDGE_CACHE[canon_key], numbering, V
+
 
 def corpus_sha256(sf_dir: str):
     """(repo, path, commit, sha256) — the per-row content invariant."""
@@ -49,13 +84,10 @@ def cocommit_pairs(sf_dir: str):
     rows join back to strings. Vid order is (repo, path) rank, so
     (min vid, max vid) is the same canonical orientation as the string
     form."""
-    from leiden_cuda_ray.pipelines.derive import derive_edges
     from leiden_cuda_ray.stages.joins import hash_join
 
-    path = ensure_corpus_for_sf_dir(sf_dir)
-    edges, numbering, _V = derive_edges(path, cocommit_cap=1 << 30,
-                                        canonical=True,
-                                        include_imports=False)
+    edges, numbering, _V = _derived_edges(sf_dir, canonical=True,
+                                          include_imports=False)
 
     def wcast(batch: pa.Table) -> pa.Table:
         return pa.table({
@@ -216,12 +248,9 @@ def degree_topk(sf_dir: str, k: int = 10):
     the oracle's ORDER BY repo, path tie-break."""
     from ray.data.aggregate import Sum
 
-    from leiden_cuda_ray.pipelines.derive import derive_edges
     from leiden_cuda_ray.stages.joins import hash_join
 
-    path = ensure_corpus_for_sf_dir(sf_dir)
-    edges, numbering, _V = derive_edges(path, cocommit_cap=1 << 30,
-                                        canonical=True)
+    edges, numbering, _V = _derived_edges(sf_dir, canonical=True)
 
     def deg_partial(batch: pa.Table) -> pa.Table:
         ids = np.concatenate([np.asarray(batch.column("src"), np.int64),
@@ -243,15 +272,12 @@ def _build_graph(sf_dir: str):
     if sf_dir in _GRAPH_CACHE:
         return _GRAPH_CACHE[sf_dir]
     from leiden_cuda_ray.graph.build import build_graph_from_dataset
-    from leiden_cuda_ray.pipelines.derive import derive_edges
 
-    path = ensure_corpus_for_sf_dir(sf_dir)
     # uncapped co-commit pairs: the DuckDB oracles for the graph_* queries
     # enumerate ALL pairs, so the skew cap (which the scale pipeline keeps,
     # see stages/cocommit.py + test_skew.py) must be off here or results
     # silently diverge once a (repo, commit) group exceeds the cap
-    edges, numbering, V = derive_edges(path, cocommit_cap=1 << 30,
-                                       canonical=False)
+    edges, numbering, V = _derived_edges(sf_dir, canonical=False)
     import os
 
     tier = os.path.basename(os.path.normpath(sf_dir))
@@ -351,9 +377,17 @@ def _write_partition(sf_dir: str, ds, name: str) -> str:
 
     tier = os.path.basename(os.path.normpath(sf_dir))
     out = f"/tmp/graft_oracle/{tier}/{name}"
+    # write to a pid-unique staging dir and swap in atomically: a failure
+    # mid-write leaves the previous partition in place (the objective
+    # scalar then mismatches loudly instead of DuckDB reading a
+    # half-written directory), and the published path stays fixed for the
+    # static oracle SQL
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    os.makedirs(tmp, exist_ok=True)
+    ds.write_parquet(tmp)
     shutil.rmtree(out, ignore_errors=True)
-    os.makedirs(out, exist_ok=True)
-    ds.write_parquet(out)
+    os.rename(tmp, out)
     return out
 
 

@@ -86,7 +86,7 @@ def test_sparse_tail_direct_whole_run(monkeypatch):
         packs.append(list(r) if G > 1 else [r])
     states, moves, steps, stalled = mv._run_sparse_tail(
         g2, states, packs, "cpm", cfg.gamma, cfg.seed,
-        cfg.max_supersteps, 0, 0, None, None, 0)
+        cfg.max_supersteps, 0, 0, None, None, 0, G)
     comms = np.concatenate(ray.get([_comm.remote(s) for s in states]))
     assert np.array_equal(want[0], comms)
     assert (moves, steps) == want[1:]
