@@ -90,21 +90,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return dedup.lsh_candidate_pairs(sigs, threshold=0.5).select_columns(
             ["doc_a", "doc_b"])
 
+    def q_minhash_consistency(sf_dir):
+        """Written-artifact recompute oracle for the MinHash/LSH path
+        (VERDICT r3 item 4): the signature table and the LSH candidate
+        pairs are written to parquet, and the engine returns per-pair
+        EXACT signature-match counts (est_jaccard·num_perm is an exact
+        integer). DuckDB recomputes the identical counts from the written
+        files — any drift between banding, the estimate path and the
+        signatures breaks the hash compare loudly."""
+        from leiden_cuda_ray.pipelines.corpus_queries import _write_partition
+
+        sigs = dedup.minhash_signatures(_docs(sf_dir)).materialize()
+        pairs = dedup.lsh_candidate_pairs(sigs, threshold=0.5).materialize()
+        _write_partition(sf_dir, sigs, "minhash_sigs")
+        _write_partition(
+            sf_dir,
+            pairs.map_batches(
+                lambda t: pa.table({"doc_a": t.column("doc_a"),
+                                    "doc_b": t.column("doc_b")}),
+                batch_format="pyarrow"),
+            "minhash_pairs")
+
+        def to_matches(batch: pa.Table) -> pa.Table:
+            est = np.asarray(batch.column("est_jaccard"), np.float64)
+            return pa.table({
+                "doc_a": batch.column("doc_a"),
+                "doc_b": batch.column("doc_b"),
+                "matches": pa.array(np.rint(est * 64).astype(np.int64),
+                                    pa.int64()),
+            })
+
+        return pairs.map_batches(to_matches, batch_format="pyarrow")
+
     def q_embedding_dups(sf_dir):
         # testdata embeddings have no true near-dups (max cosine ≈ 0.51);
         # 0.45 surfaces the same-cluster "near" pairs. The arrow projection
         # keeps a typed schema even for empty results.
         pairs = dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.45)
 
-        def proj(batch):
-            import pandas as pd
+        def proj(batch: pa.Table) -> pa.Table:
+            if batch.num_rows == 0 or "vec_a" not in batch.column_names:
+                return pa.table({"vec_a": pa.array([], pa.int64()),
+                                 "vec_b": pa.array([], pa.int64())})
+            import pyarrow.compute as pc
 
             return pa.table({
-                "vec_a": pa.array(batch["vec_a"], pa.int64()),
-                "vec_b": pa.array(batch["vec_b"], pa.int64()),
+                "vec_a": pc.cast(batch.column("vec_a"), pa.int64()),
+                "vec_b": pc.cast(batch.column("vec_b"), pa.int64()),
             })
 
-        return pairs.map_batches(proj, batch_format="pandas")
+        return pairs.map_batches(proj, batch_format="pyarrow")
 
     def q_embedding_dups_exact(sf_dir):
         # same 0.45 threshold as the LSH variant; exact brute-force join is
@@ -160,6 +195,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                 "rank": t.column("rank")}),
             batch_format="pyarrow")
 
+    def q_knn_ivf_recall(sf_dir):
+        """Written-artifact recompute oracle for IVF ANN (VERDICT r3
+        item 4): the IVF top-k is written to parquet and the engine
+        returns (queries, pairs, exact_hits), exact_hits counting IVF
+        pairs present in the engine's exact brute-force top-k. DuckDB
+        recomputes the identical scalars from the written file joined to
+        its own independent brute-force ranking (the knn_brute oracle
+        SQL), so both the recall arithmetic and the exact ranking are
+        cross-checked."""
+        import ray.data
+
+        from leiden_cuda_ray.pipelines.corpus_queries import _write_partition
+
+        Q = _first10_queries(sf_dir)
+        ivf = similarity.knn_ivf(_emb(sf_dir), Q, k=5, n_centroids=8,
+                                 n_probe=3).map_batches(
+            lambda t: pa.table({"query_id": t.column("query_id"),
+                                "neighbor_id": t.column("neighbor_id")}),
+            batch_format="pyarrow").materialize()
+        _write_partition(sf_dir, ivf, "knn_ivf")
+        brute = similarity.knn_brute(_emb(sf_dir), Q, k=5)
+        # k × n_queries rows — bounded at any sf, driver-side set ops fine
+        ivf_rows = {(r["query_id"], r["neighbor_id"])
+                    for r in ivf.take_all()}
+        exact_rows = {(r["query_id"], r["neighbor_id"])
+                      for r in brute.take_all()}
+        return ray.data.from_arrow(pa.table({
+            "queries": pa.array([len({q for q, _ in ivf_rows})], pa.int64()),
+            "pairs": pa.array([len(ivf_rows)], pa.int64()),
+            "exact_hits": pa.array([len(ivf_rows & exact_rows)], pa.int64()),
+        }))
+
     return {
         # relational operator surface (TPC-H-ish tables)
         "pricing_summary": rel.pricing_summary,
@@ -182,10 +249,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprints": q_fingerprints,
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
+        "minhash_consistency": q_minhash_consistency,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
+        "knn_ivf_recall": q_knn_ivf_recall,
         "media_decode": q_media_decode,
         # corpus pipeline + graph algorithms
         "corpus_sha256": cq.corpus_sha256,
@@ -621,6 +690,46 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _labelprop_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_louvain_objective": _louvain_objective_sql(),
+        # written-artifact recompute oracles (VERDICT r3 item 4): the Ray
+        # query writes its approximate result + inputs to parquet and
+        # returns exact integers; DuckDB recomputes them from the files
+        "minhash_consistency": """
+            WITH p AS (SELECT doc_a, doc_b FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/minhash_pairs/*.parquet')),
+            s AS (SELECT doc_id, sig FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/minhash_sigs/*.parquet'))
+            SELECT p.doc_a, p.doc_b,
+                   CAST((SELECT COUNT(*) FROM range(1, 65) t(i)
+                         WHERE a.sig[CAST(i AS INT)]
+                               = b.sig[CAST(i AS INT)]) AS BIGINT)
+                     AS matches
+            FROM p JOIN s a ON a.doc_id = p.doc_a
+                   JOIN s b ON b.doc_id = p.doc_b""",
+        "knn_ivf_recall": """
+            WITH ivf AS (SELECT query_id, neighbor_id FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/knn_ivf/*.parquet')),
+            q AS (SELECT vec_id, embedding FROM embeddings
+                  WHERE vec_id < 10),
+            scored AS (
+              SELECT q.vec_id, v.vec_id AS neighbor_id,
+                     list_cosine_similarity(q.embedding, v.embedding) AS s
+              FROM q CROSS JOIN embeddings v),
+            ranked AS (
+              SELECT vec_id, neighbor_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                                        ORDER BY s DESC, neighbor_id ASC)
+                       AS rank
+              FROM scored),
+            exact AS (
+              SELECT DENSE_RANK() OVER (ORDER BY vec_id) - 1 AS query_id,
+                     neighbor_id
+              FROM ranked WHERE rank <= 5)
+            SELECT (SELECT CAST(COUNT(DISTINCT query_id) AS BIGINT)
+                    FROM ivf) AS queries,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf) AS pairs,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf i
+                    JOIN exact e ON i.query_id = e.query_id
+                     AND i.neighbor_id = e.neighbor_id) AS exact_hits""",
         "graph_components": f"""
             -- min-label fixpoint: component(v) = min vertex id reachable
             -- from v (the engine's labeling convention, components.py)

@@ -77,7 +77,11 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 5,
         batch_format="pyarrow",
         concurrency=concurrency,
     )
-    return scored.groupby("query_id").map_groups(
+    # the per-batch combiner already reduced the stream to ≤ n_queries·k
+    # rows per upstream block; one partition for the final merge keeps
+    # map_groups from emitting schema-less empty blocks (cosmetic
+    # RefBundle warnings) and costs nothing at that cardinality
+    return scored.repartition(1).groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pandas")
 
 
@@ -205,5 +209,5 @@ def knn_ivf(emb_ds, queries: np.ndarray, k: int = 5, n_centroids: int = 8,
 
     scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=2)
-    return scored.groupby("query_id").map_groups(
+    return scored.repartition(1).groupby("query_id").map_groups(
         _topk_merge(k), batch_format="pandas")
