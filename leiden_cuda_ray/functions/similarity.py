@@ -70,10 +70,14 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 5,
     """→ Dataset[query_id, neighbor_id, rank, score]."""
     import ray
 
-    qref = ray.put(np.asarray(queries, np.float64))
+    Q = np.asarray(queries, np.float64)
+    # small query sets ride inline in the actor spec (an ObjectRef in
+    # constructor args makes actor RESTART depend on the ref staying
+    # alive — ray#53727); big ones broadcast through the object store
+    qarg = Q if Q.nbytes <= (4 << 20) else ray.put(Q)
     scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
         _BruteScorer,
-        fn_constructor_args=(qref, k, id_col, vec_col),
+        fn_constructor_args=(qarg, k, id_col, vec_col),
         batch_format="pyarrow",
         concurrency=concurrency,
     )
