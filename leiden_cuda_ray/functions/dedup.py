@@ -23,7 +23,6 @@ from __future__ import annotations
 import hashlib
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -584,14 +583,27 @@ def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
     banded = sim_ds.map_batches(to_bands, batch_format="pyarrow",
                                 zero_copy_batch=True)
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"doc_a": [], "doc_b": [],
-                                 "hamming": []}).astype(
-                {"doc_a": np.int64, "doc_b": np.int64, "hamming": np.int64})
-        g = group.sort_values(id_col).drop_duplicates(id_col)
-        ids = g[id_col].to_numpy()
-        sh = np.ascontiguousarray(g["sh"].to_numpy().astype(np.uint64))
+    def _empty_pairs() -> pa.Table:
+        return pa.table({"doc_a": np.empty(0, np.int64),
+                         "doc_b": np.empty(0, np.int64),
+                         "hamming": np.empty(0, np.int64)})
+
+    def emit(group: pa.Table) -> pa.Table:
+        ids0 = group.column(id_col).to_numpy().astype(np.int64)
+        if len(ids0) < 2:
+            return _empty_pairs()
+        # sort by id, keep first occurrence (same as the former
+        # sort_values + drop_duplicates)
+        order = np.argsort(ids0, kind="stable")
+        ids_s = ids0[order]
+        sh_s = group.column("sh").to_numpy().astype(np.uint64)[order]
+        first = np.empty(len(ids_s), bool)
+        first[0] = True
+        np.not_equal(ids_s[1:], ids_s[:-1], out=first[1:])
+        ids = ids_s[first]
+        sh = np.ascontiguousarray(sh_s[first])
+        if len(ids) < 2:
+            return _empty_pairs()
         iu, ju = np.triu_indices(len(ids), 1)
         x = np.ascontiguousarray(sh[iu] ^ sh[ju])
         # vectorized popcount via per-byte bit unpacking
@@ -601,8 +613,8 @@ def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
         # the cross-band Min-dedup is equivalent to filtering after it —
         # and avoids a per-row driver-side filter entirely
         keep = ham <= max_hamming
-        return pd.DataFrame({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
-                             "hamming": ham[keep]})
+        return pa.table({"doc_a": ids[iu][keep], "doc_b": ids[ju][keep],
+                         "hamming": ham[keep]})
 
     def combine_local(batch: pa.Table) -> pa.Table:
         # coalesce map_groups' tiny per-bucket blocks and pre-reduce: the
@@ -630,7 +642,7 @@ def simhash_dup_pairs(sim_ds, id_col: str = "doc_id", max_hamming: int = 3):
         })
 
     pairs = (banded.groupby(["band", "bucket"])
-             .map_groups(emit, batch_format="pandas")
+             .map_groups(emit, batch_format="pyarrow")
              .map_batches(combine_local, batch_format="pyarrow",
                           batch_size=1 << 20))
     return pairs.groupby(["doc_a", "doc_b"]).aggregate(
@@ -713,22 +725,26 @@ def embedding_dup_pairs(emb_ds, id_col: str = "vec_id",
     buckets = emb_ds.select_columns([id_col, vec_col]).map_batches(
         bucketize, batch_format="pyarrow", zero_copy_batch=True)
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        if len(group) < 2:
-            return pd.DataFrame({"vec_a": [], "vec_b": [],
-                                 "cosine": []}).astype(
-                {"vec_a": np.int64, "vec_b": np.int64, "cosine": np.float64})
-        g = group.sort_values(id_col)
-        ids = g[id_col].to_numpy()
-        U = np.stack([np.asarray(u, np.float64) for u in g["unit"]])
+    def emit(group: pa.Table) -> pa.Table:
+        from leiden_cuda_ray.functions.arrowutil import list_col_to_matrix
+
+        ids0 = group.column(id_col).to_numpy().astype(np.int64)
+        if len(ids0) < 2:
+            return pa.table({"vec_a": np.empty(0, np.int64),
+                             "vec_b": np.empty(0, np.int64),
+                             "cosine": np.empty(0, np.float64)})
+        order = np.argsort(ids0, kind="stable")
+        ids = ids0[order]
+        U = list_col_to_matrix(group.column("unit"))[order]
         S = U @ U.T
         iu, ju = np.triu_indices(len(ids), 1)
         cos = S[iu, ju]
         keep = cos >= threshold
-        return pd.DataFrame({"vec_a": ids[iu][keep], "vec_b": ids[ju][keep],
-                             "cosine": cos[keep]})
+        return pa.table({"vec_a": ids[iu][keep], "vec_b": ids[ju][keep],
+                         "cosine": cos[keep]})
 
-    return buckets.groupby("bucket").map_groups(emit, batch_format="pandas")
+    return buckets.groupby("bucket").map_groups(emit,
+                                                batch_format="pyarrow")
 
 
 #: hard cap on the brute-force exact pairer — above this, the O(n·d)

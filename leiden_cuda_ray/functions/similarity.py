@@ -14,7 +14,6 @@ oracle-comparable."""
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 
 from leiden_cuda_ray.functions.arrowutil import list_col_to_matrix as _to_matrix
@@ -55,12 +54,17 @@ class _BruteScorer:
 
 
 def _topk_merge(k: int):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["score", "neighbor_id"],
-                              ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g[["query_id", "neighbor_id", "rank", "score"]]
+    def fn(group: pa.Table) -> pa.Table:
+        scores = group.column("score").to_numpy()
+        nbr = group.column("neighbor_id").to_numpy().astype(np.int64)
+        qid = group.column("query_id").to_numpy().astype(np.int64)
+        order = np.lexsort((nbr, -scores))[:k]  # score desc, id asc
+        return pa.table({
+            "query_id": qid[order],
+            "neighbor_id": nbr[order],
+            "rank": np.arange(1, len(order) + 1, dtype=np.int64),
+            "score": scores[order],
+        })
     return fn
 
 
@@ -82,11 +86,17 @@ def knn_brute(emb_ds, queries: np.ndarray, k: int = 5,
         concurrency=concurrency,
     )
     # the per-batch combiner already reduced the stream to ≤ n_queries·k
-    # rows per upstream block; one partition for the final merge keeps
-    # map_groups from emitting schema-less empty blocks (cosmetic
-    # RefBundle warnings) and costs nothing at that cardinality
+    # rows per upstream block; one partition for the final merge costs
+    # nothing at that cardinality
+    return _merge_topk(scored, k)
+
+
+def _merge_topk(scored, k: int):
+    # repartition(1): the combined stream is ≤ n_queries·k rows per block,
+    # and one non-empty sort partition means Ray's empty-block UDF bypass
+    # (which emits schema-less empty blocks) can't trigger
     return scored.repartition(1).groupby("query_id").map_groups(
-        _topk_merge(k), batch_format="pandas")
+        _topk_merge(k), batch_format="pyarrow")
 
 
 def deterministic_centroids(emb_ds, n_centroids: int,
@@ -213,5 +223,4 @@ def knn_ivf(emb_ds, queries: np.ndarray, k: int = 5, n_centroids: int = 8,
 
     scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=2)
-    return scored.repartition(1).groupby("query_id").map_groups(
-        _topk_merge(k), batch_format="pandas")
+    return _merge_topk(scored, k)

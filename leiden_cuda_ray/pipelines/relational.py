@@ -10,7 +10,6 @@ driver's value hash; column names match the oracle SQL exactly.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -305,11 +304,13 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30,
                                    pa.array(part.astype(np.int64),
                                             pa.int64()))
 
-    def emit(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["user_id", "ts", "event_id"])
-        uid = g["user_id"].to_numpy(np.int64)
-        ts = g["ts"].to_numpy()
-        n = len(g)
+    def emit(group: pa.Table) -> pa.Table:
+        uid0 = group.column("user_id").to_numpy().astype(np.int64)
+        ts0 = group.column("ts").to_numpy()
+        eid0 = group.column("event_id").to_numpy()
+        order = np.lexsort((eid0, ts0, uid0))
+        uid, ts = uid0[order], ts0[order]
+        n = len(uid)
         new_sess = np.ones(n, bool)
         if n > 1:
             new_sess[1:] = ((uid[1:] != uid[:-1])
@@ -324,9 +325,9 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30,
         user_first[1:] = su[1:] != su[:-1]
         session_id = idx - np.maximum.accumulate(np.where(user_first,
                                                           idx, 0))
-        return pd.DataFrame({"user_id": su, "session_id": session_id,
-                             "n_events": counts})
+        return pa.table({"user_id": su, "session_id": session_id,
+                         "n_events": counts})
 
     return (ev.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
-            .groupby("part").map_groups(emit, batch_format="pandas"))
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))

@@ -16,7 +16,7 @@ two branches share one emit implementation and stay bit-identical.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
+import pyarrow as pa
 
 
 def _pairs_for_vids(vids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]:
@@ -44,10 +44,10 @@ def _pairs_for_vids(vids: np.ndarray, cap: int) -> tuple[np.ndarray, np.ndarray]
 
 
 def _vid_emit_pairs(cap: int):
-    def fn(group: pd.DataFrame) -> pd.DataFrame:
-        vids = np.sort(group["vid"].unique()).astype(np.int64)
+    def fn(group: pa.Table) -> pa.Table:
+        vids = np.unique(group.column("vid").to_numpy().astype(np.int64))
         lo, hi = _pairs_for_vids(vids, cap)
-        return pd.DataFrame({
+        return pa.table({
             "src": vids[lo], "dst": vids[hi],
             "weight": np.ones(len(lo), np.float64),
         })
@@ -61,4 +61,4 @@ def cocommit_vid_edges(mapped_ds, cap: int = 64):
     strings, and pairs come out already numbered and canonical (src<=dst
     because vids are sorted within the group before pairing)."""
     return (mapped_ds.groupby(["repo", "commit"])
-            .map_groups(_vid_emit_pairs(cap), batch_format="pandas"))
+            .map_groups(_vid_emit_pairs(cap), batch_format="pyarrow"))
