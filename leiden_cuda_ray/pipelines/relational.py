@@ -249,10 +249,20 @@ def events_hourly(sf_dir: str):
             "hour": pc.floor_temporal(batch.column("ts"), unit="hour"),
         })
 
-    return (ev.map_batches(trunc, batch_format="pyarrow",
-                           zero_copy_batch=True)
-            .groupby(["event_type", "hour"])
-            .aggregate(Count(alias_name="n_events")))
+    agg = (ev.map_batches(trunc, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "hour"])
+           .aggregate(Count(alias_name="n_events")))
+
+    # Ray's sort-aggregate re-infers hour-floored timestamps as
+    # timestamp[s]; pin the unit so the output dtype matches the source
+    # (and the DuckDB oracle) exactly
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("hour"), "hour",
+            pc.cast(batch.column("hour"), pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")
 
 
 def events_json_stats(sf_dir: str):
