@@ -122,6 +122,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(to_matches, batch_format="pyarrow")
 
+    def q_simhash_pairs(sf_dir):
+        """Written-artifact recompute oracle for the SimHash banded
+        pairing: the 64-bit simhashes are written to parquet and the
+        engine returns its banded Hamming≤3 pairs; DuckDB recomputes the
+        identical pair set from the written hashes (4×16-bit banding +
+        popcount-of-xor), machine-checking the band bucketing, in-bucket
+        pairing, Hamming arithmetic and cross-band distinct. Only the
+        blake2b token hashing itself stays rows-only (`simhash`)."""
+        from leiden_cuda_ray.pipelines.corpus_queries import _write_partition
+
+        sims = dedup.simhash(_docs(sf_dir)).materialize()
+        _write_partition(sf_dir, sims, "simhash_sigs")
+        return dedup.simhash_dup_pairs(sims, max_hamming=3)
+
+    def q_embedding_dups_consistency(sf_dir):
+        """False-positive check for the hyperplane-LSH near-dup path: the
+        emitted pair ids are written to parquet; DuckDB re-reads them,
+        joins the raw embeddings and keeps the pairs whose EXACT cosine
+        clears the threshold — a pair the bucketing / normalization / dot
+        product got wrong drops out and fails the row compare."""
+        from leiden_cuda_ray.pipelines.corpus_queries import _write_partition
+
+        pairs = dedup.embedding_dup_pairs(_emb(sf_dir), threshold=0.45)
+
+        def ids_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "vec_a": pc.cast(batch.column("vec_a"), pa.int64()),
+                "vec_b": pc.cast(batch.column("vec_b"), pa.int64()),
+            })
+
+        ids = pairs.map_batches(ids_only,
+                                batch_format="pyarrow").materialize()
+        _write_partition(sf_dir, ids, "embedding_dup_pairs")
+        return ids
+
     def q_embedding_dups(sf_dir):
         # testdata embeddings have no true near-dups (max cosine ≈ 0.51);
         # 0.45 surfaces the same-cluster "near" pairs. The arrow projection
@@ -250,8 +287,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash": q_simhash,
         "minhash_pairs": q_minhash_pairs,
         "minhash_consistency": q_minhash_consistency,
+        "simhash_pairs_consistency": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
+        "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
@@ -705,6 +744,30 @@ def oracle_sql() -> dict[str, str]:
                      AS matches
             FROM p JOIN s a ON a.doc_id = p.doc_a
                    JOIN s b ON b.doc_id = p.doc_b""",
+        "simhash_pairs_consistency": """
+            WITH s AS (SELECT doc_id, simhash FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/simhash_sigs/*.parquet')),
+            bands AS (
+              SELECT doc_id, simhash, i AS band,
+                     (simhash >> CAST(16*i AS BIGINT)) & 65535 AS bucket
+              FROM s, range(0, 4) t(i)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                     a.simhash AS ha, b.simhash AS hb
+              FROM bands a JOIN bands b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id)
+            SELECT doc_a, doc_b,
+                   CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(ha, hb)) <= 3""",
+        "embedding_dups_consistency": """
+            WITH p AS (SELECT vec_a, vec_b FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/embedding_dup_pairs/*.parquet'))
+            SELECT p.vec_a, p.vec_b
+            FROM p JOIN embeddings a ON a.vec_id = p.vec_a
+                   JOIN embeddings b ON b.vec_id = p.vec_b
+            WHERE list_cosine_similarity(a.embedding, b.embedding)
+                  >= 0.45 - 1e-9""",
         "knn_ivf_recall": """
             WITH ivf AS (SELECT query_id, neighbor_id FROM read_parquet(
                    '/tmp/graft_oracle/sf0.01/knn_ivf/*.parquet')),
