@@ -126,8 +126,9 @@ def _orient(csr, deg_lookup):
 _CHUNK_WEDGES = 2_000_000
 
 #: chunks folded serially inside one probe task; more tasks = better
-#: balance on skewed partitions, fewer = less pulled-key re-touch overhead
-_CHUNKS_PER_TASK = 2
+#: balance on skewed partitions, fewer = fewer per-task position folds
+#: (one bincount over the pulled keys each) and less pulled-key re-touch
+_CHUNKS_PER_TASK = 4
 
 
 @ray.remote
@@ -284,28 +285,53 @@ def _merge_adj(V, *adj_replies):
 @ray.remote
 def _probe_rows(o, block, P, V, bounds, adj_keys):
     """Generate wedges for the wedge-index chunk spans in `bounds` and
-    probe them in place against the pulled oriented adjacency, folding +1
-    contributions into a sparse (id, count) accumulator. Only the folded
-    sparse counts are routed to owners — wedges die inside this task."""
+    probe them in place against the pulled oriented adjacency. Only folded
+    sparse (id, count) contributions are routed to owners — wedges die
+    inside this task.
+
+    Contributions are accumulated WITHOUT per-chunk sorts (the sf1 probe
+    is hit-dominated: 4.2e9 of 6.0e9 wedges hit, so sorting 3 ids per hit
+    per chunk cost more than the probes themselves): a hit increments its
+    POSITION in the sorted pulled-key array (per-chunk bincount append),
+    u-legs use a dense per-partition row counter (nv = V/P slots, not
+    O(V)), and one fold per TASK maps position counts back to (a, b) ids
+    — a_ids come out of the sorted keys pre-sorted, so the final
+    segsum_by_key sorts only ~2·distinct-hit-keys values once."""
     from leiden_cuda_ray.graph.runtime import segsum_by_key
 
-    acc_ids = np.empty(0, np.int64)
-    acc_cnt = np.empty(0, np.float64)
+    nv = len(o["counts"])
+    vlo = o["vlo"]
+    u_cnt = np.zeros(nv, np.int64)
+    pos_hits = []
     for c in range(len(bounds) - 1):
         a, b, u = _wedges_for_span(o, int(bounds[c]), int(bounds[c + 1]))
         if len(a) == 0 or len(adj_keys) == 0:
             continue
         q = a * V + b
-        pos = np.minimum(np.searchsorted(adj_keys, q), len(adj_keys) - 1)
+        pos = np.searchsorted(adj_keys, q)
+        np.minimum(pos, len(adj_keys) - 1, out=pos)
         hit = adj_keys[pos] == q
         if not hit.any():
             continue
-        ids, cnt = segsum_by_key(
-            np.concatenate([a[hit], b[hit], u[hit]]),
-            np.ones(3 * int(hit.sum()), np.float64))
+        u_cnt += np.bincount(u[hit] - vlo, minlength=nv)
+        pos_hits.append(pos[hit])
+    if pos_hits:
+        key_cnt = np.bincount(np.concatenate(pos_hits),
+                              minlength=len(adj_keys))
+        nz = np.flatnonzero(key_cnt)
+        keys_nz = adj_keys[nz]
+        c_nz = key_cnt[nz].astype(np.float64)
         acc_ids, acc_cnt = segsum_by_key(
-            np.concatenate([acc_ids, ids]),
-            np.concatenate([acc_cnt, cnt]))
+            np.concatenate([keys_nz // V, keys_nz % V]),
+            np.concatenate([c_nz, c_nz]))
+    else:
+        acc_ids = np.empty(0, np.int64)
+        acc_cnt = np.empty(0, np.float64)
+    unz = np.flatnonzero(u_cnt)
+    if len(unz):
+        acc_ids, acc_cnt = segsum_by_key(
+            np.concatenate([acc_ids, unz + vlo]),
+            np.concatenate([acc_cnt, u_cnt[unz].astype(np.float64)]))
     shards = shard_by_owner(acc_ids, block, P, acc_cnt)
     if P == 1:
         return shards[0]
