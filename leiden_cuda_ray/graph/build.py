@@ -111,21 +111,71 @@ def build_graph_from_arrays(src, dst, w, V: int | None = None,
                  sym_edges=len(src_s))
 
 
-def _map_shard(kbounds, bucket_size, n_buckets, *blocks):
+#: fused (src*V + dst) int64 keys need V*(V+1) < 2**63; above this vertex
+#: count the exchange falls back to explicit (src, dst) pair columns
+_FUSE_V_MAX = 3_000_000_000
+
+
+def _plan_map_groups(blocks_meta, n_map):
+    """Row-balanced map-task groups: list of [(ref, (lo, hi) | None), ...].
+
+    Upstream block sizes are wildly skewed (sf1 co-commit: max block 5.6M
+    rows vs 128k median — a 22× straggler under round-robin ref grouping).
+    Oversized blocks are split into row ranges sliced INSIDE the map task
+    (pa.Table.slice is zero-copy on the shared plasma buffer), then pieces
+    are packed largest-first onto the least-loaded group."""
+    total = sum(n for _, n in blocks_meta)
+    target = max(1, -(-total // n_map))
+    items = []  # (ref, slice | None, rows)
+    for ref, n in blocks_meta:
+        if n <= max(target, 1) * 5 // 4:
+            items.append((ref, None, n))
+        else:
+            pieces = -(-n // target)
+            step = -(-n // pieces)
+            for lo in range(0, n, step):
+                hi = min(lo + step, n)
+                items.append((ref, (lo, hi), hi - lo))
+    groups = [[] for _ in range(n_map)]
+    loads = np.zeros(n_map, np.int64)
+    for ref, sl, n in sorted(items, key=lambda x: -x[2]):
+        i = int(np.argmin(loads))
+        groups[i].append((ref, sl))
+        loads[i] += n
+    return [g for g in groups if g]
+
+
+def _map_shard(kbounds, bucket_size, n_buckets, span, slices, *blocks):
     """Canonicalize + symmetrize + partial-combine + range-shard one group
-    of edge blocks. Returns (*K shards, bucket-granularity src histogram)."""
+    of edge blocks. `slices[i]` is an optional (lo, hi) row range of
+    `blocks[i]` (oversized blocks are split across map tasks for balance).
+
+    span > 0 (the fused path, V < _FUSE_V_MAX): rows travel as sorted
+    fused keys src*span + dst — duplicate combining is one SIMD np.sort +
+    run-length pass when every input weight is 1.0 (the dominant case:
+    both derive branches emit unit weights), an unstable argsort + reduceat
+    otherwise. Returns (*K (key, w) shards, histogram).
+
+    span == 0 (legacy path): explicit (src, dst, w) shards via the
+    two-key segsum (kept for V ≥ _FUSE_V_MAX)."""
     from leiden_cuda_ray.graph.runtime import segsum_by_pair
 
     srcs, dsts, ws = [], [], []
-    for t in blocks:
+    uniform = True
+    for t, sl in zip(blocks, slices):
         if not isinstance(t, pa.Table):
             t = pa.Table.from_pandas(t)
         if t.num_rows == 0 or "src" not in t.column_names:
             continue  # empty/schema-less blocks from union boundaries
+        if sl is not None:
+            t = t.slice(sl[0], sl[1] - sl[0])
         s = np.asarray(t.column("src"), np.int64)
         d = np.asarray(t.column("dst"), np.int64)
-        w = (np.asarray(t.column("weight"), np.float64)
-             if "weight" in t.column_names else np.ones(len(s), np.float64))
+        if "weight" in t.column_names:
+            w = np.asarray(t.column("weight"), np.float64)
+            uniform = uniform and bool((w == 1.0).all())
+        else:
+            w = np.ones(len(s), np.float64)
         lo = np.minimum(s, d)
         hi = np.maximum(s, d)
         off = lo != hi
@@ -135,56 +185,113 @@ def _map_shard(kbounds, bucket_size, n_buckets, *blocks):
     src = np.concatenate(srcs) if srcs else np.empty(0, np.int64)
     dst = np.concatenate(dsts) if dsts else np.empty(0, np.int64)
     w = np.concatenate(ws) if ws else np.empty(0, np.float64)
-    src, dst, w = segsum_by_pair(src, dst, w)
-
-    hist = np.bincount(src // bucket_size,
-                       minlength=n_buckets).astype(np.int64)
 
     K = len(kbounds) - 1
-    cuts = np.searchsorted(src, kbounds)  # src sorted by segsum_by_pair
-    out = []
-    for k in range(K):
-        sl = slice(cuts[k], cuts[k + 1])
-        out.append((src[sl], dst[sl], w[sl]))
+    if span == 0:
+        src, dst, w = segsum_by_pair(src, dst, w)
+        hist = np.bincount(src // bucket_size,
+                           minlength=n_buckets).astype(np.int64)
+        cuts = np.searchsorted(src, kbounds)
+        out = [(src[cuts[k]:cuts[k + 1]], dst[cuts[k]:cuts[k + 1]],
+                w[cuts[k]:cuts[k + 1]]) for k in range(K)]
+        return (*out, hist) if K > 1 else (out[0], hist)
+
+    key = src * span + dst
+    if len(key) == 0:
+        ku = key
+        sums = w
+    elif uniform:
+        key.sort()  # SIMD int64 sort; duplicates collapse to run lengths
+        cut = np.empty(len(key), bool)
+        cut[0] = True
+        np.not_equal(key[1:], key[:-1], out=cut[1:])
+        starts = np.flatnonzero(cut)
+        ku = key[starts]
+        sums = np.diff(np.concatenate([starts, [len(key)]])
+                       ).astype(np.float64)
+    else:
+        order = np.argsort(key)  # unstable: rows in a group are summed
+        k = key[order]           # in sort order (deterministic per input)
+        v = w[order]
+        cut = np.empty(len(k), bool)
+        cut[0] = True
+        np.not_equal(k[1:], k[:-1], out=cut[1:])
+        starts = np.flatnonzero(cut)
+        ku = k[starts]
+        sums = np.add.reduceat(v, starts)
+
+    # floor-div composition: key // (span*bucket) == (key//span) // bucket
+    hist = np.bincount(ku // (span * bucket_size),
+                       minlength=n_buckets).astype(np.int64)
+    cuts = np.searchsorted(ku, np.asarray(kbounds, np.int64) * span)
+    out = [(ku[cuts[k]:cuts[k + 1]], sums[cuts[k]:cuts[k + 1]])
+           for k in range(K)]
     return (*out, hist) if K > 1 else (out[0], hist)
 
 
-def _reduce_range(*shards):
+def _reduce_range(span, *shards):
     """Merge + dedup-sum one provisional src range.
 
-    Returns ((src, dst, w) sorted by (src, dst), stats tuple
-    (m, n_canon, n_self, n_sym))."""
-    from leiden_cuda_ray.graph.runtime import segsum_by_pair
+    Returns (rows sorted by (src, dst), stats (m, n_canon, n_self,
+    n_sym)); rows are (key, w) on the fused path, (src, dst, w) legacy."""
+    from leiden_cuda_ray.graph.runtime import (segsum_by_key,
+                                               segsum_by_pair)
 
-    src = np.concatenate([s[0] for s in shards]) if shards else \
-        np.empty(0, np.int64)
-    dst = np.concatenate([s[1] for s in shards]) if shards else \
-        np.empty(0, np.int64)
-    w = np.concatenate([s[2] for s in shards]) if shards else \
-        np.empty(0, np.float64)
-    src, dst, w = segsum_by_pair(src, dst, w)
+    if span == 0:
+        src = np.concatenate([s[0] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        dst = np.concatenate([s[1] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        w = np.concatenate([s[2] for s in shards]) if shards else \
+            np.empty(0, np.float64)
+        src, dst, w = segsum_by_pair(src, dst, w)
+    else:
+        key = np.concatenate([s[0] for s in shards]) if shards else \
+            np.empty(0, np.int64)
+        w = np.concatenate([s[1] for s in shards]) if shards else \
+            np.empty(0, np.float64)
+        key, w = segsum_by_key(key, w)  # stable sort rides the sorted runs
+        src = key // span
+        dst = key - src * span
     selfs = src == dst
     fwd = src < dst
     stats = (float(w[fwd].sum() + w[selfs].sum()),
              int(fwd.sum() + selfs.sum()),
              int(selfs.sum()),
-             len(src))
-    return (src, dst, w), stats
+             len(w))
+    rows = (src, dst, w) if span == 0 else (key, w)
+    return rows, stats
 
 
-def _slice_build(vlo, vhi, *range_rows):
-    """Concat the overlapping reduce outputs, slice to [vlo, vhi), build."""
-    ss, ds, ws = [], [], []
-    for src, dst, w in range_rows:
-        a = np.searchsorted(src, vlo)
-        b = np.searchsorted(src, vhi)
-        ss.append(src[a:b])
-        ds.append(dst[a:b])
+def _slice_build(vlo, vhi, span, *range_rows):
+    """Concat the overlapping reduce outputs, slice to [vlo, vhi), build.
+
+    Reduce ranges partition the src space in ascending order, so the
+    concatenation is already globally sorted by (src, dst) — the CSR
+    build skips its row sort (presorted=True)."""
+    if span == 0:
+        ss, ds, ws = [], [], []
+        for src, dst, w in range_rows:
+            a = np.searchsorted(src, vlo)
+            b = np.searchsorted(src, vhi)
+            ss.append(src[a:b])
+            ds.append(dst[a:b])
+            ws.append(w[a:b])
+        s = np.concatenate(ss) if ss else np.empty(0, np.int64)
+        d = np.concatenate(ds) if ds else np.empty(0, np.int64)
+        w = np.concatenate(ws) if ws else np.empty(0, np.float64)
+        return build_partition_csr(s, d, w, vlo, vhi, presorted=True)
+    ks, ws = [], []
+    for key, w in range_rows:
+        a = np.searchsorted(key, vlo * span)
+        b = np.searchsorted(key, vhi * span)
+        ks.append(key[a:b])
         ws.append(w[a:b])
-    s = np.concatenate(ss) if ss else np.empty(0, np.int64)
-    d = np.concatenate(ds) if ds else np.empty(0, np.int64)
+    key = np.concatenate(ks) if ks else np.empty(0, np.int64)
     w = np.concatenate(ws) if ws else np.empty(0, np.float64)
-    return build_partition_csr(s, d, w, vlo, vhi)
+    s = key // span
+    d = key - s * span
+    return build_partition_csr(s, d, w, vlo, vhi, presorted=True)
 
 
 def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
@@ -202,23 +309,30 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
     """
     import ray
 
-    refs = edges_ds.materialize().to_arrow_refs()
+    mat = edges_ds.materialize()
+    blocks_meta = []  # (ref, num_rows)
+    for bundle in mat.iter_internal_ref_bundles():
+        for ref, meta in zip(bundle.block_refs, bundle.metadata):
+            blocks_meta.append((ref, int(meta.num_rows or 0)))
     cpus = int(ray.cluster_resources().get("CPU", 4))
     K = int(max(1, min(cpus, 64, V)))
     n_buckets = int(min(V, _N_BUCKETS))
     bucket_size = -(-V // n_buckets)
     kb = np.minimum(np.arange(K + 1, dtype=np.int64) * (-(-V // K)), V)
     kb[K] = V
+    span = V if V < _FUSE_V_MAX else 0
 
-    n_map = max(1, min(len(refs), 4 * cpus))
-    groups = [refs[i::n_map] for i in range(n_map)]
+    n_map = max(1, min(len(blocks_meta), 4 * cpus))
+    groups = _plan_map_groups(blocks_meta, n_map)
 
     map_task = ray.remote(_map_shard)
     reduce_task = ray.remote(_reduce_range)
     build_task = ray.remote(_slice_build)
 
     mapped = [map_task.options(num_returns=K + 1).remote(
-        kb, bucket_size, n_buckets, *g) for g in groups]
+        kb, bucket_size, n_buckets, span, [sl for _, sl in g],
+        *[ref for ref, _ in g]) for g in groups]
+    n_map = len(groups)
     if K == 1:
         shard_lists = [[m[0] for m in mapped]]
     else:
@@ -226,8 +340,8 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
                        for k in range(K)]
     hist_refs = [m[K] if K > 1 else m[1] for m in mapped]
 
-    reduced = [reduce_task.options(num_returns=2).remote(*shard_lists[k])
-               for k in range(K)]
+    reduced = [reduce_task.options(num_returns=2).remote(
+        span, *shard_lists[k]) for k in range(K)]
     rows_refs = [r[0] for r in reduced]
     stats = ray.get([r[1] for r in reduced])
     m = float(sum(s[0] for s in stats))
@@ -246,7 +360,7 @@ def build_graph_from_dataset(edges_ds, V: int, P: int | None = None,
         # only reduce ranges overlapping [vlo, vhi) feed this partition
         need = [rows_refs[k] for k in range(K)
                 if kb[k] < vhi and kb[k + 1] > vlo]
-        parts.append(build_task.remote(vlo, vhi, *need))
+        parts.append(build_task.remote(vlo, vhi, span, *need))
     return Graph(V=V, P=P, block=block, parts=parts, m=m, sym_edges=n_sym)
 
 

@@ -38,8 +38,14 @@ def part_range(pid: int, block, P: int, V: int) -> tuple[int, int]:
 
 
 def build_partition_csr(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
-                        vlo: int, vhi: int) -> dict:
-    """Build one partition's CSR dict from its symmetrized edge arrays."""
+                        vlo: int, vhi: int, presorted: bool = False) -> dict:
+    """Build one partition's CSR dict from its symmetrized edge arrays.
+
+    presorted=True asserts rows already arrive sorted by (src, dst) —
+    the distributed build's reduce ranges emit sorted runs that concatenate
+    in ascending src order, so the O(E log E) lexsort is skipped. deg_w
+    still accumulates via np.add.at in row order, bit-identical to the
+    sorted path."""
     nv = vhi - vlo
     src = np.asarray(src, np.int64)
     dst = np.asarray(dst, np.int64)
@@ -49,8 +55,9 @@ def build_partition_csr(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
             f"partition [{vlo},{vhi}) received src ids outside its range "
             f"[{src.min()},{src.max()}] — stale spill or wrong partitioning")
     local = src - vlo
-    order = np.lexsort((dst, local))  # row-major, rows sorted by dst
-    local, dst, w = local[order], dst[order], w[order]
+    if not presorted:
+        order = np.lexsort((dst, local))  # row-major, rows sorted by dst
+        local, dst, w = local[order], dst[order], w[order]
     counts = np.bincount(local, minlength=nv)
     offsets = np.zeros(nv + 1, np.int64)
     np.cumsum(counts, out=offsets[1:])
