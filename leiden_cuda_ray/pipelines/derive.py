@@ -100,8 +100,21 @@ def _derive_int_edges_broadcast(corpus_path, maps_ref, cocommit_cap,
             make_path_mapper(maps_ref),
             batch_format="pyarrow", zero_copy_batch=True)
         edge_sets.append(cocommit_vid_edges(mapped, cap=cocommit_cap))
-    out = edge_sets[0]
-    for extra in edge_sets[1:]:
+    return _union_edge_sets(edge_sets)
+
+
+def _union_edge_sets(edge_sets):
+    """Union the import/co-commit streams via their materialized forms.
+
+    A lazy union makes the streaming executor interleave both plans in one
+    run, and its Union operator emits a schema-less empty sentinel bundle
+    that trips the "RefBundle with a different schema" warning on every
+    derive. Each stream is materialized anyway right after the union (by
+    canonicalize_edges or derive_edges itself), so materializing the sides
+    first costs nothing and the union becomes a pure ref concatenation."""
+    mats = [es.materialize() for es in edge_sets]
+    out = mats[0]
+    for extra in mats[1:]:
         out = out.union(extra)
     return out
 
@@ -170,7 +183,4 @@ def _derive_int_edges_joins(corpus_path, ft, numbering, cocommit_cap,
                                     zero_copy_batch=True)
         edge_sets.append(cocommit_vid_edges(mapped, cap=cocommit_cap))
 
-    out = edge_sets[0]
-    for extra in edge_sets[1:]:
-        out = out.union(extra)
-    return out
+    return _union_edge_sets(edge_sets)
