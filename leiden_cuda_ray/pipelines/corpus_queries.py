@@ -62,7 +62,7 @@ def _derived_edges(sf_dir: str, canonical: bool,
     canon_key = (sf_dir, include_imports, "canon")
     if canon_key not in _EDGE_CACHE:
         _EDGE_CACHE[canon_key] = canonicalize_edges(
-            edges, sum_weights=True).materialize()
+            edges, sum_weights=True, V=V).materialize()
     return _EDGE_CACHE[canon_key], numbering, V
 
 

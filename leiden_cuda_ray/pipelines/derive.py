@@ -77,7 +77,8 @@ def derive_edges(corpus_path: str, cocommit_cap: int = 64,
 
     if not canonical:
         return int_edges.materialize(), numbering, num_vertices
-    edges = canonicalize_edges(int_edges, sum_weights=True).materialize()
+    edges = canonicalize_edges(int_edges, sum_weights=True,
+                               V=num_vertices).materialize()
     return edges, numbering, num_vertices
 
 
