@@ -196,6 +196,12 @@ def _map_shard(kbounds, bucket_size, n_buckets, span, slices, *blocks):
                 w[cuts[k]:cuts[k + 1]]) for k in range(K)]
         return (*out, hist) if K > 1 else (out[0], hist)
 
+    # symmetrization put every endpoint id into src, so one column bounds
+    # them all: ids >= span would silently collide in fused-key space
+    if len(src) and (int(src.max()) >= span or int(src.min()) < 0):
+        raise ValueError(
+            f"edge id outside [0, {span}) — wrong V passed to the graph "
+            f"build; fused keys would collide")
     key = src * span + dst
     if len(key) == 0:
         ku = key

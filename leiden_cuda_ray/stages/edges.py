@@ -69,7 +69,12 @@ def _canon_map_fused(K, sum_weights, span, slices, *blocks):
             uniform = uniform and bool((w == 1.0).all())
         else:
             w = np.ones(len(s), np.float64)
-        keys.append(np.minimum(s, d) * span + np.maximum(s, d))
+        hi = np.maximum(s, d)
+        if len(hi) and (int(hi.max()) >= span or int(np.minimum(s, d).min()) < 0):
+            raise ValueError(
+                f"edge id outside [0, {span}) — wrong V passed to "
+                f"canonicalize_edges; fused keys would collide")
+        keys.append(np.minimum(s, d) * span + hi)
         ws.append(w)
     key = np.concatenate(keys) if keys else np.empty(0, np.int64)
     w = np.concatenate(ws) if ws else np.empty(0, np.float64)
