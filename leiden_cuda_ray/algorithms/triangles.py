@@ -123,12 +123,23 @@ def _orient(csr, deg_lookup):
 #: boundaries), so a single hub row with C(outdeg⁺, 2) above the budget
 #: is split internally by triu-index ranges — the heap bound holds for
 #: any degree distribution.
-_CHUNK_WEDGES = 2_000_000
+#:
+#: SIZED FOR FIRST-TOUCH COST, not just peak heap: a probe task's chunk
+#: loop frees each slab before allocating the next, so its resident heap
+#: is one slab's temporaries (~6 int64 arrays ≈ 12 MB at 256k). The
+#: previous 2M-wedge slabs made every fresh worker fault ~150 MB of new
+#: pages before its first chunk finished — measured 15.0 s cold vs 0.76 s
+#: warm for the identical sf0.1 probe wave (32 workers faulting in
+#: parallel); at 256k slabs the same cold wave is 0.96 s.
+_CHUNK_WEDGES = 262_144
 
-#: chunks folded serially inside one probe task; more tasks = better
-#: balance on skewed partitions, fewer = fewer per-task position folds
-#: (one bincount over the pulled keys each) and less pulled-key re-touch
-_CHUNKS_PER_TASK = 4
+#: target wedges folded per probe task. Each task pays one fixed fold at
+#: the end (a bincount over the pulled-key array, which at sf1 is tens of
+#: millions of entries per partition), so tasks must stay coarse enough to
+#: amortize it; chunks only bound the slab heap, tasks bound the fold
+#: count. Per partition: n_tasks = ceil(wedge_total / _WEDGES_PER_TASK),
+#: so sf0.1 (74M wedges) runs one task per partition and sf1 (6e9) ~24.
+_WEDGES_PER_TASK = 8_000_000
 
 
 @ray.remote
@@ -398,13 +409,18 @@ def triangle_counts(graph: Graph):
     totals = ray.get([_wedge_total.remote(o) for o in oriented])
     bounds = [_plan_chunks(t) for t in totals]
 
-    # local emit+probe, _CHUNKS_PER_TASK chunk ranges per task: wedges
-    # are generated and consumed inside one heap-bounded task
+    # local emit+probe: wedges are generated and consumed inside one
+    # heap-bounded task. Chunk count bounds the slab heap; TASK count is
+    # planned separately per partition (~_WEDGES_PER_TASK wedges each) so
+    # the per-task pulled-key fold stays amortized at any scale.
     contrib_shard_lists: list[list] = [[] for _ in range(P)]
     for i in range(P):
         b = bounds[i]
-        for t0 in range(0, len(b) - 1, _CHUNKS_PER_TASK):
-            sub = b[t0:t0 + _CHUNKS_PER_TASK + 1]
+        n_chunks = len(b) - 1
+        n_tasks = max(1, -(-totals[i] // _WEDGES_PER_TASK))
+        chunks_per_task = max(1, -(-n_chunks // n_tasks))
+        for t0 in range(0, n_chunks, chunks_per_task):
+            sub = b[t0:t0 + chunks_per_task + 1]
             if sub[0] == sub[-1] and len(b) > 2:
                 continue
             r = _probe_rows.options(
