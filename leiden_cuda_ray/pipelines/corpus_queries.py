@@ -234,35 +234,50 @@ def _edge_union(sf_dir: str):
             .drop_columns(["count()"]))
 
 
+@ray.remote
+def _part_degree_topk(part: dict, k: int):
+    """Per-partition top-k by (degree desc, vertex asc) over the CSR row
+    lengths. Threshold-select (kth-largest value) keeps every candidate
+    tied at the boundary so the global merge is exact."""
+    deg = part["deg"]
+    nz = np.flatnonzero(deg)
+    if nz.size == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    kk = min(k, nz.size)
+    dnz = deg[nz]
+    thresh = np.partition(dnz, nz.size - kk)[nz.size - kk]
+    cand = nz[dnz >= thresh]
+    order = np.lexsort((cand, -deg[cand]))[:k]
+    sel = cand[order]
+    return sel + part["vlo"], deg[sel]
+
+
 def degree_topk(sf_dir: str, k: int = 10):
     """Top-k files by distinct-neighbor degree (the reference's top-10
     degree report, examples/test1.py:31-35).
 
-    Heavy work runs in INT id space: the uncapped pair set is quadratic
-    in giant commits (~10⁷ pairs at sf0.1), so the distinct + degree
-    count runs over canonical int64 edges (derive_edges canonical=True,
-    the oracle-pinned pair set) instead of shuffling tens of millions of
-    'repo|path' strings — 528 s → ~15 s at sf0.1. Only the k winners
-    join back to strings. Vertex ids are the rank of the sorted
+    Rides the graph build instead of a dataset groupby: the fused-key
+    exchange already dedups/symmetrizes the pair set, and each CSR
+    partition's row lengths ARE the distinct-neighbor degrees (derive
+    drops self-imports, so there is no self-loop double-count delta vs
+    the canonical pair list). Per-partition threshold top-k → a P×k
+    driver merge replaces the groupby("vertex").aggregate shuffle that
+    cost 300 s at sf1 (V=1.6M, 100M pairs); partitions own disjoint
+    vertex ranges, so local winners are globally sufficient. Only the k
+    winners join back to strings. Vertex ids are the rank of the sorted
     (repo, path) keys, so breaking degree ties by ascending vertex IS
     the oracle's ORDER BY repo, path tie-break."""
-    from ray.data.aggregate import Sum
-
     from leiden_cuda_ray.stages.joins import hash_join
 
-    edges, numbering, _V = _derived_edges(sf_dir, canonical=True)
-
-    def deg_partial(batch: pa.Table) -> pa.Table:
-        ids = np.concatenate([np.asarray(batch.column("src"), np.int64),
-                              np.asarray(batch.column("dst"), np.int64)])
-        u, c = np.unique(ids, return_counts=True)
-        return pa.table({"vertex": pa.array(u, pa.int64()),
-                         "deg": pa.array(c, pa.int64())})
-
-    deg = (edges.map_batches(deg_partial, batch_format="pyarrow",
-                             zero_copy_batch=True)
-           .groupby("vertex").aggregate(Sum("deg", alias_name="degree")))
-    top = deg.sort(["degree", "vertex"], descending=[True, False]).limit(k)
+    graph, numbering = _build_graph(sf_dir)
+    tops = ray.get([_part_degree_topk.remote(p, k) for p in graph.parts])
+    vs = np.concatenate([t[0] for t in tops])
+    ds = np.concatenate([t[1] for t in tops])
+    order = np.lexsort((vs, -ds))[:k]
+    top = ray.data.from_arrow(pa.table({
+        "vertex": pa.array(vs[order], pa.int64()),
+        "degree": pa.array(ds[order], pa.int64()),
+    }))
     out = hash_join(top, numbering, on=("vertex",))
     return (out.sort(["degree", "vertex"], descending=[True, False])
             .select_columns(["repo", "path", "degree"]))
