@@ -16,12 +16,14 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-def _canonical_batch(batch: pa.Table) -> pa.Table:
+def _canonical_batch(batch: pa.Table, directed: bool = False) -> pa.Table:
     src = np.asarray(batch.column("src"), dtype=np.int64)
     dst = np.asarray(batch.column("dst"), dtype=np.int64)
     w = (np.asarray(batch.column("weight"), dtype=np.float64)
          if "weight" in batch.column_names
          else np.ones(len(src), np.float64))
+    if directed:
+        return pa.table({"src": src, "dst": dst, "weight": w})
     lo = np.minimum(src, dst)
     hi = np.maximum(src, dst)
     return pa.table({"src": lo, "dst": hi, "weight": w})
@@ -45,14 +47,15 @@ def _agg_pairs(s, d, w, sum_weights: bool):
     return s[idx], d[idx], sums
 
 
-def _canon_map_fused(K, sum_weights, span, slices, *blocks):
+def _canon_map_fused(K, sum_weights, span, directed, slices, *blocks):
     """Fused-key map side: canonicalize + partial-combine + hash-shard.
 
     Same fused src*span+dst trick as the graph build's exchange
     (graph/build.py::_map_shard): one SIMD np.sort + run-length pass when
     every weight is 1.0, argsort + reduceat otherwise. Shards by a
     golden-ratio hash of the fused key; a stable argsort on the owner
-    keeps keys sorted within each shard."""
+    keeps keys sorted within each shard. directed=True skips the min/max
+    flip (per-ordered-pair aggregation, e.g. import-edge distinct)."""
     keys, ws = [], []
     uniform = True
     for t, sl in zip(blocks, slices):
@@ -74,7 +77,8 @@ def _canon_map_fused(K, sum_weights, span, slices, *blocks):
             raise ValueError(
                 f"edge id outside [0, {span}) — wrong V passed to "
                 f"canonicalize_edges; fused keys would collide")
-        keys.append(np.minimum(s, d) * span + hi)
+        keys.append(s * span + d if directed
+                    else np.minimum(s, d) * span + hi)
         ws.append(w)
     key = np.concatenate(keys) if keys else np.empty(0, np.int64)
     w = np.concatenate(ws) if ws else np.empty(0, np.float64)
@@ -131,11 +135,15 @@ def _canon_reduce_fused(sum_weights, span, *shards):
                      "weight": pa.array(w, pa.float64())})
 
 
-def canonicalize_edges(ds, sum_weights: bool = True, V: int | None = None):
+def canonicalize_edges(ds, sum_weights: bool = True, V: int | None = None,
+                       directed: bool = False):
     """(src,dst[,weight]) any direction → canonical (src<=dst) unique rows.
 
     sum_weights=True  → weight = Σ per pair (co-occurrence counting)
     sum_weights=False → weight = min per pair (parallel-edge dedup)
+    directed=True     → aggregate per ORDERED pair (no min/max flip) —
+                        the distinct/count primitive for directed edge
+                        streams (import pairs); same exchange shapes.
 
     Runs as a raw owner-sharded exchange (map tasks canonicalize +
     partial-aggregate and shard by pair hash; K reducers finish), the
@@ -167,8 +175,8 @@ def canonicalize_edges(ds, sum_weights: bool = True, V: int | None = None):
         map_task = ray.remote(_canon_map_fused)
         reduce_task = ray.remote(_canon_reduce_fused)
         mapped = [map_task.options(num_returns=K).remote(
-            K, sum_weights, V, [sl for _, sl in g], *[r for r, _ in g])
-            for g in groups]
+            K, sum_weights, V, directed, [sl for _, sl in g],
+            *[r for r, _ in g]) for g in groups]
         if K == 1:
             shard_lists = [[m for m in mapped]]
         else:
@@ -190,7 +198,7 @@ def canonicalize_edges(ds, sum_weights: bool = True, V: int | None = None):
                 t = pa.Table.from_pandas(t)
             if t.num_rows == 0:
                 continue
-            ct = _canonical_batch(t)
+            ct = _canonical_batch(t, directed=directed)
             ss.append(np.asarray(ct.column("src"), np.int64))
             dd.append(np.asarray(ct.column("dst"), np.int64))
             ww.append(np.asarray(ct.column("weight"), np.float64))

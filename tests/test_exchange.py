@@ -43,6 +43,27 @@ def test_canonicalize_fused_matches_pair_path(unit, sum_weights):
     assert (b["src"] <= b["dst"]).all()
 
 
+@pytest.mark.parametrize("use_v", [True, False])
+def test_canonicalize_directed_distinct(use_v):
+    src, dst, w = _rand_edges(n=20_000, V=300, seed=11)
+    V = 300
+    ds = rd.from_arrow(pa.table({"src": src, "dst": dst,
+                                 "weight": w})).repartition(6)
+    out = (canonicalize_edges(ds, sum_weights=True,
+                              V=V if use_v else None, directed=True)
+           .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    # oracle: pandas groupby on the ordered pair
+    import pandas as pd
+    exp = (pd.DataFrame({"src": src, "dst": dst, "weight": w})
+           .groupby(["src", "dst"], as_index=False)["weight"].sum()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    assert np.array_equal(out["src"].to_numpy(), exp["src"].to_numpy())
+    assert np.array_equal(out["dst"].to_numpy(), exp["dst"].to_numpy())
+    assert np.allclose(out["weight"].to_numpy(), exp["weight"].to_numpy())
+    # direction preserved: (a, b) and (b, a) stay distinct rows
+    assert not (out["src"] <= out["dst"]).all()
+
+
 def _global_rows(g):
     parts = ray.get(g.parts)
     return (np.concatenate([row_ids(p) for p in parts]),
