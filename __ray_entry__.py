@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from leiden_cuda_ray.functions import dedup, similarity, text
     from leiden_cuda_ray.pipelines import corpus_queries as cq
     from leiden_cuda_ray.pipelines import relational as rel
+    from leiden_cuda_ray.pipelines import temporal as tmp
 
     def _docs(sf_dir):
         import ray.data
@@ -278,6 +279,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_json_stats": rel.events_json_stats,
         "sessionize_events": rel.sessionize_events,
+        "event_attribution": tmp.event_attribution,
+        "events_rolling": tmp.events_rolling,
+        "segment_order_percentiles": tmp.segment_order_percentiles,
         # documents / embeddings operators
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -606,6 +610,34 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    COUNT(*) AS n_events
             FROM sess GROUP BY user_id, session_id""",
+        "event_attribution": """
+            -- as-of + range join: deterministic (no duplicate (user, ts)
+            -- pairs exist; arg_max ties broken by unique ts)
+            WITH c AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'click'),
+                 p AS (SELECT user_id, ts, event_id FROM events
+                       WHERE event_type = 'purchase')
+            SELECT p.event_id AS purchase_id, p.user_id,
+                   COUNT(*) AS n_prior_clicks,
+                   MAX(c.ts) AS last_click_ts,
+                   arg_max(c.event_id, c.ts) AS last_click_id
+            FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+            GROUP BY 1, 2""",
+        "events_rolling": """
+            SELECT event_id, user_id,
+                   ROW_NUMBER() OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS rn,
+                   ROUND(SUM(value) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+                     AS roll_sum
+            FROM events""",
+        "segment_order_percentiles": """
+            SELECT c_mktsegment, COUNT(*) AS n_orders,
+                   ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,
+                   ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY 1""",
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "doc_stats": """
