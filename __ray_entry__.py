@@ -308,6 +308,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_fixed": cq.graph_pagerank_fixed,
         "graph_components": cq.graph_components,
         "graph_labelprop": cq.graph_labelprop,
+        "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
         "graph_leiden": cq.graph_leiden,
         "graph_louvain": cq.graph_louvain,
@@ -455,6 +456,52 @@ sym AS MATERIALIZED (
 r0 AS MATERIALIZED (SELECT v, v AS l FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, l AS label FROM r{iters}"""
+
+
+def _kcore_sql(iters: int = 32) -> str:
+    """Unrolled h-index iteration matching the engine exactly (kcore.py):
+    c_0 = unweighted degree (self-loops excluded), c_{n+1}(v) = h-index of
+    the neighbors' c_n values; the fixpoint is the core number (Lu et al.
+    2016). H in SQL: sort a vertex's neighbor values descending and take
+    MAX(LEAST(value, row_number)). The engine asserts it converged
+    (changed == 0), the sequence is pointwise non-increasing, and
+    post-fixpoint rounds are no-ops, so any iters >= the convergence round
+    yields the same table. All values are BIGINTs — exact."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT vid.v AS v, COALESCE(h.hc, 0) AS c
+  FROM vid LEFT JOIN (
+    SELECT t AS v, MAX(LEAST(nc, rn)) AS hc FROM (
+      SELECT s.t, p.c AS nc,
+             ROW_NUMBER() OVER (PARTITION BY s.t
+                                ORDER BY p.c DESC) AS rn
+      FROM r{k} p JOIN sym s ON s.u = p.v) x
+    GROUP BY t) h ON h.v = vid.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+pair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+uedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM pair WHERE ks <> kd),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t FROM uedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  UNION ALL
+  SELECT vb.v, va.v FROM uedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+r0 AS MATERIALIZED (
+  SELECT vid.v AS v, COALESCE(d.n, 0) AS c FROM vid
+  LEFT JOIN (SELECT u, COUNT(*) AS n FROM sym GROUP BY u) d
+    ON d.u = vid.v),
+{','.join(steps)}
+SELECT v AS vertex, c AS core FROM r{iters}"""
 
 
 def _objective_scaffold_sql(part_glob: str) -> str:
@@ -759,6 +806,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_labelprop": _labelprop_sql(),
+        "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_louvain_objective": _louvain_objective_sql(),
         # written-artifact recompute oracles (VERDICT r3 item 4): the Ray

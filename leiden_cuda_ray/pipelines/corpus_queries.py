@@ -365,6 +365,15 @@ def graph_labelprop(sf_dir: str):
     return state_to_dataset(graph, labels, "label")
 
 
+def graph_kcore(sf_dir: str):
+    from leiden_cuda_ray.algorithms.kcore import kcore
+
+    graph, _ = _build_graph(sf_dir)
+    values, _steps, changed = kcore(graph)
+    assert changed == 0, "h-index iteration did not reach its fixpoint"
+    return state_to_dataset(graph, values, "core")
+
+
 def graph_triangles(sf_dir: str):
     from leiden_cuda_ray.algorithms.triangles import triangle_counts
 
