@@ -279,6 +279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly": rel.events_hourly,
         "events_json_stats": rel.events_json_stats,
         "sessionize_events": rel.sessionize_events,
+        "top_docs_per_group": rel.top_docs_per_group,
         "event_attribution": tmp.event_attribution,
         "events_rolling": tmp.events_rolling,
         "segment_order_percentiles": tmp.segment_order_percentiles,
@@ -685,6 +686,12 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "top_docs_per_group": """
+            SELECT doc_id, lang, source, n_chars, rnk FROM (
+              SELECT doc_id, lang, source, n_chars,
+                     ROW_NUMBER() OVER (PARTITION BY lang, source
+                         ORDER BY n_chars DESC, doc_id ASC) AS rnk
+              FROM documents) WHERE rnk <= 3""",
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "doc_stats": """

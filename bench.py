@@ -173,6 +173,16 @@ def run_single(graph_only: bool = False) -> dict:
             t_tri = min(t_tri, time.perf_counter() - t0)
         queries["triangles"] = t_tri
 
+        from leiden_cuda_ray.algorithms.kcore import kcore
+
+        t_kc = float("inf")
+        for _rep in range(2):  # min-of-2: first rep pays worker warm-up
+            t0 = time.perf_counter()
+            core_refs, _steps, _chg = kcore(graph)
+            ray.get(core_refs)
+            t_kc = min(t_kc, time.perf_counter() - t0)
+        queries["kcore"] = t_kc
+
     # documents-side headline ops at this tier
     import ray.data
 

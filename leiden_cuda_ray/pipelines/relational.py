@@ -341,3 +341,56 @@ def sessionize_events(sf_dir: str, gap_minutes: int = 30,
     return (ev.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
+def top_docs_per_group(sf_dir: str, k: int = 3):
+    """Grouped top-k (SURVEY §2.7 sort/top-k, grouped): the k longest
+    documents per (lang, source) by n_chars, ties broken by MIN doc_id.
+
+    Scale shape: a per-batch PARTIAL top-k combiner (one lexsort per
+    batch) reduces every block to ≤ groups·k rows before anything moves,
+    so the final merge sees O(blocks · groups · k) rows no matter how many
+    documents exist — the grouped analogue of knn's partial top-k. The
+    merge runs in one task (repartition(1)): group count is bounded by
+    the lang×source vocabulary, not the corpus size."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "source",
+                                       "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        # group code per row (np.unique on the pair via encoded key)
+        key = np.char.add(np.char.add(lang.astype(str), "\x00"),
+                          src.astype(str))
+        codes, inv = np.unique(key, return_inverse=True)
+        order = np.lexsort((did, -n, inv))
+        g = inv[order]
+        pos = np.arange(len(g)) - np.searchsorted(g, g, side="left")
+        take = order[pos < k]
+        return batch.take(pa.array(take))
+
+    merged = docs.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True).repartition(1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        src = batch.column("source").to_numpy(zero_copy_only=False)
+        n = batch.column("n_chars").to_numpy().astype(np.int64)
+        did = batch.column("doc_id").to_numpy().astype(np.int64)
+        key = np.char.add(np.char.add(lang.astype(str), "\x00"),
+                          src.astype(str))
+        codes, inv = np.unique(key, return_inverse=True)
+        order = np.lexsort((did, -n, inv))
+        g = inv[order]
+        rnk = (np.arange(len(g))
+               - np.searchsorted(g, g, side="left") + 1).astype(np.int64)
+        keep = rnk <= k
+        take = order[keep]
+        out = batch.take(pa.array(take))
+        return out.append_column("rnk", pa.array(rnk[keep], pa.int64()))
+
+    # batch_size=None: one block after repartition(1) → one merge batch
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)
