@@ -67,6 +67,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
 
+    def q_train_val_split(sf_dir):
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import hash_split
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "lang"])
+        return hash_split(docs, id_col="doc_id", train_pct=80, seed=42)
+
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup_keepers(_docs(sf_dir))
 
@@ -284,6 +293,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": tmp.events_rolling,
         "segment_order_percentiles": tmp.segment_order_percentiles,
         # documents / embeddings operators
+        "train_val_split": q_train_val_split,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "language_id": q_language_id,
@@ -457,6 +467,32 @@ sym AS MATERIALIZED (
 r0 AS MATERIALIZED (SELECT v, v AS l FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, l AS label FROM r{iters}"""
+
+
+def _splitmix_split_sql(train_pct: int = 80, seed: int = 42) -> str:
+    """Exact SQL transcription of functions/sampling.py::hash_split —
+    the splitmix64 finalizer in 128-bit HUGEINT arithmetic, with the
+    64-bit multiply split into 32-bit halves so the intermediate products
+    stay under 2^96 (a full 64x64 product can overflow HUGEINT)."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    return f"""
+        WITH s0 AS (SELECT doc_id, lang,
+               (CAST(doc_id AS HUGEINT) + {a_seed}) % {m64} AS x
+             FROM documents),
+        s1 AS (SELECT doc_id, lang, CAST(xor(CAST(x AS UBIGINT),
+               CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+        s2 AS (SELECT doc_id, lang, {mulmod} AS x FROM s1),
+        s3 AS (SELECT doc_id, lang, xor(CAST(x AS UBIGINT),
+               CAST(x AS UBIGINT) >> 27) AS x FROM s2)
+        SELECT doc_id, lang,
+               CASE WHEN x % 100 < {train_pct} THEN 'train' ELSE 'val' END
+                 AS split
+        FROM s3"""
 
 
 def _kcore_sql(iters: int = 32) -> str:
@@ -692,6 +728,7 @@ def oracle_sql() -> dict[str, str]:
                      ROW_NUMBER() OVER (PARTITION BY lang, source
                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
               FROM documents) WHERE rnk <= 3""",
+        "train_val_split": _splitmix_split_sql(),
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "doc_stats": """
