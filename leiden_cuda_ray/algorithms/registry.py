@@ -70,11 +70,20 @@ def _leiden(graph: Graph, **kw):
     return refs, {**info, "column": "community", "dtype": pa.int64()}
 
 
+def _kcore(graph: Graph, **kw):
+    from leiden_cuda_ray.algorithms.kcore import kcore
+
+    refs, steps, changed = kcore(graph, **kw)
+    return refs, {"supersteps": steps, "changed_last": changed,
+                  "column": "core", "dtype": pa.int64()}
+
+
 REGISTRY = {
     "pagerank": _pagerank,
     "connected_components": _components,
     "label_propagation": _labelprop,
     "triangle_count": _triangles,
+    "kcore": _kcore,
     "louvain": _louvain,
     "leiden": _leiden,
 }
