@@ -318,6 +318,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank": cq.graph_pagerank,
         "graph_pagerank_fixed": cq.graph_pagerank_fixed,
         "graph_components": cq.graph_components,
+        "graph_hits": cq.graph_hits,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -424,6 +425,43 @@ wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
 r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT V FROM nv) AS r FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"""
+
+
+def _hits_sql(iters: int = 8) -> str:
+    """Unrolled HITS over the directed import graph, matching
+    algorithms/hits.py exactly: h0=1 on every file vertex, a_k = Aᵀh_{k-1},
+    h_k = A a_k (unnormalized), final L2 normalize + ROUND 6. Each half-step
+    MATERIALIZED so the chain doesn't inline exponentially."""
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+a{k} AS MATERIALIZED (
+  SELECT vid.v AS v, COALESCE(x.s, 0) AS a
+  FROM vid
+  LEFT JOIN (SELECT de.t AS v, SUM(p.h) AS s
+             FROM h{k - 1} p JOIN de ON de.u = p.v
+             GROUP BY de.t) x ON x.v = vid.v),
+h{k} AS MATERIALIZED (
+  SELECT vid.v AS v, COALESCE(x.s, 0) AS h
+  FROM vid
+  LEFT JOIN (SELECT de.u AS v, SUM(q.a) AS s
+             FROM a{k} q JOIN de ON de.t = q.v
+             GROUP BY de.u) x ON x.v = vid.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+de AS MATERIALIZED (
+  SELECT vs.v AS u, vd.v AS t FROM import_edges e
+  JOIN vid vs ON vs.key = e.src_repo || '|' || e.src_path
+  JOIN vid vd ON vd.key = e.dst_repo || '|' || e.dst_path),
+h0 AS MATERIALIZED (SELECT v, CAST(1 AS DOUBLE) AS h FROM vid),
+{','.join(steps)},
+hn AS (SELECT SQRT(SUM(h * h)) AS n FROM h{iters}),
+an AS (SELECT SQRT(SUM(a * a)) AS n FROM a{iters})
+SELECT h.v AS vertex,
+       ROUND(h.h / NULLIF((SELECT n FROM hn), 0), 6) AS hub,
+       ROUND(a.a / NULLIF((SELECT n FROM an), 0), 6) AS authority
+FROM h{iters} h JOIN a{iters} a ON a.v = h.v"""
 
 
 def _labelprop_sql(iters: int = 25) -> str:
@@ -849,6 +887,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY degree DESC, repo ASC, path ASC
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
+        "graph_hits": _hits_sql(),
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),

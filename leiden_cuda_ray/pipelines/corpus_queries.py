@@ -124,22 +124,30 @@ def cocommit_pairs(sf_dir: str):
     return j2.map_batches(name_dst, batch_format="pyarrow")
 
 
-def import_pairs(sf_dir: str, max_broadcast_keys: int = 2_000_000):
-    """Resolved distinct import edges (src file → dst file).
+def _import_vid_pairs(sf_dir: str, max_broadcast_keys: int = 2_000_000):
+    """Distinct DIRECTED import edges in int-vid space, cached per sf_dir.
+
+    Returns (pairs_ds[src:int64, dst:int64], numbering, V). The directed
+    pair set is what import_pairs names and what graph_hits iterates on;
+    deriving it once per sf_dir saves the full extract+resolve pass
+    (~240 s at sf1) on every consumer.
 
     INT id space end-to-end (same treatment as cocommit_pairs): resolve
     endpoints through the broadcast id map, distinct on (src, dst) int64
-    pairs, and join strings back only onto the distinct OUTPUT rows —
-    the round-2 shape (hash join + 4-string-column distinct over the raw
-    statement stream) shuffled every import statement as strings (127 s
-    at 50k-doc sweep scale). Self-imports are kept (the oracle has no
-    self filter); the >2M-file fallback resolves endpoints with two
-    linear string joins, then runs the same int-space distinct."""
-    from leiden_cuda_ray.pipelines.derive import derive_edges  # noqa: F401
+    pairs; strings join back only onto distinct OUTPUT rows (the round-2
+    shape — hash join + 4-string-column distinct over the raw statement
+    stream — shuffled every import statement as strings, 127 s at
+    50k-doc sweep scale). Self-imports are kept (the oracle has no self
+    filter); the >2M-file fallback resolves endpoints with two linear
+    string joins, then runs the same int-space distinct."""
     from leiden_cuda_ray.stages.idmap import build_vertex_maps, make_import_mapper
     from leiden_cuda_ray.stages.imports import _stem_batch
     from leiden_cuda_ray.stages.joins import hash_join
     from leiden_cuda_ray.stages.numbering import build_vertex_numbering
+
+    cache_key = (sf_dir, max_broadcast_keys, "import_vids")
+    if cache_key in _EDGE_CACHE:
+        return _EDGE_CACHE[cache_key]
 
     path = ensure_corpus_for_sf_dir(sf_dir)
     numbering, _V = build_vertex_numbering(
@@ -193,7 +201,20 @@ def import_pairs(sf_dir: str, max_broadcast_keys: int = 2_000_000):
             "dst": pc.cast(batch.column("dst"), pa.int64()),
         })
 
-    e = distinct.map_batches(cast_int, batch_format="pyarrow")
+    e = distinct.map_batches(cast_int,
+                             batch_format="pyarrow").materialize()
+    _EDGE_CACHE[cache_key] = (e, numbering, _V)
+    return _EDGE_CACHE[cache_key]
+
+
+def import_pairs(sf_dir: str, max_broadcast_keys: int = 2_000_000):
+    """Resolved distinct import edges (src file → dst file), named rows.
+
+    Derivation (shared, cached): `_import_vid_pairs`. This query only
+    joins the file names back onto the distinct int-pair output rows."""
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    e, numbering, _V = _import_vid_pairs(sf_dir, max_broadcast_keys)
     j1 = hash_join(e, numbering, on=("src",), right_on=("vertex",))
 
     def name_src(batch: pa.Table) -> pa.Table:
@@ -347,6 +368,20 @@ def graph_pagerank_fixed(sf_dir: str):
         })
 
     return ds.map_batches(rnd, batch_format="pyarrow")
+
+
+def graph_hits(sf_dir: str, iters: int = 8):
+    """HITS hubs/authorities over the DIRECTED import graph
+    (algorithms/hits.py): exactly `iters` unnormalized rounds h⁰=1,
+    aᵏ=Aᵀhᵏ⁻¹, hᵏ=Aaᵏ, one final L2 normalization, rounded to 6
+    decimals — the same fixed-iteration + round contract as
+    graph_pagerank_fixed, unrolled identically by the DuckDB oracle.
+    The directed pair stream is the cached `_import_vid_pairs` set the
+    import_pairs oracle already pins row-for-row."""
+    from leiden_cuda_ray.algorithms.hits import hits
+
+    pairs, _numbering, V = _import_vid_pairs(sf_dir)
+    return hits(pairs, V, iters=iters, ndigits=6)
 
 
 def graph_components(sf_dir: str):

@@ -331,3 +331,37 @@ def test_triangles_hub_row_split(P, monkeypatch):
     oracle = triangles_oracle(src, dst, 13)
     assert np.array_equal(c, oracle)
     assert total == oracle.sum() // 3
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_hits_matches_dense_reference(P):
+    """HITS over a random directed graph must equal the dense-numpy
+    unnormalized iteration + final L2 normalize, bit-for-bit (both run
+    float64 sums over in/out-neighbor sets)."""
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.hits import hits
+
+    rng = np.random.RandomState(11)
+    V, E = 61, 340
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    ds = ray.data.from_arrow(pa.table({"src": pa.array(src),
+                                       "dst": pa.array(dst)}))
+    out = (hits(ds, V, iters=8, P=P, ndigits=None)
+           .to_pandas().sort_values("vertex"))
+
+    A = np.zeros((V, V))
+    A[src, dst] = 1.0
+    h = np.ones(V)
+    a = np.zeros(V)
+    for _ in range(8):
+        a = A.T @ h
+        h = A @ a
+    h /= np.linalg.norm(h)
+    a /= np.linalg.norm(a)
+    assert np.abs(out["hub"].to_numpy() - h).max() < 1e-12
+    assert np.abs(out["authority"].to_numpy() - a).max() < 1e-12
