@@ -319,6 +319,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_pagerank_fixed": cq.graph_pagerank_fixed,
         "graph_components": cq.graph_components,
         "graph_hits": cq.graph_hits,
+        "graph_bfs": cq.graph_bfs,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -956,6 +957,34 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf i
                     JOIN exact e ON i.query_id = e.query_id
                      AND i.neighbor_id = e.neighbor_id) AS exact_hits""",
+        "graph_bfs": f"""
+            -- multi-source BFS: hop distance to the nearest seed
+            -- (v % 97 = 0), -1 if unreachable (bfs.py). The recursion
+            -- carries (v, d) pairs with d capped at 64 — UNION dedup
+            -- bounds the row set, and the engine asserts its true max
+            -- distance is below the cap, so MIN(d) is the exact BFS
+            -- distance
+            WITH RECURSIVE {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            sym AS (
+              SELECT u, w FROM e UNION SELECT w, u FROM e),
+            walk(v, d) AS (
+              SELECT v, 0 FROM vid WHERE v % 97 = 0
+              UNION
+              SELECT s.u, r.d + 1 FROM walk r JOIN sym s ON s.w = r.v
+              WHERE r.d < 64)
+            SELECT vid.v AS vertex, COALESCE(m.d, -1) AS dist
+            FROM vid
+            LEFT JOIN (SELECT v, MIN(d) AS d FROM walk GROUP BY v) m
+              ON m.v = vid.v""",
         "graph_components": f"""
             -- min-label fixpoint: component(v) = min vertex id reachable
             -- from v (the engine's labeling convention, components.py)

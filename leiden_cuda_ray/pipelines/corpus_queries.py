@@ -370,6 +370,24 @@ def graph_pagerank_fixed(sf_dir: str):
     return ds.map_batches(rnd, batch_format="pyarrow")
 
 
+def graph_bfs(sf_dir: str, seed_mod: int = 97):
+    """Multi-source BFS hop distance to the nearest seed vertex
+    (vertex % seed_mod == 0) over the symmetrized union graph —
+    algorithms/bfs.py. Exact integer distances, -1 for unreachable.
+    The DuckDB oracle replays the same relaxation as a recursive CTE
+    capped at depth 64; the engine asserts its true max distance stays
+    under that cap so the cap can never truncate a shortest path."""
+    from leiden_cuda_ray.algorithms.bfs import bfs_hops
+
+    graph, _ = _build_graph(sf_dir)
+    dists, _steps, max_dist = bfs_hops(graph, seed_mod=seed_mod)
+    if max_dist >= 64:
+        raise ValueError(
+            f"BFS depth {max_dist} exceeds the oracle's recursion cap "
+            f"(64); raise the cap in _bfs_sql to match")
+    return state_to_dataset(graph, dists, "dist")
+
+
 def graph_hits(sf_dir: str, iters: int = 8):
     """HITS hubs/authorities over the DIRECTED import graph
     (algorithms/hits.py): exactly `iters` unnormalized rounds h⁰=1,

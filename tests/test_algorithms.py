@@ -365,3 +365,39 @@ def test_hits_matches_dense_reference(P):
     a /= np.linalg.norm(a)
     assert np.abs(out["hub"].to_numpy() - h).max() < 1e-12
     assert np.abs(out["authority"].to_numpy() - a).max() < 1e-12
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_bfs_hops_matches_level_oracle(P):
+    """Multi-source BFS distances must equal a sequential level-order
+    BFS from the same seed set; unreachable = -1."""
+    from leiden_cuda_ray.algorithms.bfs import bfs_hops
+
+    rng = np.random.RandomState(3)
+    V, E = 80, 140  # sparse: leaves some vertices unreachable
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    w = np.ones(E)
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    dists, _steps, max_dist = bfs_hops(g, seed_mod=37)
+    got = np.concatenate([np.asarray(d) for d in ray.get(dists)])
+
+    adj = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    want = np.full(V, -1, np.int64)
+    frontier = [v for v in range(V) if v % 37 == 0]
+    want[frontier] = 0
+    d = 0
+    while frontier:
+        d += 1
+        nxt = []
+        for u in frontier:
+            for t in adj[u]:
+                if want[t] == -1:
+                    want[t] = d
+                    nxt.append(t)
+        frontier = nxt
+    assert np.array_equal(got, want)
+    assert max_dist == int(got.max())
