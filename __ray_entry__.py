@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_stats(sf_dir):
         return text.token_stats(_docs(sf_dir))
 
+    def q_vocab_topk(sf_dir):
+        return text.vocab_topk(_docs(sf_dir))
+
     def q_language_id(sf_dir):
         return text.language_id(_docs(sf_dir)).select_columns(
             ["doc_id", "lang_pred"])
@@ -296,6 +299,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_val_split": q_train_val_split,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
+        "vocab_topk": q_vocab_topk,
         "language_id": q_language_id,
         "quality_score": q_quality,
         "fingerprints": q_fingerprints,
@@ -770,6 +774,22 @@ def oracle_sql() -> dict[str, str]:
         "train_val_split": _splitmix_split_sql(),
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
+        "vocab_topk": """
+            -- top-10 whitespace tokens per lang by total frequency
+            -- (tie → term ASC); same '\\S+' token definition as doc_stats
+            WITH tok AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents),
+            agg AS (
+              SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2),
+            rnk AS (
+              SELECT lang, term, tf,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY tf DESC, term ASC) AS rn
+              FROM agg)
+            SELECT lang, term, tf, CAST(rn AS BIGINT) AS rnk
+            FROM rnk WHERE rn <= 10""",
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,

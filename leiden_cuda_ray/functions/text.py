@@ -145,3 +145,86 @@ def fingerprints(ds):
     """documents → (doc_id, fingerprint) rolling-hash document fingerprint."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _fp_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _vocab_partial(batch: pa.Table) -> pa.Table:
+    """One batch → its (lang, term, cnt) partial counts (the combiner).
+
+    Tokens = '\\S+' runs (split on whitespace, empties dropped) — the
+    identical token definition token_stats counts and the DuckDB oracle
+    extracts with regexp_extract_all(text, '\\S+'). The per-batch
+    factorize+bincount collapses every block to its OWN vocabulary size
+    before anything is shuffled."""
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    langs = pc.take(batch.column("lang"), parents)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    langs = langs.filter(mask)
+    # separator = " ": tokens are '\S+' runs and lang codes contain no
+    # space, so the join is unambiguous — and unlike "\x00", it survives
+    # pandas' factorize hash (khash truncates object strings at an
+    # embedded NUL, silently collapsing distinct keys)
+    key = pc.binary_join_element_wise(langs, flat, " ")
+    codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
+    cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    parts = pd.Series(uniques).str.partition(" ")
+    return pa.table({
+        "lang": pa.array(parts[0], pa.string()),
+        "term": pa.array(parts[2], pa.string()),
+        "cnt": pa.array(cnt, pa.int64()),
+    })
+
+
+def vocab_topk(ds, k: int = 10):
+    """documents → the k most frequent whitespace tokens per lang:
+    (lang, term, tf, rnk), rnk by tf DESC then term ASC. Exact integer
+    counts — SQL-oracle-able.
+
+    Scale shape: per-batch factorize+bincount partials (each block
+    shrinks to its own vocabulary before the shuffle), a (lang, term)
+    groupby-sum over partials, then one merge task for the top-k — the
+    merge input is the total distinct vocabulary, which is sublinear in
+    corpus size (Heaps' law) and independent of document count. For a
+    vocabulary too large for one task, the merge would hash-partition
+    by lang first; lang cardinality here is single-digit."""
+    partials = ds.select_columns(["lang", "text"]).map_batches(
+        _vocab_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = partials.repartition(1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        term = batch.column("term").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy().astype(np.int64)
+        key = pc.binary_join_element_wise(
+            batch.column("lang"), batch.column("term"), " ")
+        codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
+        tf = np.bincount(codes, weights=cnt,
+                         minlength=len(uniques)).astype(np.int64)
+        # any representative row per code works (key ⟹ (lang, term))
+        rep = np.empty(len(uniques), np.int64)
+        rep[codes] = np.arange(len(codes), dtype=np.int64)
+        # rank within lang: tf DESC, term ASC
+        lang_u = lang[rep]
+        term_u = term[rep]
+        order = np.lexsort((term_u, -tf, lang_u))
+        g_sorted = lang_u[order]
+        starts = np.searchsorted(g_sorted, g_sorted, side="left")
+        rnk = (np.arange(len(order)) - starts + 1).astype(np.int64)
+        keep = rnk <= k
+        sel = order[keep]
+        return pa.table({
+            "lang": pa.array(lang_u[sel], pa.string()),
+            "term": pa.array(term_u[sel], pa.string()),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)

@@ -320,3 +320,45 @@ def test_multimodal_frames_and_audio():
     feats = auds.map_batches(AudioFeatures, batch_format="pyarrow",
                              concurrency=1).to_pandas()
     assert np.stack(feats.features.to_numpy()).shape == (3, 16)
+
+
+def test_vocab_topk_matches_pandas_and_is_blocking_invariant():
+    """vocab_topk must equal a single-process pandas wordcount and be
+    independent of how rows are split into blocks (the partial counts
+    must combine exactly)."""
+    import pandas as pd
+
+    from leiden_cuda_ray.functions.text import vocab_topk
+
+    rows = []
+    rng = np.random.RandomState(5)
+    words = ["alpha", "beta", "gamma", "delta", "x", "it's", "a,b"]
+    for i in range(60):
+        lang = ["en", "de"][i % 2]
+        text = "  ".join(rng.choice(words, rng.randint(1, 12)))
+        rows.append({"doc_id": i, "lang": lang, "text": " " + text + "\n"})
+    t = pa.Table.from_pylist(rows)
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (vocab_topk(ds, k=3).to_pandas()
+                .sort_values(["lang", "rnk"]).reset_index(drop=True))
+
+    got1, got4 = run(1), run(4)
+    pd.testing.assert_frame_equal(got1, got4)
+
+    toks = []
+    for r in rows:
+        for w in r["text"].split():
+            toks.append((r["lang"], w))
+    df = pd.DataFrame(toks, columns=["lang", "term"])
+    agg = (df.groupby(["lang", "term"]).size().rename("tf")
+           .reset_index())
+    agg = agg.sort_values(["lang", "tf", "term"],
+                          ascending=[True, False, True])
+    agg["rnk"] = agg.groupby("lang").cumcount() + 1
+    want = (agg[agg.rnk <= 3].reset_index(drop=True)
+            [["lang", "term", "tf", "rnk"]])
+    want["tf"] = want["tf"].astype("int64")
+    want["rnk"] = want["rnk"].astype("int64")
+    pd.testing.assert_frame_equal(got1, want)
