@@ -324,6 +324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": cq.graph_components,
         "graph_hits": cq.graph_hits,
         "graph_bfs": cq.graph_bfs,
+        "graph_tri_support": cq.graph_tri_support,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -1026,6 +1027,39 @@ def oracle_sql() -> dict[str, str]:
               SELECT s.u, r.lbl FROM reach r JOIN sym s ON s.w = r.v)
             SELECT v AS vertex, MIN(lbl) AS component
             FROM reach GROUP BY v""",
+        "graph_tri_support": f"""
+            -- per-edge triangle support: number of triangles containing
+            -- each canonical non-self edge (trisupport.py); 0 for edges
+            -- in no triangle. tri enumerates each triangle once with
+            -- x < y < z, so its three edges are already canonical
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            edge_tri AS (
+              SELECT x AS a, y AS b FROM tri
+              UNION ALL SELECT x, z FROM tri
+              UNION ALL SELECT y, z FROM tri)
+            SELECT eo.a AS src, eo.b AS dst,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS support
+            FROM eo
+            LEFT JOIN (SELECT a, b, COUNT(*) AS n FROM edge_tri
+                       GROUP BY a, b) s
+              ON s.a = eo.a AND s.b = eo.b""",
         "graph_triangles": f"""
             WITH {_CORPUS_CTE},
             vid AS (

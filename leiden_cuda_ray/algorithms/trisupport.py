@@ -1,0 +1,200 @@
+"""Per-edge triangle support (the k-truss support metric).
+
+support(u, v) = number of triangles containing edge {u, v} — the base
+quantity of truss decomposition (Cohen, "Trusses: cohesive subgraphs
+for social network analysis", 2008) and a standard edge-strength /
+community-pruning signal. Reuses the triangle module's scale design
+wholesale: degree orientation, sparse degree and adjacency
+request/reply exchanges, and heap-bounded wedge-index chunking
+(algorithms/triangles.py) — wedges are generated and probed inside one
+task and never travel.
+
+The difference from counting: a hit wedge (a, b) centered at u closes
+triangle {u, a, b} and must credit all THREE edges {a,b}, {u,a}, {u,b}
+(canonical min*V+max keys), so the probe folds per-hit EDGE keys
+instead of position/row bincounts. That makes this operator inherently
+heavier than the count (3 keys per hit through a segsum vs a bincount
+append); partials are compacted per chunk and re-folded whenever the
+accumulator passes a size threshold, so task heap stays bounded by
+distinct-hit-edges, not by raw hits.
+
+Output: one row per canonical non-self edge (src < dst) with its
+support (0 if the edge is in no triangle) — rows emitted per partition
+from its own CSR slots, counts routed by owner(min endpoint).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from leiden_cuda_ray.algorithms.common import local_src_per_slot
+from leiden_cuda_ray.algorithms.triangles import (
+    _deg_no_self,
+    _merge_adj,
+    _oriented,
+    _plan_chunks,
+    _request_adj,
+    _request_degs,
+    _serve_adj,
+    _serve_degs,
+    _wedges_for_span,
+    _WEDGES_PER_TASK,
+)
+from leiden_cuda_ray.graph.build import Graph
+from leiden_cuda_ray.graph.runtime import fanout, segsum_by_key, shard_by_owner
+
+#: fold the (edge_key, count) accumulator whenever it grows past this —
+#: bounds probe-task heap by O(distinct hit edges), not O(raw hits)
+_FOLD_AT = 4_000_000
+
+
+@ray.remote
+def _probe_support(o, block, P, V, bounds, adj_keys):
+    """Probe the wedge spans in `bounds`; fold per-hit edge-key counts
+    and shard them by owner(min endpoint)."""
+    acc_k = np.empty(0, np.int64)
+    acc_c = np.empty(0, np.float64)
+    pend_k: list[np.ndarray] = []
+    pend_c: list[np.ndarray] = []
+    pend_n = 0
+
+    def _fold():
+        nonlocal acc_k, acc_c, pend_k, pend_c, pend_n
+        if pend_n == 0:
+            return
+        k = np.concatenate([acc_k] + pend_k)
+        c = np.concatenate([acc_c] + pend_c)
+        acc_k, acc_c = segsum_by_key(k, c)
+        pend_k, pend_c, pend_n = [], [], 0
+
+    for ci in range(len(bounds) - 1):
+        a, b, u = _wedges_for_span(o, int(bounds[ci]), int(bounds[ci + 1]))
+        if len(a) == 0 or len(adj_keys) == 0:
+            continue
+        q = a * V + b
+        pos = np.searchsorted(adj_keys, q)
+        np.minimum(pos, len(adj_keys) - 1, out=pos)
+        hit = adj_keys[pos] == q
+        if not hit.any():
+            continue
+        ah, bh, uh = a[hit], b[hit], u[hit]
+        # canonical keys of the three edges of each closed triangle
+        k3 = np.minimum(ah, bh) * V + np.maximum(ah, bh)
+        k1 = np.minimum(uh, ah) * V + np.maximum(uh, ah)
+        k2 = np.minimum(uh, bh) * V + np.maximum(uh, bh)
+        kk, cc = segsum_by_key(
+            np.concatenate([k1, k2, k3]),
+            np.ones(3 * len(ah), np.float64))
+        pend_k.append(kk)
+        pend_c.append(cc)
+        pend_n += len(kk)
+        if pend_n + len(acc_k) > _FOLD_AT:
+            _fold()
+    _fold()
+    owner_key = acc_k // V  # min endpoint owns the edge row
+    shards = shard_by_owner(owner_key, block, P, acc_k, acc_c)
+    out = [(s[1], s[2]) for s in shards]  # (edge_keys, counts)
+    return out[0] if P == 1 else tuple(out)
+
+
+@ray.remote
+def _emit_edges(csr, V, *shards):
+    """One partition's output rows: every canonical non-self edge
+    (src < dst) with src local, support summed from the routed shards."""
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    canon = dst > src_g  # canonical orientation; drops selfs + mirrors
+    s = src_g[canon]
+    d = dst[canon]
+    keys = s * V + d  # row-major + per-row dst sort ⇒ already ascending
+    support = np.zeros(len(keys), np.int64)
+    for ek, cnt in shards:
+        if len(ek) == 0:
+            continue
+        pos = np.searchsorted(keys, ek)
+        if len(keys):
+            np.minimum(pos, len(keys) - 1, out=pos)
+            ok = keys[pos] == ek
+        else:
+            ok = np.zeros(len(ek), bool)
+        if not ok.all():
+            raise ValueError(
+                "triangle support routed to a non-existent edge — "
+                "orientation/ownership mismatch")
+        np.add.at(support, pos, cnt.astype(np.int64))
+    return pa.table({
+        "src": pa.array(s, pa.int64()),
+        "dst": pa.array(d, pa.int64()),
+        "support": pa.array(support, pa.int64()),
+    })
+
+
+def triangle_support(graph: Graph):
+    """Returns a Dataset[src:int64, dst:int64, support:int64] with one
+    row per canonical non-self edge."""
+    import ray.data
+
+    assert graph.V < (1 << 31), \
+        "pair encoding a*V+b needs V < 2^31; use segmented probe for larger"
+    P = graph.P
+    degs = [_deg_no_self.remote(p) for p in graph.parts]
+    req_shards = fanout(
+        _request_degs,
+        [(graph.parts[i], graph.block, P) for i in range(P)], P)
+    serves = [
+        _serve_degs.options(num_returns=P if P > 1 else 1).remote(
+            degs[k], graph.ranges()[k][0], *req_shards[k])
+        for k in range(P)
+    ]
+    deg_replies = ([[serves[0]]] if P == 1 else
+                   [[serves[k][i] for k in range(P)] for i in range(P)])
+    oriented = [
+        _oriented.remote(graph.parts[i], graph.V, *deg_replies[i])
+        for i in range(P)
+    ]
+    adj_req = fanout(
+        _request_adj, [(oriented[i], graph.block, P) for i in range(P)], P)
+    adj_serves = [
+        _serve_adj.options(num_returns=P if P > 1 else 1).remote(
+            oriented[k], *adj_req[k])
+        for k in range(P)
+    ]
+    adj_replies = ([[adj_serves[0]]] if P == 1 else
+                   [[adj_serves[k][i] for k in range(P)] for i in range(P)])
+    adj_keys = [_merge_adj.remote(graph.V, *adj_replies[i])
+                for i in range(P)]
+
+    @ray.remote
+    def _wedge_total(o):
+        return int(o["wcum"][-1])
+
+    totals = ray.get([_wedge_total.remote(o) for o in oriented])
+    bounds = [_plan_chunks(t) for t in totals]
+
+    contrib_shard_lists: list[list] = [[] for _ in range(P)]
+    for i in range(P):
+        b = bounds[i]
+        n_chunks = len(b) - 1
+        n_tasks = max(1, -(-totals[i] // _WEDGES_PER_TASK))
+        chunks_per_task = max(1, -(-n_chunks // n_tasks))
+        for t0 in range(0, n_chunks, chunks_per_task):
+            sub = b[t0:t0 + chunks_per_task + 1]
+            if sub[0] == sub[-1] and len(b) > 2:
+                continue
+            r = _probe_support.options(
+                num_returns=P if P > 1 else 1).remote(
+                    oriented[i], graph.block, P, graph.V, sub,
+                    adj_keys[i])
+            refs = list(r) if P > 1 else [r]
+            for j in range(P):
+                contrib_shard_lists[j].append(refs[j])
+
+    blocks = [
+        _emit_edges.remote(graph.parts[j], graph.V,
+                           *contrib_shard_lists[j])
+        for j in range(P)
+    ]
+    return ray.data.from_arrow_refs(blocks)

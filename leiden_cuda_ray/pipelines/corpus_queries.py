@@ -370,6 +370,18 @@ def graph_pagerank_fixed(sf_dir: str):
     return ds.map_batches(rnd, batch_format="pyarrow")
 
 
+def graph_tri_support(sf_dir: str):
+    """Per-edge triangle support (k-truss support) over the symmetrized
+    union graph — algorithms/trisupport.py. One row per canonical
+    non-self edge (src < dst) with the exact number of triangles the
+    edge closes; the DuckDB oracle recomputes it from the oriented
+    wedge join the graph_triangles oracle already uses."""
+    from leiden_cuda_ray.algorithms.trisupport import triangle_support
+
+    graph, _ = _build_graph(sf_dir)
+    return triangle_support(graph)
+
+
 def graph_bfs(sf_dir: str, seed_mod: int = 97):
     """Multi-source BFS hop distance to the nearest seed vertex
     (vertex % seed_mod == 0) over the symmetrized union graph —

@@ -401,3 +401,34 @@ def test_bfs_hops_matches_level_oracle(P):
         frontier = nxt
     assert np.array_equal(got, want)
     assert max_dist == int(got.max())
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_triangle_support_matches_brute_force(P):
+    """Per-edge triangle support must equal |N(u) ∩ N(v)| for every
+    canonical edge of a simple random graph, at any partitioning."""
+    import pandas as pd
+
+    from leiden_cuda_ray.algorithms.trisupport import triangle_support
+
+    rng = np.random.RandomState(9)
+    V, E = 60, 400
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    df = (triangle_support(g).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    adj = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    rows = [(u, v, len(adj[u] & adj[v]))
+            for u in range(V) for v in sorted(adj[u]) if v > u]
+    want = pd.DataFrame(rows, columns=["src", "dst", "support"])
+    assert len(df) == len(want)
+    assert (df.values == want.values).all()
