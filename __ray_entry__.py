@@ -76,6 +76,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                      columns=["doc_id", "lang"])
         return hash_split(docs, id_col="doc_id", train_pct=80, seed=42)
 
+    def q_stratified_sample(sf_dir):
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import stratified_sample
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "lang"])
+        return stratified_sample(docs, group_col="lang", id_col="doc_id",
+                                 n=25, seed=7)
+
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup_keepers(_docs(sf_dir))
 
@@ -297,6 +307,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_percentiles": tmp.segment_order_percentiles,
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
+        "stratified_sample": q_stratified_sample,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
@@ -539,6 +550,33 @@ def _splitmix_split_sql(train_pct: int = 80, seed: int = 42) -> str:
         FROM s3"""
 
 
+def _stratified_sample_sql(n: int = 25, seed: int = 7) -> str:
+    """Exact SQL transcription of sampling.py::stratified_sample — the
+    same HUGEINT splitmix64 chain as _splitmix_split_sql, then a per-lang
+    rank over (hash ASC, doc_id ASC) capped at n."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    return f"""
+        WITH s0 AS (SELECT doc_id, lang,
+               (CAST(doc_id AS HUGEINT) + {a_seed}) % {m64} AS x
+             FROM documents),
+        s1 AS (SELECT doc_id, lang, CAST(xor(CAST(x AS UBIGINT),
+               CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+        s2 AS (SELECT doc_id, lang, {mulmod} AS x FROM s1),
+        s3 AS (SELECT doc_id, lang, xor(CAST(x AS UBIGINT),
+               CAST(x AS UBIGINT) >> 27) AS x FROM s2),
+        rk AS (SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                   ORDER BY x ASC, doc_id ASC) AS rn
+             FROM s3)
+        SELECT doc_id, lang, CAST(rn AS BIGINT) AS rnk
+        FROM rk WHERE rn <= {n}"""
+
+
 def _kcore_sql(iters: int = 32) -> str:
     """Unrolled h-index iteration matching the engine exactly (kcore.py):
     c_0 = unweighted degree (self-loops excluded), c_{n+1}(v) = h-index of
@@ -773,6 +811,7 @@ def oracle_sql() -> dict[str, str]:
                          ORDER BY n_chars DESC, doc_id ASC) AS rnk
               FROM documents) WHERE rnk <= 3""",
         "train_val_split": _splitmix_split_sql(),
+        "stratified_sample": _stratified_sample_sql(),
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "vocab_topk": """

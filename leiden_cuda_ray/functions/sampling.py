@@ -24,14 +24,19 @@ _GOLDEN = np.uint64(0x9E3779B97F4A7C15)
 _MIX_B = np.uint64(0xBF58476D1CE4E5B9)
 
 
-def splitmix_bucket(ids: np.ndarray, seed: int, mod: int) -> np.ndarray:
-    """splitmix64-finalize (id + GOLDEN*seed) and reduce mod `mod`."""
+def splitmix_value(ids: np.ndarray, seed: int) -> np.ndarray:
+    """splitmix64-finalize (id + GOLDEN*seed) → uint64 hash values."""
     with np.errstate(over="ignore"):
         x = ids.astype(np.uint64) + _GOLDEN * np.uint64(seed)
         x ^= x >> np.uint64(30)
         x *= _MIX_B
         x ^= x >> np.uint64(27)
-    return (x % np.uint64(mod)).astype(np.int64)
+    return x
+
+
+def splitmix_bucket(ids: np.ndarray, seed: int, mod: int) -> np.ndarray:
+    """splitmix64-finalize (id + GOLDEN*seed) and reduce mod `mod`."""
+    return (splitmix_value(ids, seed) % np.uint64(mod)).astype(np.int64)
 
 
 def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80,
@@ -46,3 +51,54 @@ def hash_split(ds, id_col: str = "doc_id", train_pct: int = 80,
         return batch.append_column("split", pa.array(split, pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def stratified_sample(ds, group_col: str = "lang", id_col: str = "doc_id",
+                      n: int = 25, seed: int = 7):
+    """Exactly-n-per-stratum deterministic sample: the n rows of each
+    group with the SMALLEST splitmix64(id, seed), ties by id. Output
+    (id, group, rnk).
+
+    This is reproducible reservoir-free stratified sampling: membership
+    is a pure function of (id, seed, the group's hash order), so any
+    worker can evaluate its own rows and a per-batch partial top-n
+    combiner (one lexsort per batch) bounds what moves to
+    O(blocks · groups · n) — no shuffle of the data rows themselves.
+    The final merge is one task over the combined partials (group count
+    × n rows per block). Same hash family as hash_split, so the DuckDB
+    oracle ranks with the identical HUGEINT-transcribed finalizer."""
+    import pyarrow.compute as pc  # noqa: F401  (parity with siblings)
+
+    def _key_cols(batch: pa.Table):
+        ids = np.asarray(batch.column(id_col), np.int64)
+        h = splitmix_value(ids, seed)
+        grp = batch.column(group_col).to_numpy(zero_copy_only=False)
+        _, inv = np.unique(grp, return_inverse=True)
+        return ids, h, inv
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, h, g = _key_cols(batch)
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        pos = np.arange(len(gs)) - np.searchsorted(gs, gs, side="left")
+        take = order[pos < n]
+        return batch.take(pa.array(take))
+
+    merged = (ds.select_columns([id_col, group_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(1))
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids, h, g = _key_cols(batch)
+        order = np.lexsort((ids, h, g))
+        gs = g[order]
+        rnk = (np.arange(len(gs))
+               - np.searchsorted(gs, gs, side="left") + 1).astype(np.int64)
+        keep = rnk <= n
+        sel = order[keep]
+        out = batch.take(pa.array(sel))
+        return out.append_column("rnk", pa.array(rnk[keep], pa.int64()))
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)

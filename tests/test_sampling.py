@@ -38,3 +38,38 @@ def test_hash_split_seed_changes_assignment():
     assert (a != b).any()
     # stable: same call, same result
     assert np.array_equal(a, splitmix_bucket(ids, seed=42, mod=100))
+
+
+def test_stratified_sample_blocking_invariant_and_exact():
+    """stratified_sample must return exactly n per group, the n smallest
+    splitmix hashes (ties by id), independent of block layout."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.functions.sampling import (
+        splitmix_value,
+        stratified_sample,
+    )
+
+    rows = [{"doc_id": i, "lang": ["en", "de", "fr"][i % 3]}
+            for i in range(90)]
+    t = pa.Table.from_pylist(rows)
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (stratified_sample(ds, n=5, seed=7).to_pandas()
+                .sort_values(["lang", "rnk"]).reset_index(drop=True))
+
+    got1, got6 = run(1), run(6)
+    pd.testing.assert_frame_equal(got1, got6)
+
+    df = pd.DataFrame(rows)
+    df["h"] = splitmix_value(df.doc_id.to_numpy(np.int64), 7)
+    df = df.sort_values(["lang", "h", "doc_id"])
+    df["rnk"] = df.groupby("lang").cumcount() + 1
+    want = (df[df.rnk <= 5][["doc_id", "lang", "rnk"]]
+            .reset_index(drop=True))
+    want["rnk"] = want["rnk"].astype("int64")
+    pd.testing.assert_frame_equal(got1, want)
+    assert (got1.groupby("lang").size() == 5).all()
