@@ -336,6 +336,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": cq.graph_hits,
         "graph_bfs": cq.graph_bfs,
         "graph_tri_support": cq.graph_tri_support,
+        "graph_ktruss": cq.graph_ktruss,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -479,6 +480,50 @@ SELECT h.v AS vertex,
        ROUND(h.h / NULLIF((SELECT n FROM hn), 0), 6) AS hub,
        ROUND(a.a / NULLIF((SELECT n FROM an), 0), 6) AS authority
 FROM h{iters} h JOIN a{iters} a ON a.v = h.v"""
+
+
+def _ktruss_sql(k: int = 4, rounds: int = 12) -> str:
+    """Unrolled k-truss peel matching trisupport.py::ktruss exactly:
+    each round recomputes per-edge triangle support over the surviving
+    edge set and drops edges with support < k-2. Post-fixpoint rounds
+    are no-ops, so any unroll depth ≥ the engine's converged round count
+    yields the final subgraph (the engine raises past max_rounds=12).
+    Every step MATERIALIZED — the tri join would otherwise inline."""
+    thresh = k - 2
+    steps = []
+    for r in range(rounds):
+        steps.append(f"""
+t{r} AS MATERIALIZED (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM e{r} e1
+  JOIN e{r} e2 ON e2.a = e1.b
+  JOIN e{r} e3 ON e3.a = e1.a AND e3.b = e2.b),
+s{r} AS MATERIALIZED (
+  SELECT e{r}.a, e{r}.b, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+  FROM e{r}
+  LEFT JOIN (SELECT a, b, COUNT(*) AS n FROM (
+               SELECT x AS a, y AS b FROM t{r}
+               UNION ALL SELECT x, z FROM t{r}
+               UNION ALL SELECT y, z FROM t{r}) u
+             GROUP BY a, b) c
+    ON c.a = e{r}.a AND c.b = e{r}.b),
+e{r + 1} AS MATERIALIZED (SELECT a, b FROM s{r} WHERE n >= {thresh})""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS (
+  SELECT repo || '|' || path AS key,
+         ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+  FROM files),
+e AS (
+  SELECT va.v AS u, vb.v AS w
+  FROM canon c
+  JOIN vid va ON va.key = c.key_a
+  JOIN vid vb ON vb.key = c.key_b),
+e0 AS MATERIALIZED (
+  SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+  WHERE u <> w GROUP BY 1, 2),
+{','.join(steps)}
+SELECT a AS src, b AS dst, n AS support
+FROM s{rounds - 1} WHERE n >= {thresh}"""
 
 
 def _labelprop_sql(iters: int = 25) -> str:
@@ -949,6 +994,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_hits": _hits_sql(),
+        "graph_ktruss": _ktruss_sql(),
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),

@@ -198,3 +198,56 @@ def triangle_support(graph: Graph):
         for j in range(P)
     ]
     return ray.data.from_arrow_refs(blocks)
+
+
+def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
+    """k-truss subgraph by iterative support peeling: repeatedly drop
+    every edge with support < k-2 and recompute support on the remaining
+    subgraph until no edge drops (Cohen 2008). Returns
+    (Dataset[src, dst, support], rounds) — the surviving canonical edges
+    with their support IN THE FINAL subgraph (all ≥ k-2 by convergence).
+
+    Each round is one full triangle_support pass plus a graph rebuild
+    through the fused-key exchange (graph/build.py) — edge sets only
+    shrink, so the work per round is monotonically non-increasing, and
+    the peel typically converges in a handful of rounds. max_rounds must
+    not exceed the DuckDB oracle's unroll depth; exceeding it raises
+    loudly rather than returning an unverifiable result."""
+    import pyarrow.compute as pc
+    import ray.data
+
+    from leiden_cuda_ray.graph.build import build_graph_from_dataset
+
+    thresh = k - 2
+    g = graph
+    for rounds in range(1, max_rounds + 1):
+        sup = triangle_support(g).materialize()
+
+        def _nlow(t: pa.Table) -> pa.Table:
+            low = pc.less(t.column("support"), thresh)
+            n = pc.sum(pc.cast(low, pa.int64())).as_py() or 0
+            return pa.table({"n_low": pa.array([n], pa.int64()),
+                             "n_all": pa.array([t.num_rows], pa.int64())})
+
+        stats = sup.map_batches(_nlow, batch_format="pyarrow")
+        agg = stats.sum(["n_low", "n_all"])
+        n_low, n_all = agg["sum(n_low)"], agg["sum(n_all)"]
+        if n_low == 0:
+            return sup, rounds
+        if n_low == n_all:  # nothing survives
+            empty = pa.table({"src": pa.array([], pa.int64()),
+                              "dst": pa.array([], pa.int64()),
+                              "support": pa.array([], pa.int64())})
+            return ray.data.from_arrow(empty), rounds
+
+        def _keep(t: pa.Table) -> pa.Table:
+            m = pc.greater_equal(t.column("support"), thresh)
+            kept = t.filter(m)
+            return pa.table({"src": kept.column("src"),
+                             "dst": kept.column("dst")})
+
+        kept_ds = sup.map_batches(_keep, batch_format="pyarrow")
+        g = build_graph_from_dataset(kept_ds, V=graph.V)
+    raise ValueError(
+        f"k-truss peel did not converge within {max_rounds} rounds — "
+        f"raise max_rounds AND the oracle's unroll depth together")

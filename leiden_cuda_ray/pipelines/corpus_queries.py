@@ -382,6 +382,19 @@ def graph_tri_support(sf_dir: str):
     return triangle_support(graph)
 
 
+def graph_ktruss(sf_dir: str, k: int = 4):
+    """4-truss subgraph by iterative support peeling
+    (algorithms/trisupport.py::ktruss): surviving canonical edges with
+    their support in the converged subgraph. The DuckDB oracle unrolls
+    12 peel rounds (post-fixpoint rounds are no-ops); the engine raises
+    if it needs more rounds than the oracle unrolls."""
+    from leiden_cuda_ray.algorithms.trisupport import ktruss
+
+    graph, _ = _build_graph(sf_dir)
+    ds, _rounds = ktruss(graph, k=k, max_rounds=12)
+    return ds
+
+
 def graph_bfs(sf_dir: str, seed_mod: int = 97):
     """Multi-source BFS hop distance to the nearest seed vertex
     (vertex % seed_mod == 0) over the symmetrized union graph —

@@ -432,3 +432,38 @@ def test_triangle_support_matches_brute_force(P):
     want = pd.DataFrame(rows, columns=["src", "dst", "support"])
     assert len(df) == len(want)
     assert (df.values == want.values).all()
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_ktruss_matches_sequential_peel(P):
+    """k-truss peeling must converge to the same edge set + supports as
+    a sequential peel, at any partitioning."""
+    from leiden_cuda_ray.algorithms.trisupport import ktruss
+
+    rng = np.random.RandomState(4)
+    V, E = 50, 300
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+
+    edges = set(zip(src.tolist(), dst.tolist()))
+    while True:
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        sup = {(a, b): len(adj[a] & adj[b]) for a, b in edges}
+        drop = {e for e, s in sup.items() if s < 2}
+        if not drop:
+            break
+        edges -= drop
+
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    ds, rounds = ktruss(g, k=4)
+    df = ds.to_pandas()
+    got = {(r.src, r.dst): r.support for r in df.itertuples()}
+    assert got == sup
+    assert rounds <= 12
