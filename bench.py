@@ -190,14 +190,20 @@ def run_single(graph_only: bool = False) -> dict:
 
     docs_path = f"{sf_dir}/documents.parquet"
     if not graph_only and os.path.exists(docs_path):
-        t0 = time.perf_counter()
-        docs = ray.data.read_parquet(docs_path)
-        sigs = dedup.minhash_signatures(docs)
-        pairs_ds = dedup.lsh_candidate_pairs(sigs, threshold=0.5)
-        # consume via block refs: .count() on this host intermittently
-        # pays ~7s of streaming-executor startup unrelated to data size
-        sum(t.num_rows for t in ray.get(pairs_ds.to_arrow_refs()))
-        queries["minhash_lsh"] = time.perf_counter() - t0
+        # min-of-2 (same rationale as kcore/triangles): the first rep
+        # pays per-worker first-touch warm-up — measured 19.6 s cold vs
+        # 2.2-4.8 s warm for the identical sf0.1 run in one process
+        t_mh = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            docs = ray.data.read_parquet(docs_path)
+            sigs = dedup.minhash_signatures(docs)
+            pairs_ds = dedup.lsh_candidate_pairs(sigs, threshold=0.5)
+            # consume via block refs: .count() on this host intermittently
+            # pays ~7s of streaming-executor startup unrelated to data size
+            sum(t.num_rows for t in ray.get(pairs_ds.to_arrow_refs()))
+            t_mh = min(t_mh, time.perf_counter() - t0)
+        queries["minhash_lsh"] = t_mh
 
         t0 = time.perf_counter()
         text.token_stats(ray.data.read_parquet(docs_path)).count()
