@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_bfs": cq.graph_bfs,
         "graph_tri_support": cq.graph_tri_support,
         "graph_ktruss": cq.graph_ktruss,
+        "graph_ppr": cq.graph_ppr,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -443,6 +444,56 @@ wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
 r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT V FROM nv) AS r FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"""
+
+
+def _ppr_sql(iters: int = 15, alpha: float = 0.85,
+             seed_mod: int = 97) -> str:
+    """Unrolled personalized PageRank matching
+    pagerank.py::personalized_pagerank exactly: teleport and dangling
+    mass restricted to seeds (v % seed_mod == 0, |S| = ceil(V/97));
+    r0 = 1/|S| on seeds else 0. Same weighted-push recurrence and
+    MATERIALIZED unroll as _pagerank_fixed_sql."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT vid.v AS v,
+         {alpha} * (COALESCE(c.s, 0))
+         + CASE WHEN vid.v % {seed_mod} = 0 THEN
+             (1 - {alpha}) / (SELECT S FROM ns)
+             + {alpha} * (SELECT COALESCE(SUM(p.r), 0) FROM r{k} p
+                          LEFT JOIN wdeg dd ON dd.u = p.v
+                          WHERE dd.u IS NULL) / (SELECT S FROM ns)
+           ELSE 0 END AS r
+  FROM vid
+  LEFT JOIN (SELECT s.t AS v, SUM(p.r * s.w / d.d) AS s
+             FROM r{k} p JOIN wdeg d ON d.u = p.v JOIN sym s ON s.u = p.v
+             GROUP BY s.t) c ON c.v = vid.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd,
+         CAST(1 AS DOUBLE) AS w FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+         CAST(weight AS DOUBLE) FROM cocommit_edges),
+wedge AS (SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb, SUM(w) AS w
+          FROM wpair GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  UNION ALL
+  SELECT vb.v, va.v, w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS S FROM vid
+                    WHERE v % {seed_mod} = 0),
+wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
+r0 AS MATERIALIZED (
+  SELECT v, CASE WHEN v % {seed_mod} = 0
+                 THEN 1.0 / (SELECT S FROM ns) ELSE 0 END AS r FROM vid),
+{','.join(steps)}
+SELECT v AS vertex, ROUND(r, 6) AS ppr FROM r{iters}"""
 
 
 def _hits_sql(iters: int = 8) -> str:
@@ -994,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
             LIMIT 10""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_hits": _hits_sql(),
+        "graph_ppr": _ppr_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),

@@ -122,3 +122,56 @@ def pagerank(graph: Graph, cfg: PageRankConfig = PageRankConfig(),
         if err < cfg.epsilon:
             break
     return ranks, it, err
+
+
+@ray.remote
+def _reduce_ppr(csr, alpha, dangling_total, seed_mod, n_seeds, *shards):
+    vlo = csr["vlo"]
+    nv = csr["vhi"] - vlo
+    acc = np.zeros(nv, np.float64)
+    for ids, sums in shards:
+        np.add.at(acc, ids - vlo, sums)
+    new_rank = alpha * acc
+    seed = ((np.arange(vlo, csr["vhi"], dtype=np.int64) % seed_mod) == 0)
+    new_rank[seed] += ((1.0 - alpha) / n_seeds
+                       + alpha * dangling_total / n_seeds)
+    dangling_next = float(new_rank[csr["deg_w"] == 0].sum())
+    return new_rank, dangling_next
+
+
+def personalized_pagerank(graph: Graph, seed_mod: int = 97,
+                          alpha: float = 0.85, iters: int = 15):
+    """Personalized PageRank: teleport (and dangling mass) restricted to
+    the seed set {v : v % seed_mod == 0} — the standard seeded random
+    walk with restart used for local community detection. Fixed
+    iteration count (no convergence stop) so the DuckDB oracle can
+    unroll the identical recurrence; same push/shard machinery as
+    pagerank. Returns per-partition rank refs."""
+    P = graph.P
+    V = graph.V
+    n_seeds = -(-V // seed_mod)  # |{0, seed_mod, 2·seed_mod, ...} ∩ [0,V)|
+
+    @ray.remote
+    def _init(csr):
+        v = np.arange(csr["vlo"], csr["vhi"], dtype=np.int64)
+        r = np.where(v % seed_mod == 0, 1.0 / n_seeds, 0.0)
+        return r, float(r[csr["deg_w"] == 0].sum())
+
+    inits = [_init.options(num_returns=2).remote(graph.parts[i])
+             for i in range(P)]
+    ranks = [o[0] for o in inits]
+    dangling_total = float(sum(ray.get([o[1] for o in inits])))
+
+    for _ in range(iters):
+        shards = fanout(
+            _push, [(graph.parts[i], ranks[i], graph.block, P)
+                    for i in range(P)], P)
+        outs = [
+            _reduce_ppr.options(num_returns=2).remote(
+                graph.parts[j], alpha, dangling_total, seed_mod, n_seeds,
+                *shards[j])
+            for j in range(P)
+        ]
+        ranks = [o[0] for o in outs]
+        dangling_total = float(sum(ray.get([o[1] for o in outs])))
+    return ranks

@@ -382,6 +382,28 @@ def graph_tri_support(sf_dir: str):
     return triangle_support(graph)
 
 
+def graph_ppr(sf_dir: str, seed_mod: int = 97, iters: int = 15):
+    """Personalized PageRank from the seed set v % 97 == 0 (the same
+    deterministic predicate graph_bfs uses) — fixed 15 iterations,
+    rounded to 6 decimals; the DuckDB oracle unrolls the identical
+    seeded recurrence (same contract as graph_pagerank_fixed)."""
+    from leiden_cuda_ray.algorithms.pagerank import personalized_pagerank
+
+    graph, _ = _build_graph(sf_dir)
+    ranks = personalized_pagerank(graph, seed_mod=seed_mod, iters=iters)
+    ds = state_to_dataset(graph, ranks, "ppr", pa.float64())
+
+    def rnd(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vertex": t.column("vertex"),
+            "ppr": pa.array(
+                np.round(np.asarray(t.column("ppr"), np.float64), 6),
+                pa.float64()),
+        })
+
+    return ds.map_batches(rnd, batch_format="pyarrow")
+
+
 def graph_ktruss(sf_dir: str, k: int = 4):
     """4-truss subgraph by iterative support peeling
     (algorithms/trisupport.py::ktruss): surviving canonical edges with

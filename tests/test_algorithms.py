@@ -467,3 +467,29 @@ def test_ktruss_matches_sequential_peel(P):
     got = {(r.src, r.dst): r.support for r in df.itertuples()}
     assert got == sup
     assert rounds <= 12
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_personalized_pagerank_matches_dense(P):
+    """PPR must equal the dense seeded iteration: teleport + dangling
+    mass restricted to seeds, fixed iterations."""
+    from leiden_cuda_ray.algorithms.pagerank import personalized_pagerank
+
+    src, dst, w = clique_ring_weighted_edges()
+    V = 20
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    ranks = personalized_pagerank(g, seed_mod=7, alpha=0.85, iters=15)
+    got = _gather_state(ranks)
+
+    A = _dense_adj(src, dst, w, V)
+    deg = A.sum(axis=1)
+    seeds = (np.arange(V) % 7) == 0
+    nS = seeds.sum()
+    r = np.where(seeds, 1.0 / nS, 0.0)
+    for _ in range(15):
+        dangling = r[deg == 0].sum()
+        nz = deg > 0
+        contrib = (A[nz] / deg[nz, None] * r[nz, None]).sum(axis=0)
+        r = 0.85 * contrib + seeds * ((1 - 0.85) / nS
+                                      + 0.85 * dangling / nS)
+    assert np.abs(got - r).max() < 1e-12
