@@ -338,6 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_tri_support": cq.graph_tri_support,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
+        "graph_assortativity": cq.graph_assortativity,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -1115,6 +1116,34 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT CAST(COUNT(*) AS BIGINT) FROM ivf i
                     JOIN exact e ON i.query_id = e.query_id
                      AND i.neighbor_id = e.neighbor_id) AS exact_hits""",
+        "graph_assortativity": f"""
+            -- exact-integer degree-assortativity sums over the canonical
+            -- non-self edge set (stats.py): degree = distinct non-self
+            -- neighbors; Pearson r derives from these BIGINTs exactly
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            sym AS (SELECT a AS u, b AS t FROM eo
+                    UNION ALL SELECT b, a FROM eo),
+            deg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS d
+                    FROM sym GROUP BY u)
+            SELECT CAST(COUNT(*) AS BIGINT) AS m,
+                   CAST(SUM(da.d * db.d) AS BIGINT) AS s_jk,
+                   CAST(SUM(da.d + db.d) AS BIGINT) AS s_sum,
+                   CAST(SUM(da.d * da.d + db.d * db.d) AS BIGINT) AS s_sq
+            FROM eo
+            JOIN deg da ON da.u = eo.a
+            JOIN deg db ON db.u = eo.b""",
         "graph_bfs": f"""
             -- multi-source BFS: hop distance to the nearest seed
             -- (v % 97 = 0), -1 if unreachable (bfs.py). The recursion

@@ -382,6 +382,18 @@ def graph_tri_support(sf_dir: str):
     return triangle_support(graph)
 
 
+def graph_assortativity(sf_dir: str):
+    """Degree assortativity in exact integer form (algorithms/stats.py):
+    one row (m, s_jk, s_sum, s_sq) of BIGINT sums over the canonical
+    non-self edge set — Pearson r = (4·m·s_jk − s_sum²) /
+    (2·m·s_sq − s_sum²) is derivable exactly; the DuckDB oracle
+    recomputes the identical integers from the edge CTE."""
+    from leiden_cuda_ray.algorithms.stats import assortativity_sums
+
+    graph, _ = _build_graph(sf_dir)
+    return assortativity_sums(graph)
+
+
 def graph_ppr(sf_dir: str, seed_mod: int = 97, iters: int = 15):
     """Personalized PageRank from the seed set v % 97 == 0 (the same
     deterministic predicate graph_bfs uses) — fixed 15 iterations,

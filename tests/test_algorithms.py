@@ -493,3 +493,30 @@ def test_personalized_pagerank_matches_dense(P):
         r = 0.85 * contrib + seeds * ((1 - 0.85) / nS
                                       + 0.85 * dangling / nS)
     assert np.abs(got - r).max() < 1e-12
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_assortativity_sums_match_brute(P):
+    """The four assortativity sums must equal a direct computation over
+    the canonical non-self edge set with distinct-neighbor degrees."""
+    from leiden_cuda_ray.algorithms.stats import assortativity_sums
+
+    rng = np.random.RandomState(13)
+    V, E = 40, 200
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    a, b = pairs[:, 0], pairs[:, 1]
+    g = build_graph_from_arrays(a.copy(), b.copy(), np.ones(len(a)), P=P)
+    got = assortativity_sums(g).to_pandas().iloc[0]
+
+    deg = np.zeros(V, np.int64)
+    np.add.at(deg, a, 1)
+    np.add.at(deg, b, 1)
+    j, k = deg[a], deg[b]
+    assert got["m"] == len(a)
+    assert got["s_jk"] == (j * k).sum()
+    assert got["s_sum"] == (j + k).sum()
+    assert got["s_sq"] == (j * j + k * k).sum()
