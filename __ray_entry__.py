@@ -347,6 +347,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # objective-recompute invariants: write the partition, return the
         # exact-integer objective; the oracle recomputes it from the file
         "graph_leiden_objective": cq.graph_leiden_objective,
+        "graph_leiden_conductance": cq.graph_leiden_conductance,
         "graph_louvain_objective": cq.graph_louvain_objective,
     }
 
@@ -763,6 +764,32 @@ SELECT CAST(20 * (SELECT w_in FROM win)
          AS num_communities"""
 
 
+def _leiden_conductance_sql(k: int = 20) -> str:
+    """Recompute per-community volume/cut from the engine's written
+    leiden partition (graph_leiden_conductance): vol(c) = Σ weighted
+    degree over members, cut(c) = Σ w over cross-community directed
+    slots — all BIGINT-exact (integer co-occurrence weights, no
+    self-loops in the derived graph)."""
+    return f"""{_objective_scaffold_sql(
+        '/tmp/graft_oracle/sf0.01/leiden_comm_cond/*.parquet')},
+symw AS (SELECT u, t, w FROM iedge UNION ALL SELECT t, u, w FROM iedge),
+nv AS (SELECT community AS c, CAST(COUNT(*) AS BIGINT) AS n
+       FROM part GROUP BY 1),
+vol AS (SELECT p.community AS c, CAST(SUM(s.w) AS BIGINT) AS v
+        FROM symw s JOIN part p ON p.vertex = s.u GROUP BY 1),
+cut AS (SELECT pu.community AS c, CAST(SUM(s.w) AS BIGINT) AS x
+        FROM symw s
+        JOIN part pu ON pu.vertex = s.u
+        JOIN part pv ON pv.vertex = s.t
+        WHERE pu.community <> pv.community GROUP BY 1)
+SELECT nv.c AS community, nv.n AS n_vertices,
+       COALESCE(vol.v, 0) AS vol, COALESCE(cut.x, 0) AS cut
+FROM nv
+LEFT JOIN vol ON vol.c = nv.c
+LEFT JOIN cut ON cut.c = nv.c
+ORDER BY COALESCE(vol.v, 0) DESC, nv.c ASC LIMIT {k}"""
+
+
 def _louvain_objective_sql() -> str:
     """Recompute the exact-integer modularity numerator from the engine's
     written louvain partition: Q = qnum/(2m)² with
@@ -1051,6 +1078,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
+        "graph_leiden_conductance": _leiden_conductance_sql(),
         "graph_louvain_objective": _louvain_objective_sql(),
         # written-artifact recompute oracles (VERDICT r3 item 4): the Ray
         # query writes its approximate result + inputs to parquet and

@@ -394,6 +394,100 @@ def graph_assortativity(sf_dir: str):
     return assortativity_sums(graph)
 
 
+def graph_leiden_conductance(sf_dir: str, k: int = 20):
+    """Per-community volume/cut for the Leiden partition — the exact
+    integer ingredients of conductance φ(c) = cut(c)/min(vol(c), 2m−vol(c))
+    — for the k highest-volume communities (vol DESC, community ASC).
+
+    Written-artifact oracle (the graph_leiden_objective pattern): the
+    engine writes its (vertex, community) partition to parquet and emits
+    (community, n_vertices, vol, cut) as BIGINTs; DuckDB recomputes the
+    identical integers from the written partition joined to the weighted
+    edge CTE. Distributed shape: a community request/reply exchange
+    (reusing the triangle module's sparse serve machinery) gives every
+    partition the community of exactly the vertices its slots reference;
+    per-partition segsum partials (vol = Σ deg_w by community over rows,
+    cut = Σ w over cross-community slots) merge in one reduce whose
+    input is bounded by community count, not V or E."""
+    import ray as _ray
+
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.triangles import (
+        _merge_deg_replies,
+        _request_degs,
+        _serve_degs,
+    )
+    from leiden_cuda_ray.graph.runtime import fanout, segsum_by_key
+
+    graph, _ = _build_graph(sf_dir)
+    refs, _info = leiden(graph, LeidenConfig(gamma=0.05))
+    ds = state_to_dataset(graph, refs, "community")
+    _write_partition(sf_dir, ds, "leiden_comm_cond")
+
+    P = graph.P
+    req_shards = fanout(
+        _request_degs,
+        [(graph.parts[i], graph.block, P) for i in range(P)], P)
+    serves = [
+        _serve_degs.options(num_returns=P if P > 1 else 1).remote(
+            refs[j], graph.ranges()[j][0], *req_shards[j])
+        for j in range(P)
+    ]
+    replies = ([[serves[0]]] if P == 1 else
+               [[serves[j][i] for j in range(P)] for i in range(P)])
+
+    @_ray.remote
+    def _partials(csr, comm, *comm_replies):
+        from leiden_cuda_ray.algorithms.common import local_src_per_slot
+
+        ids, comms = _merge_deg_replies(comm_replies)
+        src_slot = local_src_per_slot(csr)
+        cu = comm[src_slot]
+        cv = comms[np.searchsorted(ids, csr["indices"])]
+        cross = cu != cv
+        cut_c, cut_w = segsum_by_key(cu[cross], csr["weights"][cross])
+        vol_c, vol_w = segsum_by_key(comm, csr["deg_w"])
+        nv_c, nv_n = segsum_by_key(comm, np.ones(len(comm), np.float64))
+        return (vol_c, vol_w, cut_c, cut_w, nv_c, nv_n)
+
+    parts = [
+        _partials.remote(graph.parts[i], refs[i], *replies[i])
+        for i in range(P)
+    ]
+
+    @_ray.remote
+    def _merge(*parts):
+        vol_c, vol_w = segsum_by_key(
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]))
+        cut_c, cut_w = segsum_by_key(
+            np.concatenate([p[2] for p in parts]),
+            np.concatenate([p[3] for p in parts]))
+        nv_c, nv_n = segsum_by_key(
+            np.concatenate([p[4] for p in parts]),
+            np.concatenate([p[5] for p in parts]))
+        # align onto the full community list (nv covers every community)
+        pos = np.searchsorted(nv_c, vol_c)
+        vol_full = np.zeros(len(nv_c), np.float64)
+        vol_full[pos] = vol_w
+        cut_full = np.zeros(len(nv_c), np.float64)
+        cut_full[np.searchsorted(nv_c, cut_c)] = cut_w
+        order = np.lexsort((nv_c, -vol_full))[:k]
+        return pa.table({
+            "community": pa.array(nv_c[order], pa.int64()),
+            "n_vertices": pa.array(nv_n[order].astype(np.int64),
+                                   pa.int64()),
+            "vol": pa.array(np.round(vol_full[order]).astype(np.int64),
+                            pa.int64()),
+            "cut": pa.array(np.round(cut_full[order]).astype(np.int64),
+                            pa.int64()),
+        })
+
+    import ray.data
+
+    return ray.data.from_arrow_refs([_merge.remote(*parts)])
+
+
 def graph_ppr(sf_dir: str, seed_mod: int = 97, iters: int = 15):
     """Personalized PageRank from the seed set v % 97 == 0 (the same
     deterministic predicate graph_bfs uses) — fixed 15 iterations,

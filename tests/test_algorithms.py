@@ -520,3 +520,21 @@ def test_assortativity_sums_match_brute(P):
     assert got["s_jk"] == (j * k).sum()
     assert got["s_sum"] == (j + k).sum()
     assert got["s_sq"] == (j * j + k * k).sum()
+
+
+def test_leiden_conductance_invariants():
+    """vol/cut integers must satisfy the basic identities: cut(c) ≤
+    vol(c) (cut edges are incident to the community) and every listed
+    community is non-empty."""
+    from leiden_cuda_ray.pipelines.corpus_queries import (
+        graph_leiden_conductance,
+    )
+
+    df = graph_leiden_conductance("/root/testdata/sf0.001").to_pandas()
+    assert len(df) > 0
+    assert (df.n_vertices > 0).all()
+    assert (df.cut <= df.vol).all()
+    assert (df.vol.values >= 0).all() and (df.cut.values >= 0).all()
+    # ordered by vol desc then community asc
+    v = df.vol.to_numpy()
+    assert (v[:-1] >= v[1:]).all()
