@@ -339,6 +339,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
+        "repo_pagerank": cq.repo_pagerank,
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
@@ -446,6 +447,51 @@ wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
 r0 AS MATERIALIZED (SELECT v, 1.0 / (SELECT V FROM nv) AS r FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, ROUND(r, 6) AS pagerank FROM r{iters}"""
+
+
+def _repo_pagerank_sql(iters: int = 15, alpha: float = 0.85) -> str:
+    """Unrolled weighted power iteration over the REPO dependency graph
+    (corpus_queries.py::repo_pagerank): repo ids = rank in sorted repo
+    order, edge weight = distinct file-level import pairs between the
+    repos (self-dependencies dropped), symmetrized with canonical
+    weight merging — the identical construction the engine's
+    build_graph_from_dataset performs on the aggregated pair stream."""
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT rp.rid AS v,
+         (1 - {alpha}) / (SELECT R FROM nr)
+         + {alpha} * (COALESCE(c.s, 0)
+            + (SELECT COALESCE(SUM(p.r), 0) FROM r{k} p
+               LEFT JOIN wdeg dd ON dd.u = p.v WHERE dd.u IS NULL)
+              / (SELECT R FROM nr)) AS r
+  FROM repos rp
+  LEFT JOIN (SELECT s.t AS v, SUM(p.r * s.w / d.d) AS s
+             FROM r{k} p JOIN wdeg d ON d.u = p.v JOIN sym s ON s.u = p.v
+             GROUP BY s.t) c ON c.v = rp.rid)""")
+    return f"""WITH {_CORPUS_CTE},
+repos AS MATERIALIZED (
+  SELECT repo, DENSE_RANK() OVER (ORDER BY repo) - 1 AS rid
+  FROM (SELECT DISTINCT repo FROM corpus)),
+redge AS (
+  SELECT ra.rid AS u, rb.rid AS t, CAST(COUNT(*) AS DOUBLE) AS w
+  FROM import_edges e
+  JOIN repos ra ON ra.repo = e.src_repo
+  JOIN repos rb ON rb.repo = e.dst_repo
+  WHERE e.src_repo <> e.dst_repo GROUP BY 1, 2),
+wedge AS (SELECT LEAST(u, t) AS ka, GREATEST(u, t) AS kb, SUM(w) AS w
+          FROM redge GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT ka AS u, kb AS t, w FROM wedge
+  UNION ALL SELECT kb, ka, w FROM wedge),
+nr AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS R FROM repos),
+wdeg AS MATERIALIZED (SELECT u, SUM(w) AS d FROM sym GROUP BY u),
+r0 AS MATERIALIZED (SELECT rid AS v, 1.0 / (SELECT R FROM nr) AS r
+                    FROM repos),
+{','.join(steps)}
+SELECT rp.repo AS repo, ROUND(x.r, 6) AS pagerank
+FROM r{iters} x JOIN repos rp ON rp.rid = x.v"""
 
 
 def _ppr_sql(iters: int = 15, alpha: float = 0.85,
@@ -1074,6 +1120,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_hits": _hits_sql(),
         "graph_ppr": _ppr_sql(),
+        "repo_pagerank": _repo_pagerank_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),

@@ -382,6 +382,67 @@ def graph_tri_support(sf_dir: str):
     return triangle_support(graph)
 
 
+def repo_pagerank(sf_dir: str, iters: int = 15):
+    """Repo-level PageRank: aggregate the file-level import edges to a
+    repo dependency graph (edge weight = number of distinct file-level
+    import pairs between the repos, self-dependencies dropped) and rank
+    repos with the same fixed-iteration weighted power iteration as
+    graph_pagerank_fixed. Multi-granularity composition: the cached
+    `_import_vid_pairs` stream maps to repo ids with one broadcast
+    boundary array (vertex ids are (repo, path)-sorted ranks, so each
+    repo owns a CONTIGUOUS vid range and repo_of(vid) is a searchsorted
+    over R+1 boundaries — no join, no shuffle); the aggregated graph has
+    one vertex per repo. Output (repo, pagerank) rounded to 6."""
+    import ray as _ray
+
+    from leiden_cuda_ray.algorithms.pagerank import pagerank
+    from leiden_cuda_ray.config import PageRankConfig
+    from leiden_cuda_ray.graph.build import build_graph_from_dataset
+
+    pairs, numbering, _V = _import_vid_pairs(sf_dir)
+
+    def rb_partial(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        repo = batch.column("repo").to_numpy(zero_copy_only=False)
+        vid = np.asarray(batch.column("vertex"), np.int64)
+        codes, inv = np.unique(repo, return_inverse=True)
+        mins = np.full(len(codes), np.iinfo(np.int64).max, np.int64)
+        np.minimum.at(mins, inv, vid)
+        return pa.table({"repo": pa.array(pd.Series(codes), pa.string()),
+                         "first_vid": pa.array(mins, pa.int64())})
+
+    rb = (numbering.map_batches(rb_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+          .to_pandas().groupby("repo", as_index=False)["first_vid"].min()
+          .sort_values("first_vid"))
+    repo_names = rb["repo"].to_numpy()
+    bounds = rb["first_vid"].to_numpy(np.int64)
+    R = len(repo_names)
+    bounds_ref = _ray.put(bounds)
+
+    def to_repo_pairs(batch: pa.Table) -> pa.Table:
+        b = _ray.get(bounds_ref)
+        s = np.searchsorted(b, np.asarray(batch.column("src"), np.int64),
+                            side="right") - 1
+        d = np.searchsorted(b, np.asarray(batch.column("dst"), np.int64),
+                            side="right") - 1
+        keep = s != d
+        return pa.table({"src": pa.array(s[keep], pa.int64()),
+                         "dst": pa.array(d[keep], pa.int64())})
+
+    redges = pairs.map_batches(to_repo_pairs, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    g = build_graph_from_dataset(redges, V=R)
+    ranks, _it, _err = pagerank(g, PageRankConfig(epsilon=0.0,
+                                                  max_iterations=iters))
+    r = np.concatenate([np.asarray(x) for x in _ray.get(ranks)])
+    return pa.table({
+        "repo": pa.array(repo_names, pa.string()),
+        "pagerank": pa.array(np.round(r, 6), pa.float64()),
+    })
+
+
 def graph_assortativity(sf_dir: str):
     """Degree assortativity in exact integer form (algorithms/stats.py):
     one row (m, s_jk, s_sum, s_sq) of BIGINT sums over the canonical

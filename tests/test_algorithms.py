@@ -538,3 +538,15 @@ def test_leiden_conductance_invariants():
     # ordered by vol desc then community asc
     v = df.vol.to_numpy()
     assert (v[:-1] >= v[1:]).all()
+
+
+def test_repo_pagerank_mass_and_determinism():
+    """Repo-level PageRank: one row per repo, probability mass 1,
+    deterministic across runs (fixed iterations, no RNG)."""
+    from leiden_cuda_ray.pipelines.corpus_queries import repo_pagerank
+
+    t1 = repo_pagerank("/root/testdata/sf0.001").to_pandas()
+    t2 = repo_pagerank("/root/testdata/sf0.001").to_pandas()
+    assert t1.equals(t2)
+    assert len(t1) == t1.repo.nunique()
+    assert abs(t1.pagerank.sum() - 1.0) < 1e-3  # rounding to 6 decimals
