@@ -200,7 +200,8 @@ def triangle_support(graph: Graph):
     return ray.data.from_arrow_refs(blocks)
 
 
-def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
+def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
+           checkpointer=None, resume: bool = False):
     """k-truss subgraph by iterative support peeling: repeatedly drop
     every edge with support < k-2 and recompute support on the remaining
     subgraph until no edge drops (Cohen 2008). Returns
@@ -212,7 +213,15 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
     shrink, so the work per round is monotonically non-increasing, and
     the peel typically converges in a handful of rounds. max_rounds must
     not exceed the DuckDB oracle's unroll depth; exceeding it raises
-    loudly rather than returning an unverifiable result."""
+    loudly rather than returning an unverifiable result.
+
+    checkpointer: state.Checkpointer — the surviving subgraph (the
+    whole inter-round state) is saved after every drop; resume=True
+    reloads the latest round's subgraph and continues the peel there,
+    so a killed sf1-scale run (~tri_support cost × rounds) repeats at
+    most one round. `rounds` is the ABSOLUTE peel round at convergence
+    (resume continues the numbering; a converged-manifest resume
+    returns 1 — a single support re-derivation)."""
     import pyarrow.compute as pc
     import ray.data
 
@@ -220,7 +229,17 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
 
     thresh = k - 2
     g = graph
-    for rounds in range(1, max_rounds + 1):
+    start_round = 1
+    if resume and checkpointer is not None:
+        man = checkpointer.latest()
+        if man is not None:
+            g = checkpointer.load_level_graph(man["level"])
+            if man["metrics"].get("converged"):
+                # final subgraph saved: one support pass re-derives the
+                # (all ≥ k-2) per-edge supports, no peeling needed
+                return triangle_support(g), 1
+            start_round = man["level"] + 1
+    for rounds in range(start_round, max_rounds + 1):
         sup = triangle_support(g).materialize()
 
         def _nlow(t: pa.Table) -> pa.Table:
@@ -233,6 +252,10 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
         agg = stats.sum(["n_low", "n_all"])
         n_low, n_all = agg["sum(n_low)"], agg["sum(n_all)"]
         if n_low == 0:
+            if checkpointer is not None:
+                checkpointer.save_round_graph(
+                    max(rounds - 1, start_round - 1), g,
+                    {"converged": True, "k": k, "n_edges": int(n_all)})
             return sup, rounds
         if n_low == n_all:  # nothing survives
             empty = pa.table({"src": pa.array([], pa.int64()),
@@ -248,6 +271,11 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12):
 
         kept_ds = sup.map_batches(_keep, batch_format="pyarrow")
         g = build_graph_from_dataset(kept_ds, V=graph.V)
+        if checkpointer is not None:
+            checkpointer.save_round_graph(
+                rounds, g,
+                {"converged": False, "k": k,
+                 "n_edges": int(n_all - n_low)})
     raise ValueError(
         f"k-truss peel did not converge within {max_rounds} rounds — "
         f"raise max_rounds AND the oracle's unroll depth together")

@@ -196,6 +196,21 @@ class Checkpointer:
         return Graph(V=meta["V"], P=meta["P"], block=blk,
                      parts=parts, m=meta["m"], sym_edges=meta["sym_edges"])
 
+    def save_round_graph(self, round_no: int, graph: Graph,
+                         metrics: dict):
+        """Checkpoint an edge-peeling round: the surviving SUBGRAPH is
+        the whole state (k-truss and similar peels carry no per-vertex
+        vectors between rounds). Graph parts written first, manifest
+        published last — a torn round never resumes."""
+        self.save_level_graph(round_no, graph)
+        self._publish({
+            "algorithm": self.algorithm,
+            "level": round_no,
+            "superstep": 0,
+            "partition_lineage": {},
+            "metrics": metrics,
+        })
+
     # --- superstep state --------------------------------------------------
     def save_superstep(self, level: int, superstep: int, graph: Graph,
                        states: list, metrics: dict):

@@ -259,3 +259,52 @@ def test_resume_mid_lock_fallback_phase(tmp_path):
     g4 = build_graph_from_arrays(src, dst, w, P=2)
     refs4, _ = leiden(g4, cfg, checkpointer=ck, resume=True)
     assert np.array_equal(_final(refs4), expected)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_ktruss_resume_after_round_budget(tmp_path, P):
+    """A peel killed by its round budget must resume from the saved
+    subgraph and converge to the identical edge set + supports."""
+    import numpy as np
+
+    from leiden_cuda_ray.algorithms.trisupport import ktruss
+    from leiden_cuda_ray.graph.build import build_graph_from_arrays
+
+    rng = np.random.RandomState(4)
+    V, E = 50, 300
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    w = np.ones(len(src))
+
+    def fresh():
+        return build_graph_from_arrays(src, dst, w, P=P)
+
+    ref, _ = ktruss(fresh(), k=4)  # uninterrupted run (converges in 6)
+    want = ref.to_pandas().sort_values(["src", "dst"]).reset_index(
+        drop=True)
+
+    ck = Checkpointer(str(tmp_path / f"kt{P}"), "ktruss")
+    with pytest.raises(ValueError, match="did not converge"):
+        ktruss(fresh(), k=4, max_rounds=2, checkpointer=ck)
+    man = ck.latest()
+    assert man is not None and man["level"] == 2
+    assert man["metrics"]["converged"] is False
+
+    res, rounds = ktruss(fresh(), k=4, checkpointer=ck, resume=True)
+    got = res.to_pandas().sort_values(["src", "dst"]).reset_index(
+        drop=True)
+    assert got.equals(want)
+    # absolute round numbering continued from the checkpoint (the full
+    # peel converges at round 6; this process ran only rounds 3..6)
+    assert rounds == 6
+
+    # converged manifest: a further resume does one support pass only
+    res2, rounds2 = ktruss(fresh(), k=4, checkpointer=ck, resume=True)
+    assert rounds2 == 1
+    got2 = res2.to_pandas().sort_values(["src", "dst"]).reset_index(
+        drop=True)
+    assert got2.equals(want)
