@@ -10,13 +10,15 @@ request/reply exchanges, and heap-bounded wedge-index chunking
 task and never travel.
 
 The difference from counting: a hit wedge (a, b) centered at u closes
-triangle {u, a, b} and must credit all THREE edges {a,b}, {u,a}, {u,b}
-(canonical min*V+max keys), so the probe folds per-hit EDGE keys
-instead of position/row bincounts. That makes this operator inherently
-heavier than the count (3 keys per hit through a segsum vs a bincount
-append); partials are compacted per chunk and re-folded whenever the
-accumulator passes a size threshold, so task heap stays bounded by
-distinct-hit-edges, not by raw hits.
+triangle {u, a, b} and must credit all THREE edges {a,b}, {u,a}, {u,b}.
+The probe stays bincount-only even so (the triangles-module
+discipline — a first design that seg-summed 3 canonical keys per hit
+ran 6.4× the triangle count at sf1): the closing edge increments its
+POSITION in the pulled-key array, and the two legs increment their
+SLOT in the local oriented CSR (the wedge generator also emits leg
+slot indices), so per-chunk work is three bincounts over
+partition-local arrays and one per-task fold maps both sparse
+counters to canonical edge keys.
 
 Output: one row per canonical non-self edge (src < dst) with its
 support (0 if the edge is in no triangle) — rows emitted per partition
@@ -39,38 +41,82 @@ from leiden_cuda_ray.algorithms.triangles import (
     _request_degs,
     _serve_adj,
     _serve_degs,
-    _wedges_for_span,
     _WEDGES_PER_TASK,
 )
 from leiden_cuda_ray.graph.build import Graph
 from leiden_cuda_ray.graph.runtime import fanout, segsum_by_key, shard_by_owner
 
-#: fold the (edge_key, count) accumulator whenever it grows past this —
-#: bounds probe-task heap by O(distinct hit edges), not O(raw hits)
-_FOLD_AT = 4_000_000
+def _wedges_with_slots(o, wlo, whi):
+    """_wedges_for_span plus the absolute SLOT indices (into o['nbrs'])
+    of each wedge's two legs: wedge (a, b) at center u comes from slots
+    (u→a) and (u→b) of the local oriented CSR, so per-edge leg credits
+    can accumulate as bincounts over slot indices instead of per-hit
+    key segsums (the 6.4× tri_support-vs-triangles cost at sf1 was
+    exactly those segsums). Returns (a, b, sa, sb)."""
+    offsets, nbrs, wcum = o["offsets"], o["nbrs"], o["wcum"]
+    a_out, b_out, sa_out, sb_out = [], [], [], []
+
+    def _partial(row, p0, p1):
+        from leiden_cuda_ray.algorithms.triangles import _triu_range
+
+        c = int(o["counts"][row])
+        iu, ju = _triu_range(c, p0, p1)
+        base = offsets[row]
+        nb = nbrs[base:base + c]
+        a_out.append(nb[iu])
+        b_out.append(nb[ju])
+        sa_out.append(base + iu)
+        sb_out.append(base + ju)
+
+    r0 = int(np.searchsorted(wcum, wlo, side="right")) - 1
+    r1 = int(np.searchsorted(wcum, whi, side="left"))
+    if r0 >= r1:
+        e = np.empty(0, np.int64)
+        return e, e, e, e
+    full_lo, full_hi = r0, r1
+    if wcum[r0] < wlo:
+        _partial(r0, int(wlo - wcum[r0]), int(min(whi, wcum[r0 + 1])
+                                               - wcum[r0]))
+        full_lo = r0 + 1
+    if full_hi > full_lo and wcum[r1] > whi:
+        _partial(r1 - 1, 0, int(whi - wcum[r1 - 1]))
+        full_hi = r1 - 1
+    if full_hi > full_lo:
+        counts = o["counts"][full_lo:full_hi]
+        for k in np.unique(counts):
+            if k < 2:
+                continue
+            rows = full_lo + np.flatnonzero(counts == k)
+            starts = offsets[rows]
+            mat = nbrs[starts[:, None] + np.arange(k)]
+            iu, ju = np.triu_indices(int(k), 1)
+            a_out.append(mat[:, iu].ravel())
+            b_out.append(mat[:, ju].ravel())
+            sa_out.append((starts[:, None] + iu[None, :]).ravel())
+            sb_out.append((starts[:, None] + ju[None, :]).ravel())
+    if a_out:
+        return (np.concatenate(a_out), np.concatenate(b_out),
+                np.concatenate(sa_out), np.concatenate(sb_out))
+    e = np.empty(0, np.int64)
+    return e, e, e, e
 
 
 @ray.remote
 def _probe_support(o, block, P, V, bounds, adj_keys):
-    """Probe the wedge spans in `bounds`; fold per-hit edge-key counts
-    and shard them by owner(min endpoint)."""
-    acc_k = np.empty(0, np.int64)
-    acc_c = np.empty(0, np.float64)
-    pend_k: list[np.ndarray] = []
-    pend_c: list[np.ndarray] = []
-    pend_n = 0
-
-    def _fold():
-        nonlocal acc_k, acc_c, pend_k, pend_c, pend_n
-        if pend_n == 0:
-            return
-        k = np.concatenate([acc_k] + pend_k)
-        c = np.concatenate([acc_c] + pend_c)
-        acc_k, acc_c = segsum_by_key(k, c)
-        pend_k, pend_c, pend_n = [], [], 0
-
+    """Probe the wedge spans in `bounds`; accumulate per-edge credits
+    WITHOUT per-hit segsums (the triangles-module discipline): the
+    closing edge (a, b) increments its POSITION in the pulled-key array,
+    the two legs increment their SLOT in the local oriented CSR — three
+    bincounts per chunk, all bounded by partition-local array sizes.
+    One fold per TASK maps both sparse counters to canonical edge keys
+    and shards them by owner(min endpoint)."""
+    nslots = len(o["nbrs"])
+    vlo = o["vlo"]
+    slot_cnt = np.zeros(nslots, np.int64)
+    pos_hits = []
     for ci in range(len(bounds) - 1):
-        a, b, u = _wedges_for_span(o, int(bounds[ci]), int(bounds[ci + 1]))
+        a, b, sa, sb = _wedges_with_slots(o, int(bounds[ci]),
+                                          int(bounds[ci + 1]))
         if len(a) == 0 or len(adj_keys) == 0:
             continue
         q = a * V + b
@@ -79,20 +125,36 @@ def _probe_support(o, block, P, V, bounds, adj_keys):
         hit = adj_keys[pos] == q
         if not hit.any():
             continue
-        ah, bh, uh = a[hit], b[hit], u[hit]
-        # canonical keys of the three edges of each closed triangle
-        k3 = np.minimum(ah, bh) * V + np.maximum(ah, bh)
-        k1 = np.minimum(uh, ah) * V + np.maximum(uh, ah)
-        k2 = np.minimum(uh, bh) * V + np.maximum(uh, bh)
-        kk, cc = segsum_by_key(
-            np.concatenate([k1, k2, k3]),
-            np.ones(3 * len(ah), np.float64))
-        pend_k.append(kk)
-        pend_c.append(cc)
-        pend_n += len(kk)
-        if pend_n + len(acc_k) > _FOLD_AT:
-            _fold()
-    _fold()
+        slot_cnt += np.bincount(sa[hit], minlength=nslots)
+        slot_cnt += np.bincount(sb[hit], minlength=nslots)
+        pos_hits.append(pos[hit])
+    keys_parts: list[np.ndarray] = []
+    cnt_parts: list[np.ndarray] = []
+    if pos_hits:
+        key_cnt = np.bincount(np.concatenate(pos_hits),
+                              minlength=len(adj_keys))
+        nz = np.flatnonzero(key_cnt)
+        kk = adj_keys[nz]
+        aa = kk // V
+        bb = kk - aa * V
+        keys_parts.append(np.minimum(aa, bb) * V + np.maximum(aa, bb))
+        cnt_parts.append(key_cnt[nz].astype(np.float64))
+    snz = np.flatnonzero(slot_cnt)
+    if len(snz):
+        nv = len(o["counts"])
+        row_of_slot = np.repeat(np.arange(nv, dtype=np.int64),
+                                o["counts"])
+        u_g = row_of_slot[snz] + vlo
+        t_g = o["nbrs"][snz]
+        keys_parts.append(np.minimum(u_g, t_g) * V
+                          + np.maximum(u_g, t_g))
+        cnt_parts.append(slot_cnt[snz].astype(np.float64))
+    if keys_parts:
+        acc_k, acc_c = segsum_by_key(np.concatenate(keys_parts),
+                                     np.concatenate(cnt_parts))
+    else:
+        acc_k = np.empty(0, np.int64)
+        acc_c = np.empty(0, np.float64)
     owner_key = acc_k // V  # min endpoint owns the edge row
     shards = shard_by_owner(owner_key, block, P, acc_k, acc_c)
     out = [(s[1], s[2]) for s in shards]  # (edge_keys, counts)
