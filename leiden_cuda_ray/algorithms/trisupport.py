@@ -262,6 +262,77 @@ def triangle_support(graph: Graph):
     return ray.data.from_arrow_refs(blocks)
 
 
+@ray.remote
+def _dropped_shards(tbl, V, block, P, thresh):
+    """One support block → per-owner canonical keys of its DROPPED
+    edges, delivered to BOTH endpoint owners (each must mask its own
+    direction's slots)."""
+    sup = np.asarray(tbl.column("support"), np.int64)
+    m = sup < thresh
+    a = np.asarray(tbl.column("src"), np.int64)[m]
+    b = np.asarray(tbl.column("dst"), np.int64)[m]
+    keys = a * V + b  # src < dst by construction
+    sa = shard_by_owner(a, block, P, keys)
+    sb = shard_by_owner(b, block, P, keys)
+    out = tuple(np.concatenate([sa[j][1], sb[j][1]]) for j in range(P))
+    return out if P > 1 else out[0]
+
+
+@ray.remote(num_returns=3)
+def _mask_part(csr, V, *key_shards):
+    """Drop the routed canonical edges from one CSR partition IN PLACE:
+    no surviving edge travels — the per-round exchange is bounded by
+    the DROPPED edge count, not the graph size (a full fused rebuild
+    re-shuffles every surviving edge and dominated sf1 peel rounds).
+    Returns (filtered csr, kept canonical weight, kept slot count)."""
+    from leiden_cuda_ray.graph.csr import build_partition_csr
+
+    parts = [s for s in key_shards if len(s)]
+    src_slot = local_src_per_slot(csr)
+    src_g = src_slot + csr["vlo"]
+    dst = csr["indices"]
+    if not parts:  # nothing dropped here: partition unchanged
+        canon0 = dst > src_g
+        return csr, float(csr["weights"][canon0].sum()), int(len(dst))
+    dropped = np.unique(np.concatenate(parts))
+    kk = np.minimum(src_g, dst) * V + np.maximum(src_g, dst)
+    pos = np.searchsorted(dropped, kk)
+    np.minimum(pos, len(dropped) - 1, out=pos)
+    keep = dropped[pos] != kk
+    s = src_g[keep]
+    d = dst[keep]
+    w = csr["weights"][keep]
+    canon = d > s
+    new_csr = build_partition_csr(s, d, w, csr["vlo"], csr["vhi"],
+                                  presorted=True)
+    return new_csr, float(w[canon].sum()), int(len(s))
+
+
+def _peel_graph(graph: Graph, sup_mat, thresh: int) -> Graph:
+    """New Graph with the below-threshold edges of `sup_mat` (a
+    materialized support Dataset) removed — same V/P/block, slots
+    masked locally, only dropped keys cross the wire."""
+    refs = []
+    for bundle in sup_mat.iter_internal_ref_bundles():
+        refs.extend(bundle.block_refs)
+    shard_refs = [
+        _dropped_shards.options(num_returns=graph.P if graph.P > 1 else 1)
+        .remote(r, graph.V, graph.block, graph.P, thresh)
+        for r in refs]
+    if graph.P == 1:
+        per_owner = [[s for s in shard_refs]]
+    else:
+        per_owner = [[shard_refs[i][j] for i in range(len(shard_refs))]
+                     for j in range(graph.P)]
+    outs = [_mask_part.remote(graph.parts[j], graph.V, *per_owner[j])
+            for j in range(graph.P)]
+    parts = [o[0] for o in outs]
+    stats = ray.get([(o[1]) for o in outs])
+    slot_counts = ray.get([(o[2]) for o in outs])
+    return Graph(V=graph.V, P=graph.P, block=graph.block, parts=parts,
+                 m=float(sum(stats)), sym_edges=int(sum(slot_counts)))
+
+
 def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
            checkpointer=None, resume: bool = False):
     """k-truss subgraph by iterative support peeling: repeatedly drop
@@ -270,12 +341,16 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
     (Dataset[src, dst, support], rounds) — the surviving canonical edges
     with their support IN THE FINAL subgraph (all ≥ k-2 by convergence).
 
-    Each round is one full triangle_support pass plus a graph rebuild
-    through the fused-key exchange (graph/build.py) — edge sets only
-    shrink, so the work per round is monotonically non-increasing, and
-    the peel typically converges in a handful of rounds. max_rounds must
-    not exceed the DuckDB oracle's unroll depth; exceeding it raises
-    loudly rather than returning an unverifiable result.
+    Each round is one full triangle_support pass plus an IN-PLACE edge
+    drop (`_peel_graph`): only the DROPPED canonical keys cross the
+    wire (routed to both endpoint owners, slots masked locally), so the
+    per-round exchange is bounded by the drop count — a full fused
+    rebuild re-shuffled every surviving edge and dominated sf1 rounds.
+    Edge sets only shrink, so work per round is monotonically
+    non-increasing, and the peel typically converges in a handful of
+    rounds. max_rounds must not exceed the DuckDB oracle's unroll
+    depth; exceeding it raises loudly rather than returning an
+    unverifiable result.
 
     checkpointer: state.Checkpointer — the surviving subgraph (the
     whole inter-round state) is saved after every drop; resume=True
@@ -286,8 +361,6 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
     returns 1 — a single support re-derivation)."""
     import pyarrow.compute as pc
     import ray.data
-
-    from leiden_cuda_ray.graph.build import build_graph_from_dataset
 
     thresh = k - 2
     g = graph
@@ -325,14 +398,7 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
                               "support": pa.array([], pa.int64())})
             return ray.data.from_arrow(empty), rounds
 
-        def _keep(t: pa.Table) -> pa.Table:
-            m = pc.greater_equal(t.column("support"), thresh)
-            kept = t.filter(m)
-            return pa.table({"src": kept.column("src"),
-                             "dst": kept.column("dst")})
-
-        kept_ds = sup.map_batches(_keep, batch_format="pyarrow")
-        g = build_graph_from_dataset(kept_ds, V=graph.V)
+        g = _peel_graph(g, sup, thresh)
         if checkpointer is not None:
             checkpointer.save_round_graph(
                 rounds, g,
