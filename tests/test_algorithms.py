@@ -550,3 +550,46 @@ def test_repo_pagerank_mass_and_determinism():
     assert t1.equals(t2)
     assert len(t1) == t1.repo.nunique()
     assert abs(t1.pagerank.sum() - 1.0) < 1e-3  # rounding to 6 decimals
+
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+
+@settings(max_examples=25, deadline=None)
+@given(seed=st.integers(0, 10_000),
+       V=st.integers(8, 60),
+       density=st.floats(0.02, 0.35),
+       P=st.sampled_from([1, 2, 4]))
+def test_triangle_support_property_sweep(seed, V, density, P):
+    """Property sweep over random simple graphs: support(u,v) must
+    equal |N(u) ∩ N(v)| for every canonical edge, at any partitioning
+    (exercises the wedge-slot leg accumulation across chunk and hub
+    shapes the fixed-seed tests don't reach)."""
+    import pandas as pd
+
+    from leiden_cuda_ray.algorithms.trisupport import triangle_support
+
+    rng = np.random.RandomState(seed)
+    E = max(1, int(V * (V - 1) / 2 * density))
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    if not m.any():
+        return
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    a, b = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(a, b, np.ones(len(a)), V=V, P=P)
+    df = (triangle_support(g).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    adj = [set() for _ in range(V)]
+    for u, v in zip(a, b):
+        adj[u].add(int(v))
+        adj[v].add(int(u))
+    rows = [(u, v, len(adj[u] & adj[v]))
+            for u in range(V) for v in sorted(adj[u]) if v > u]
+    want = pd.DataFrame(rows, columns=["src", "dst", "support"])
+    assert len(df) == len(want)
+    assert (df.values == want.values).all()
