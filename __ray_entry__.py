@@ -95,6 +95,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_topk(sf_dir):
         return text.vocab_topk(_docs(sf_dir))
 
+    def q_redact(sf_dir):
+        # over the CORPUS (content has numeric identifiers to scrub);
+        # the documents table is digit-free, which would make the
+        # transform vacuous
+        from leiden_cuda_ray.sources.corpus import (
+            ensure_corpus_for_sf_dir,
+            read_corpus,
+        )
+
+        corpus = read_corpus(ensure_corpus_for_sf_dir(sf_dir),
+                             columns=["repo", "path", "content"])
+        return text.redact_text(corpus, id_cols=("repo", "path"),
+                                text_col="content")
+
     def q_language_id(sf_dir):
         return text.language_id(_docs(sf_dir)).select_columns(
             ["doc_id", "lang_pred"])
@@ -311,6 +325,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
+        "redact_text": q_redact,
         "language_id": q_language_id,
         "quality_score": q_quality,
         "fingerprints": q_fingerprints,
@@ -1000,6 +1015,33 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
             SELECT lang, term, tf, CAST(rn AS BIGINT) AS rnk
             FROM rnk WHERE rn <= 10""",
+        "redact_text": f"""
+            -- PII-style scrub replayed stage by stage (same pattern
+            -- order as functions/text.py::_REDACT — counts taken on the
+            -- text as each stage sees it, so no double counting); runs
+            -- over the CORPUS content, which carries numeric identifiers
+            WITH s0 AS (SELECT repo, path, content AS t
+                        FROM read_parquet('{_CORPUS_001}')),
+            s1 AS (SELECT repo, path,
+                     LEN(regexp_extract_all(t,
+                         '[\\w.+-]+@[\\w-]+\\.[\\w.]+')) AS n1,
+                     regexp_replace(t, '[\\w.+-]+@[\\w-]+\\.[\\w.]+',
+                                    '<EMAIL>', 'g') AS t
+                   FROM s0),
+            s2 AS (SELECT repo, path, n1,
+                     LEN(regexp_extract_all(t,
+                         '\\b0x[0-9a-fA-F]+\\b')) AS n2,
+                     regexp_replace(t, '\\b0x[0-9a-fA-F]+\\b',
+                                    '<HEX>', 'g') AS t
+                   FROM s1),
+            s3 AS (SELECT repo, path, n1, n2,
+                     LEN(regexp_extract_all(t, '\\d+')) AS n3,
+                     regexp_replace(t, '\\d+', '<NUM>', 'g') AS t
+                   FROM s2)
+            SELECT repo, path,
+                   CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions,
+                   sha256(t) AS redacted_sha
+            FROM s3""",
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,

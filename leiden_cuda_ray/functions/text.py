@@ -228,3 +228,39 @@ def vocab_topk(ds, k: int = 10):
 
     return merged.map_batches(final, batch_format="pyarrow",
                               batch_size=None)
+
+
+#: redaction patterns, applied IN ORDER (emails before hex before bare
+#: numbers, so a pattern never double-counts what an earlier one already
+#: replaced); RE2 on both sides (pyarrow and DuckDB), so the oracle can
+#: replay the identical chain
+_REDACT = [
+    (r"[\w.+-]+@[\w-]+\.[\w.]+", "<EMAIL>"),
+    (r"\b0x[0-9a-fA-F]+\b", "<HEX>"),
+    (r"\d+", "<NUM>"),
+]
+
+
+def redact_text(ds, id_cols=("doc_id",), text_col="text"):
+    """(id_cols…, n_redactions, redacted_sha256): PII-style scrubbing
+    (emails, hex ids, numbers → placeholder tokens) — the standard
+    training-data cleaning stage. The sha256 of the redacted text makes
+    the full transform output SQL-checkable without shipping the text
+    (the corpus_sha256 invariant pattern)."""
+    id_cols = list(id_cols)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column(text_col)
+        n = np.zeros(len(text), np.int64)
+        for pat, tok in _REDACT:
+            n += np.asarray(pc.count_substring_regex(text, pat))
+            text = pc.replace_substring_regex(text, pat, tok)
+        sha = [hashlib.sha256(t.encode()).hexdigest()
+               for t in text.to_pylist()]
+        cols = {c: batch.column(c) for c in id_cols}
+        cols["n_redactions"] = pa.array(n, pa.int64())
+        cols["redacted_sha"] = pa.array(sha, pa.string())
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + [text_col]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -362,3 +362,26 @@ def test_vocab_topk_matches_pandas_and_is_blocking_invariant():
     want["tf"] = want["tf"].astype("int64")
     want["rnk"] = want["rnk"].astype("int64")
     pd.testing.assert_frame_equal(got1, want)
+
+
+def test_redact_text_patterns_and_sha():
+    """Redaction must scrub emails, hex ids and numbers in order,
+    count each replacement once, and hash the final text."""
+    import hashlib
+
+    from leiden_cuda_ray.functions.text import redact_text
+
+    rows = [
+        {"doc_id": 0, "text": "mail a.b+c@x-y.co end 0xDEAD 42 7"},
+        {"doc_id": 1, "text": "clean words only"},
+        {"doc_id": 2, "text": "v1 v2 0xff"},
+    ]
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    got = (redact_text(ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want_text = ["mail <EMAIL> end <HEX> <NUM> <NUM>",
+                 "clean words only",
+                 "v<NUM> v<NUM> <HEX>"]
+    assert got.n_redactions.tolist() == [4, 0, 3]
+    assert got.redacted_sha.tolist() == [
+        hashlib.sha256(t.encode()).hexdigest() for t in want_text]
