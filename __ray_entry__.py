@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_topk(sf_dir):
         return text.vocab_topk(_docs(sf_dir))
 
+    def q_decontaminate(sf_dir):
+        return dedup.cross_split_overlap(_docs(sf_dir))
+
     def q_redact(sf_dir):
         # over the CORPUS (content has numeric identifiers to scrub);
         # the documents table is digit-free, which would make the
@@ -326,6 +329,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
         "redact_text": q_redact,
+        "decontaminate": q_decontaminate,
         "language_id": q_language_id,
         "quality_score": q_quality,
         "fingerprints": q_fingerprints,
@@ -997,6 +1001,30 @@ def oracle_sql() -> dict[str, str]:
               FROM documents) WHERE rnk <= 3""",
         "train_val_split": _splitmix_split_sql(),
         "stratified_sample": _stratified_sample_sql(),
+        "decontaminate": f"""
+            -- train/val decontamination: distinct token trigrams shared
+            -- across the split boundary (dedup.py::cross_split_overlap);
+            -- split = the identical splitmix chain train_val_split pins,
+            -- df cap 50 = the engine's max_df guard
+            WITH sp AS ({_splitmix_split_sql()}),
+            tokd AS (SELECT doc_id,
+                            regexp_extract_all(text, '\\S+') AS toks
+                     FROM documents),
+            tri AS (SELECT doc_id,
+                      toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g
+                    FROM (SELECT doc_id, toks,
+                            unnest(generate_series(1, len(toks) - 2)) AS i
+                          FROM tokd)),
+            dt AS (SELECT DISTINCT doc_id, g FROM tri),
+            keep AS (SELECT g FROM dt GROUP BY g HAVING COUNT(*) <= 50)
+            SELECT t.doc_id AS train_doc, v.doc_id AS val_doc,
+                   CAST(COUNT(*) AS BIGINT) AS n_shared
+            FROM dt t
+            JOIN keep k ON k.g = t.g
+            JOIN dt v ON v.g = t.g
+            JOIN sp st ON st.doc_id = t.doc_id AND st.split = 'train'
+            JOIN sp sv ON sv.doc_id = v.doc_id AND sv.split = 'val'
+            GROUP BY 1, 2""",
         "exact_dedup": """
             SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text""",
         "vocab_topk": """

@@ -809,3 +809,98 @@ def embedding_dup_pairs_exact(emb_ds, id_col: str = "vec_id",
 
     return proj.map_batches(Pairer, batch_format="pyarrow",
                             concurrency=concurrency)
+
+
+def cross_split_overlap(ds, id_col: str = "doc_id",
+                        text_col: str = "text", n: int = 3,
+                        train_pct: int = 80, seed: int = 42,
+                        max_df: int = 50):
+    """Train/val decontamination: (train_doc, val_doc, n_shared) — the
+    number of DISTINCT token n-grams shared across the split boundary,
+    for the same deterministic split train_val_split assigns.
+
+    Shape: per-batch vectorized shingling (token windows over the
+    list-flattened '\\S+' token stream, one distinct (doc, gram) row per
+    doc) → hash-bucket shuffle on a 64-bit gram hash (the bucket key is
+    only a router: gram STRINGS are verified inside each bucket, so a
+    hash collision can merge buckets but never corrupt counts) → per
+    bucket, grams with document frequency ≤ max_df emit their
+    train×val doc pairs → the fused-key exchange counts distinct pairs'
+    shared grams. The df cap is the standard decontamination guard
+    against boilerplate n-grams pairing everything with everything;
+    the oracle applies the identical HAVING bound."""
+    import pandas as pd
+
+    from leiden_cuda_ray.functions.sampling import splitmix_bucket
+    from leiden_cuda_ray.stages.edges import canonicalize_edges
+
+    def shingle(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column(text_col), r"\s+")
+        flat = pc.list_flatten(toks)
+        parents = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        f = flat.filter(mask).to_numpy(zero_copy_only=False)
+        p = parents.filter(mask).to_numpy(zero_copy_only=False)
+        if len(f) < n:
+            return pa.table({"h": pa.array([], pa.int64()),
+                             "gram": pa.array([], pa.string()),
+                             "doc": pa.array([], pa.int64()),
+                             "is_train": pa.array([], pa.int64())})
+        valid = p[: len(p) - (n - 1)] == p[n - 1:]
+        grams = f[: len(f) - (n - 1)][valid]
+        for k in range(1, n):
+            grams = grams + " " + f[k: len(f) - (n - 1) + k][valid]
+        doc_ids = np.asarray(batch.column(id_col), np.int64)
+        docs = doc_ids[p[: len(p) - (n - 1)][valid]]
+        dd = pd.DataFrame({"doc": docs, "gram": grams}).drop_duplicates()
+        h = pd.util.hash_pandas_object(dd["gram"],
+                                       index=False).to_numpy()
+        is_train = (splitmix_bucket(dd["doc"].to_numpy(np.int64), seed,
+                                    100) < train_pct).astype(np.int64)
+        return pa.table({
+            "h": pa.array(h.view(np.int64), pa.int64()),
+            "gram": pa.array(dd["gram"].to_numpy(), pa.string()),
+            "doc": pa.array(dd["doc"].to_numpy(np.int64), pa.int64()),
+            "is_train": pa.array(is_train, pa.int64()),
+        })
+
+    shingled = ds.select_columns([id_col, text_col]).map_batches(
+        shingle, batch_format="pyarrow", zero_copy_batch=True)
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        import pandas as pd  # noqa: F811
+
+        df = group.to_pandas()
+        outs_t, outs_v = [], []
+        for _, sub in df.groupby("gram", sort=False):
+            if len(sub) > max_df:
+                continue
+            tr = sub.loc[sub.is_train == 1, "doc"].to_numpy(np.int64)
+            va = sub.loc[sub.is_train == 0, "doc"].to_numpy(np.int64)
+            if len(tr) == 0 or len(va) == 0:
+                continue
+            outs_t.append(np.repeat(tr, len(va)))
+            outs_v.append(np.tile(va, len(tr)))
+        if not outs_t:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64())})
+        return pa.table({
+            "src": pa.array(np.concatenate(outs_t), pa.int64()),
+            "dst": pa.array(np.concatenate(outs_v), pa.int64()),
+        })
+
+    pairs = shingled.groupby("h").map_groups(bucket_pairs,
+                                             batch_format="pyarrow")
+    n_docs = int(ds.count())
+    counted = canonicalize_edges(pairs, sum_weights=True,
+                                 V=max(n_docs, 1), directed=True)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "train_doc": pc.cast(batch.column("src"), pa.int64()),
+            "val_doc": pc.cast(batch.column("dst"), pa.int64()),
+            "n_shared": pc.cast(pc.round(batch.column("weight")),
+                                pa.int64()),
+        })
+
+    return counted.map_batches(rename, batch_format="pyarrow")

@@ -385,3 +385,53 @@ def test_redact_text_patterns_and_sha():
     assert got.n_redactions.tolist() == [4, 0, 3]
     assert got.redacted_sha.tolist() == [
         hashlib.sha256(t.encode()).hexdigest() for t in want_text]
+
+
+def test_cross_split_overlap_exact_and_blocking_invariant():
+    """Decontamination counts must equal a direct computation of
+    distinct shared trigrams across the deterministic split, and be
+    independent of block layout."""
+    import pandas as pd
+
+    from leiden_cuda_ray.functions.dedup import cross_split_overlap
+    from leiden_cuda_ray.functions.sampling import splitmix_bucket
+
+    rng = np.random.RandomState(17)
+    words = ["a", "b", "c", "d", "e", "f"]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, rng.randint(3, 15)))}
+            for i in range(40)]
+    t = pa.Table.from_pylist(rows)
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (cross_split_overlap(ds, max_df=50).to_pandas()
+                .sort_values(["train_doc", "val_doc"])
+                .reset_index(drop=True))
+
+    got1, got4 = run(1), run(4)
+    pd.testing.assert_frame_equal(got1, got4)
+
+    grams = {}
+    for r in rows:
+        ws = r["text"].split()
+        gs = {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        grams[r["doc_id"]] = gs
+    df_count = {}
+    for gs in grams.values():
+        for g in gs:
+            df_count[g] = df_count.get(g, 0) + 1
+    is_train = {i: splitmix_bucket(np.array([i]), 42, 100)[0] < 80
+                for i in grams}
+    want = {}
+    for a in grams:
+        for b in grams:
+            if not (is_train[a] and not is_train[b]):
+                continue
+            shared = {g for g in grams[a] & grams[b]
+                      if df_count[g] <= 50}
+            if shared:
+                want[(a, b)] = len(shared)
+    got = {(r.train_doc, r.val_doc): r.n_shared
+           for r in got1.itertuples()}
+    assert got == want
