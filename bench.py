@@ -183,6 +183,25 @@ def run_single(graph_only: bool = False) -> dict:
             t_kc = min(t_kc, time.perf_counter() - t0)
         queries["kcore"] = t_kc
 
+        from leiden_cuda_ray.algorithms.trisupport import triangle_support
+
+        t_ts = float("inf")
+        for _rep in range(2):  # min-of-2: same warm-up rationale
+            t0 = time.perf_counter()
+            triangle_support(graph).count()
+            t_ts = min(t_ts, time.perf_counter() - t0)
+        queries["tri_support"] = t_ts
+
+        from leiden_cuda_ray.algorithms.bfs import bfs_hops
+
+        t_bfs = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            dist_refs, _steps, _maxd = bfs_hops(graph)
+            ray.get(dist_refs)
+            t_bfs = min(t_bfs, time.perf_counter() - t0)
+        queries["bfs"] = t_bfs
+
     # documents-side headline ops at this tier
     import ray.data
 
