@@ -355,6 +355,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": cq.graph_hits,
         "graph_bfs": cq.graph_bfs,
         "graph_tri_support": cq.graph_tri_support,
+        "graph_clustering": cq.graph_clustering,
+        "graph_jaccard": cq.graph_jaccard_edges,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1371,6 +1373,90 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN (SELECT a, b, COUNT(*) AS n FROM edge_tri
                        GROUP BY a, b) s
               ON s.a = eo.a AND s.b = eo.b""",
+        "graph_clustering": f"""
+            -- per-vertex local clustering coefficient: tri(v) triangles
+            -- at v, degree(v) distinct neighbors (degree-0 vertices have
+            -- no edge row and are excluded), coeff = 2*tri/(deg*(deg-1))
+            -- with the deg<2 -> 0.0 convention (corpus_queries.py
+            -- ::graph_clustering)
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            vt AS (
+              SELECT v, COUNT(*) AS n FROM (
+                SELECT x AS v FROM tri
+                UNION ALL SELECT y FROM tri
+                UNION ALL SELECT z FROM tri) GROUP BY v),
+            vd AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM eo
+                UNION ALL SELECT b FROM eo) GROUP BY v)
+            SELECT vd.v AS vertex,
+                   CAST(COALESCE(vt.n, 0) AS BIGINT) AS tri,
+                   CAST(vd.deg AS BIGINT) AS degree,
+                   CASE WHEN vd.deg > 1 THEN
+                     ROUND(CAST(2 * COALESCE(vt.n, 0) AS DOUBLE)
+                           / CAST(vd.deg * (vd.deg - 1) AS DOUBLE), 6)
+                   ELSE 0.0 END AS coeff
+            FROM vd LEFT JOIN vt ON vt.v = vd.v""",
+        "graph_jaccard": f"""
+            -- per-edge neighborhood Jaccard: inter = |N(u) ∩ N(v)| (the
+            -- edge's triangle support), uni = deg(u)+deg(v)-inter with
+            -- raw neighbor sets (v ∈ N(u), so uni >= 2)
+            -- (corpus_queries.py::graph_jaccard_edges)
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            edge_tri AS (
+              SELECT x AS a, y AS b FROM tri
+              UNION ALL SELECT x, z FROM tri
+              UNION ALL SELECT y, z FROM tri),
+            sup AS (SELECT a, b, COUNT(*) AS n FROM edge_tri GROUP BY a, b),
+            vd AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM eo
+                UNION ALL SELECT b FROM eo) GROUP BY v)
+            SELECT eo.a AS src, eo.b AS dst,
+                   CAST(COALESCE(s.n, 0) AS BIGINT) AS inter,
+                   CAST(da.deg + db.deg - COALESCE(s.n, 0) AS BIGINT)
+                     AS uni,
+                   ROUND(CAST(COALESCE(s.n, 0) AS DOUBLE)
+                         / CAST(da.deg + db.deg - COALESCE(s.n, 0)
+                                AS DOUBLE), 6) AS jaccard
+            FROM eo
+            JOIN vd da ON da.v = eo.a
+            JOIN vd db ON db.v = eo.b
+            LEFT JOIN sup s ON s.a = eo.a AND s.b = eo.b""",
         "graph_triangles": f"""
             WITH {_CORPUS_CTE},
             vid AS (

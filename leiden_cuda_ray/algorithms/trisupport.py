@@ -407,3 +407,121 @@ def ktruss(graph: Graph, k: int = 4, max_rounds: int = 12,
     raise ValueError(
         f"k-truss peel did not converge within {max_rounds} rounds — "
         f"raise max_rounds AND the oracle's unroll depth together")
+
+
+# --------------------------------------------------------------------------
+# derived per-vertex / per-edge similarity metrics over the support stream
+# --------------------------------------------------------------------------
+
+def clustering_coefficient(graph: Graph):
+    """Per-vertex local clustering coefficient: tri(v) = triangles
+    containing v, degree(v) = distinct neighbors, coeff = 2·tri /
+    (deg·(deg−1)) (0.0 when deg < 2 — the standard convention).
+
+    Rides the per-edge triangle-support stream: each canonical edge
+    appears exactly once with its exact support, so per-endpoint COUNT is
+    the distinct-neighbor degree and per-endpoint SUM(support) counts
+    every triangle at v twice (a triangle touches v through two incident
+    edges, each carrying it in their support). One batch-local partial
+    aggregation then a single groupby shuffle over ≤2 partial rows per
+    vertex — no join, no O(V) driver state. Isolated (degree-0) vertices
+    have no incident edge and are excluded.
+
+    Returns Dataset[vertex:int64, tri:int64, degree:int64,
+    coeff:float64]."""
+    import ray.data  # noqa: F401  (Dataset ops below)
+
+    sup = triangle_support(graph)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("src"), np.int64)
+        d = np.asarray(batch.column("dst"), np.int64)
+        w = np.asarray(batch.column("support"), np.int64)
+        u, inv = np.unique(np.concatenate([s, d]), return_inverse=True)
+        tri2 = np.zeros(len(u), np.int64)
+        np.add.at(tri2, inv, np.concatenate([w, w]))
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({"vertex": pa.array(u, pa.int64()),
+                         "tri2": pa.array(tri2, pa.int64()),
+                         "cnt": pa.array(cnt, pa.int64())})
+
+    agg = (sup.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+           .groupby("vertex").sum(["tri2", "cnt"]))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("vertex"), np.int64)
+        tri = np.asarray(batch.column("sum(tri2)"), np.int64) // 2
+        deg = np.asarray(batch.column("sum(cnt)"), np.int64)
+        den = (deg * (deg - 1)).astype(np.float64)
+        coeff = np.where(
+            deg > 1,
+            np.round((2 * tri).astype(np.float64)
+                     / np.where(den > 0, den, 1.0), 6),
+            0.0)
+        return pa.table({"vertex": pa.array(v, pa.int64()),
+                         "tri": pa.array(tri, pa.int64()),
+                         "degree": pa.array(deg, pa.int64()),
+                         "coeff": pa.array(coeff, pa.float64())})
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+@ray.remote
+def _part_degrees(part: dict) -> pa.Table:
+    """One CSR partition's (vertex, degree) rows — row lengths are the
+    distinct-neighbor degrees of the dedup'd symmetrized graph (self-loop
+    free by construction of the corpus derive; callers with self-loops
+    should strip them first). Degree-0 vertices are excluded."""
+    deg = part["deg"]
+    nz = np.flatnonzero(deg)
+    return pa.table({"vertex": pa.array(nz + part["vlo"], pa.int64()),
+                     "degree": pa.array(deg[nz], pa.int64())})
+
+
+def edge_jaccard(graph: Graph):
+    """Per-edge neighborhood Jaccard similarity (link-strength scoring):
+    for every canonical non-self edge (u, v), inter = |N(u) ∩ N(v)| (the
+    edge's triangle support) and uni = |N(u) ∪ N(v)| = deg(u) + deg(v)
+    − inter. Convention: N(u) is the raw neighbor set, so v ∈ N(u) and
+    u ∈ N(v) — uni ≥ 2 always, no zero division. jaccard = inter / uni
+    rounded to 6.
+
+    Composition: the triangle-support stream supplies inter; degrees come
+    straight from the CSR partitions (vertex-aligned, no shuffle) and are
+    attached with two distributed int-key hash joins — E rows through
+    each, no broadcast of O(V) state.
+
+    Returns Dataset[src:int64, dst:int64, inter:int64, uni:int64,
+    jaccard:float64]."""
+    import ray.data
+
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    sup = triangle_support(graph)
+    degs = ray.data.from_arrow_refs(
+        [_part_degrees.remote(p) for p in graph.parts])
+
+    j1 = hash_join(sup, degs, on=("src",), right_on=("vertex",))
+
+    def keep1(batch: pa.Table) -> pa.Table:
+        return pa.table({"src": batch.column("src"),
+                         "dst": batch.column("dst"),
+                         "support": batch.column("support"),
+                         "deg_src": batch.column("degree")})
+
+    j2 = hash_join(j1.map_batches(keep1, batch_format="pyarrow"),
+                   degs, on=("dst",), right_on=("vertex",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        inter = np.asarray(batch.column("support"), np.int64)
+        uni = (np.asarray(batch.column("deg_src"), np.int64)
+               + np.asarray(batch.column("degree"), np.int64) - inter)
+        jac = np.round(inter.astype(np.float64) / uni.astype(np.float64), 6)
+        return pa.table({"src": batch.column("src"),
+                         "dst": batch.column("dst"),
+                         "inter": pa.array(inter, pa.int64()),
+                         "uni": pa.array(uni, pa.int64()),
+                         "jaccard": pa.array(jac, pa.float64())})
+
+    return j2.map_batches(finish, batch_format="pyarrow")

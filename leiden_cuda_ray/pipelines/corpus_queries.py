@@ -382,6 +382,28 @@ def graph_tri_support(sf_dir: str):
     return triangle_support(graph)
 
 
+def graph_clustering(sf_dir: str):
+    """Per-vertex local clustering coefficient over the symmetrized union
+    graph (algorithms/trisupport.py::clustering_coefficient); see that
+    docstring for the support-stream derivation. Isolated vertices have
+    no incident edge and are excluded, matching the edge-derived
+    oracle."""
+    from leiden_cuda_ray.algorithms.trisupport import clustering_coefficient
+
+    graph, _ = _build_graph(sf_dir)
+    return clustering_coefficient(graph)
+
+
+def graph_jaccard_edges(sf_dir: str):
+    """Per-edge neighborhood Jaccard similarity
+    (algorithms/trisupport.py::edge_jaccard) — link-strength scoring over
+    every canonical non-self edge."""
+    from leiden_cuda_ray.algorithms.trisupport import edge_jaccard
+
+    graph, _ = _build_graph(sf_dir)
+    return edge_jaccard(graph)
+
+
 def repo_pagerank(sf_dir: str, iters: int = 15):
     """Repo-level PageRank: aggregate the file-level import edges to a
     repo dependency graph (edge weight = number of distinct file-level

@@ -593,3 +593,66 @@ def test_triangle_support_property_sweep(seed, V, density, P):
     want = pd.DataFrame(rows, columns=["src", "dst", "support"])
     assert len(df) == len(want)
     assert (df.values == want.values).all()
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_clustering_coefficient_brute_force(P):
+    """Per-vertex (tri, degree, coeff) must match brute-force neighbor-set
+    counting on a simple random graph, at any partitioning."""
+    from leiden_cuda_ray.algorithms.trisupport import clustering_coefficient
+
+    rng = np.random.RandomState(11)
+    V, E = 50, 300
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    df = (clustering_coefficient(g).to_pandas()
+          .sort_values("vertex").reset_index(drop=True))
+
+    adj = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    for _, r in df.iterrows():
+        v = int(r["vertex"])
+        deg = len(adj[v])
+        tri = sum(len(adj[v] & adj[w]) for w in adj[v]) // 2
+        assert deg == r["degree"] and tri == r["tri"]
+        want = round(2.0 * tri / (deg * (deg - 1)), 6) if deg > 1 else 0.0
+        assert abs(r["coeff"] - want) < 1e-9
+    assert len(df) == sum(1 for a in adj if a)  # isolated excluded
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_edge_jaccard_brute_force(P):
+    """Per-edge (inter, uni, jaccard) must match brute-force neighbor-set
+    intersection/union (raw sets: v ∈ N(u)), at any partitioning."""
+    from leiden_cuda_ray.algorithms.trisupport import edge_jaccard
+
+    rng = np.random.RandomState(13)
+    V, E = 40, 220
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    df = (edge_jaccard(g).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    adj = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    assert len(df) == len(src)
+    for _, r in df.iterrows():
+        u, v = int(r["src"]), int(r["dst"])
+        inter = len(adj[u] & adj[v])
+        uni = len(adj[u] | adj[v])
+        assert inter == r["inter"] and uni == r["uni"]
+        assert abs(r["jaccard"] - round(inter / uni, 6)) < 1e-9
