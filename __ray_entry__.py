@@ -357,6 +357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_tri_support": cq.graph_tri_support,
         "graph_clustering": cq.graph_clustering,
         "graph_jaccard": cq.graph_jaccard_edges,
+        "graph_adamic_adar": cq.graph_adamic_adar,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1414,6 +1415,53 @@ def oracle_sql() -> dict[str, str]:
                            / CAST(vd.deg * (vd.deg - 1) AS DOUBLE), 6)
                    ELSE 0.0 END AS coeff
             FROM vd LEFT JOIN vt ON vt.v = vd.v""",
+        "graph_adamic_adar": f"""
+            -- Adamic–Adar per canonical edge, exact-integer quantized:
+            -- each common neighbor w contributes
+            -- q = CAST(ROUND(1e9 / LN(deg(w))) AS BIGINT), summed as
+            -- BIGINT (order-independent), aa = aa_int / 1e9 as the
+            -- UNROUNDED IEEE quotient — bit-identical to the engine's
+            -- (algorithms/linkpred.py). Each tri row (x<y<z) credits
+            -- edge (x,y) with q(deg(z)), (x,z) with q(deg(y)),
+            -- (y,z) with q(deg(x)).
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            vd AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM eo
+                UNION ALL SELECT b FROM eo) GROUP BY v),
+            q AS (
+              SELECT v, CAST(ROUND(1000000000.0 / LN(deg)) AS BIGINT)
+                     AS q
+              FROM vd WHERE deg >= 2),
+            cred AS (
+              SELECT x AS a, y AS b, z AS w FROM tri
+              UNION ALL SELECT x, z, y FROM tri
+              UNION ALL SELECT y, z, x FROM tri),
+            sumq AS (
+              SELECT c.a, c.b, SUM(q.q) AS s
+              FROM cred c JOIN q ON q.v = c.w GROUP BY c.a, c.b)
+            SELECT eo.a AS src, eo.b AS dst,
+                   CAST(COALESCE(s.s, 0) AS BIGINT) AS aa_int,
+                   CAST(COALESCE(s.s, 0) AS DOUBLE) / 1000000000.0
+                     AS aa
+            FROM eo LEFT JOIN sumq s ON s.a = eo.a AND s.b = eo.b""",
         "graph_jaccard": f"""
             -- per-edge neighborhood Jaccard: inter = |N(u) ∩ N(v)| (the
             -- edge's triangle support), uni = deg(u)+deg(v)-inter with

@@ -404,6 +404,17 @@ def graph_jaccard_edges(sf_dir: str):
     return edge_jaccard(graph)
 
 
+def graph_adamic_adar(sf_dir: str):
+    """Adamic–Adar score for every canonical edge of the symmetrized
+    union graph (algorithms/linkpred.py::adamic_adar) — exact-integer
+    quantized sums so the DuckDB oracle reproduces the BIGINT
+    bit-for-bit; see the module docstring for the discipline."""
+    from leiden_cuda_ray.algorithms.linkpred import adamic_adar
+
+    graph, _ = _build_graph(sf_dir)
+    return adamic_adar(graph)
+
+
 def repo_pagerank(sf_dir: str, iters: int = 15):
     """Repo-level PageRank: aggregate the file-level import edges to a
     repo dependency graph (edge weight = number of distinct file-level

@@ -656,3 +656,35 @@ def test_edge_jaccard_brute_force(P):
         uni = len(adj[u] | adj[v])
         assert inter == r["inter"] and uni == r["uni"]
         assert abs(r["jaccard"] - round(inter / uni, 6)) < 1e-9
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_adamic_adar_brute_force(P):
+    """Per-edge exact-integer Adamic-Adar must match brute-force
+    common-neighbor summation of round(1e9/ln(deg(w))), at any
+    partitioning; aa is the unrounded quotient aa_int / 1e9."""
+    from leiden_cuda_ray.algorithms.linkpred import _AA_SCALE, adamic_adar
+
+    rng = np.random.RandomState(17)
+    V, E = 60, 400
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    df = (adamic_adar(g).to_pandas()
+          .sort_values(["src", "dst"]).reset_index(drop=True))
+
+    adj = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        adj[a].add(int(b))
+        adj[b].add(int(a))
+    assert len(df) == len(src)
+    for _, r in df.iterrows():
+        u, v = int(r["src"]), int(r["dst"])
+        want = sum(int(np.round(_AA_SCALE / np.log(len(adj[w]))))
+                   for w in adj[u] & adj[v])
+        assert want == r["aa_int"]
+        assert r["aa"] == r["aa_int"] / _AA_SCALE
