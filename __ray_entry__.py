@@ -358,6 +358,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_clustering": cq.graph_clustering,
         "graph_jaccard": cq.graph_jaccard_edges,
         "graph_adamic_adar": cq.graph_adamic_adar,
+        "graph_walks": cq.graph_walks,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -645,6 +646,47 @@ e0 AS MATERIALIZED (
 {','.join(steps)}
 SELECT a AS src, b AS dst, n AS support
 FROM s{rounds - 1} WHERE n >= {thresh}"""
+
+
+def _walks_sql(length: int = 8, seed_mod: int = 13) -> str:
+    """Unrolled deterministic random walks matching
+    algorithms/walks.py::random_walks exactly: step t moves from u to
+    its r-th smallest neighbor with r = (u*1000003 + 7919*t) % deg(u);
+    seeds are non-isolated vertices with v % seed_mod == 0."""
+    steps = []
+    sel = ["SELECT start, CAST(0 AS BIGINT) AS step, cur AS vertex "
+           "FROM w0"]
+    for t in range(1, length + 1):
+        steps.append(f"""
+w{t} AS (
+  SELECT w.start, a.v AS cur
+  FROM w{t - 1} w
+  JOIN adjr a ON a.u = w.cur
+    AND a.rnk = (w.cur * 1000003 + 7919 * {t}) % a.deg)""")
+        sel.append(f"SELECT start, CAST({t} AS BIGINT) AS step, "
+                   f"cur AS vertex FROM w{t}")
+    return f"""WITH {_CORPUS_CTE},
+vid AS (
+  SELECT repo || '|' || path AS key,
+         ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+  FROM files),
+e AS (
+  SELECT va.v AS u, vb.v AS w
+  FROM canon c
+  JOIN vid va ON va.key = c.key_a
+  JOIN vid vb ON vb.key = c.key_b),
+eo AS (
+  SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+  WHERE u <> w GROUP BY 1, 2),
+adjr AS MATERIALIZED (
+  SELECT u, v, ROW_NUMBER() OVER (PARTITION BY u ORDER BY v) - 1 AS rnk,
+         COUNT(*) OVER (PARTITION BY u) AS deg
+  FROM (SELECT a AS u, b AS v FROM eo UNION ALL SELECT b, a FROM eo)),
+w0 AS (
+  SELECT DISTINCT u AS start, u AS cur FROM adjr
+  WHERE u % {seed_mod} = 0),
+{','.join(steps)}
+{' UNION ALL '.join(sel)}"""
 
 
 def _labelprop_sql(iters: int = 25) -> str:
@@ -1195,6 +1237,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_ppr": _ppr_sql(),
         "repo_pagerank": _repo_pagerank_sql(),
         "graph_ktruss": _ktruss_sql(),
+        "graph_walks": _walks_sql(),
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),

@@ -415,6 +415,17 @@ def graph_adamic_adar(sf_dir: str):
     return adamic_adar(graph)
 
 
+def graph_walks(sf_dir: str, length: int = 8):
+    """Deterministic random-walk corpus over the symmetrized union
+    graph (algorithms/walks.py::random_walks) — the walk table a
+    graph-embedding trainer (DeepWalk/node2vec) consumes, SQL-checkable
+    through the deterministic rank hash."""
+    from leiden_cuda_ray.algorithms.walks import random_walks
+
+    graph, _ = _build_graph(sf_dir)
+    return random_walks(graph, length=length)
+
+
 def repo_pagerank(sf_dir: str, iters: int = 15):
     """Repo-level PageRank: aggregate the file-level import edges to a
     repo dependency graph (edge weight = number of distinct file-level

@@ -688,3 +688,44 @@ def test_adamic_adar_brute_force(P):
                    for w in adj[u] & adj[v])
         assert want == r["aa_int"]
         assert r["aa"] == r["aa_int"] / _AA_SCALE
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_random_walks_brute_force(P):
+    """The distributed walk table must match a sequential replay of the
+    deterministic rank hash over sorted adjacency, at any
+    partitioning."""
+    import pandas as pd
+
+    from leiden_cuda_ray.algorithms.walks import _WALK_A, _WALK_B, \
+        random_walks
+
+    rng = np.random.RandomState(5)
+    V, E = 70, 300
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([np.minimum(src, dst)[m],
+                                np.maximum(src, dst)[m]], 1), axis=0)
+    src, dst = pairs[:, 0].copy(), pairs[:, 1].copy()
+    g = build_graph_from_arrays(src, dst, np.ones(len(src)), P=P)
+    df = (random_walks(g, length=8, seed_mod=13).to_pandas()
+          .sort_values(["start", "step"]).reset_index(drop=True))
+
+    aset = [set() for _ in range(V)]
+    for a, b in zip(src, dst):
+        aset[a].add(int(b))
+        aset[b].add(int(a))
+    adj = [sorted(x) for x in aset]
+    rows = []
+    for v0 in range(0, V, 13):
+        if not adj[v0]:
+            continue
+        cur = v0
+        rows.append((v0, 0, v0))
+        for t in range(1, 9):
+            cur = adj[cur][(cur * _WALK_A + _WALK_B * t) % len(adj[cur])]
+            rows.append((v0, t, cur))
+    want = pd.DataFrame(rows, columns=["start", "step", "vertex"])
+    assert len(df) == len(want)
+    assert (df.values == want.values).all()
