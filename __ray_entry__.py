@@ -95,6 +95,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_topk(sf_dir):
         return text.vocab_topk(_docs(sf_dir))
 
+    def q_tfidf_topk(sf_dir):
+        return text.tfidf_topk(_docs(sf_dir))
+
     def q_decontaminate(sf_dir):
         return dedup.cross_split_overlap(_docs(sf_dir))
 
@@ -328,6 +331,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
+        "tfidf_topk": q_tfidf_topk,
         "redact_text": q_redact,
         "decontaminate": q_decontaminate,
         "language_id": q_language_id,
@@ -1088,6 +1092,32 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
             SELECT lang, term, tf, CAST(rn AS BIGINT) AS rnk
             FROM rnk WHERE rn <= 10""",
+        "tfidf_topk": """
+            -- top-5 tf*ln(N/df) terms per doc (tie -> term ASC); same
+            -- '\\S+' token definition as vocab_topk; score is the
+            -- UNROUNDED double of the identical IEEE op chain
+            -- (functions/text.py::tfidf_topk)
+            WITH tok AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                     AS term
+              FROM documents),
+            tfx AS (
+              SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM tok GROUP BY 1, 2),
+            dfx AS (
+              SELECT term, CAST(COUNT(*) AS BIGINT) AS df
+              FROM tfx GROUP BY 1),
+            n AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT t.doc_id, t.term, t.tf, d.df,
+                     t.tf * LN(CAST(n.n AS DOUBLE) / d.df) AS score
+              FROM tfx t JOIN dfx d USING (term) CROSS JOIN n),
+            rnk AS (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                         ORDER BY score DESC, term ASC) AS rn
+              FROM scored)
+            SELECT doc_id, term, tf, df, score, CAST(rn AS BIGINT) AS rnk
+            FROM rnk WHERE rn <= 5""",
         "redact_text": f"""
             -- PII-style scrub replayed stage by stage (same pattern
             -- order as functions/text.py::_REDACT — counts taken on the

@@ -15,6 +15,7 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+import ray
 
 # language-ID stopword profiles (tiny n-gram/stopword heuristic)
 _LANG_PATTERNS = {
@@ -264,3 +265,123 @@ def redact_text(ds, id_cols=("doc_id",), text_col="text"):
 
     return ds.select_columns(id_cols + [text_col]).map_batches(
         fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# TF-IDF top-k terms per document
+# --------------------------------------------------------------------------
+
+def _doc_term_tf(batch: pa.Table) -> pa.Table:
+    """One batch → its EXACT (doc_id, term, tf) rows: documents are
+    whole rows, so a (doc, term) pair never spans blocks and no
+    downstream combine is needed. Tokens = '\\S+' runs, the identical
+    definition token_stats / vocab_topk / the DuckDB oracle use. The
+    space join is unambiguous (tokens cannot contain whitespace) and
+    survives pandas' factorize hash (see _vocab_partial on the NUL
+    truncation trap)."""
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+    flat = pc.list_flatten(toks)
+    parents = pc.list_parent_indices(toks)
+    dids = pc.take(batch.column("doc_id"), parents)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    dids = dids.filter(mask)
+    key = pc.binary_join_element_wise(
+        pc.cast(dids, pa.string()), flat, " ")
+    codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
+    tf = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    parts = pd.Series(uniques).str.partition(" ")
+    return pa.table({
+        "doc_id": pa.array(parts[0].to_numpy().astype(np.int64),
+                           pa.int64()),
+        "term": pa.array(parts[2], pa.string()),
+        "tf": pa.array(tf, pa.int64()),
+    })
+
+
+class _TfidfScorer:
+    """Actor-pool scoring stage: the (term, df) table is fetched from
+    the object store ONCE per actor in __init__ (the broadcast-small-
+    side pattern — never re-shipped per batch); __call__ tokenizes its
+    batch, looks up df vectorized, scores tf·ln(N/df) and emits the
+    per-doc top-k directly — docs never span batches, so the output
+    needs NO shuffle."""
+
+    def __init__(self, df_ref, n_docs: int, k: int):
+        import pandas as pd
+
+        terms, dfs = ray.get(df_ref)
+        self._idx = pd.Index(terms)
+        self._dfs = dfs
+        self._n = float(n_docs)
+        self._k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        t = _doc_term_tf(batch)
+        term = t.column("term").to_numpy(zero_copy_only=False)
+        tf = t.column("tf").to_numpy()
+        did = t.column("doc_id").to_numpy()
+        pos = self._idx.get_indexer(term)
+        if (pos < 0).any():
+            raise ValueError(
+                "term missing from the df table — the df pass and the "
+                "scoring pass tokenized differently")
+        dfv = self._dfs[pos]
+        score = tf.astype(np.float64) * np.log(self._n / dfv)
+        u, inv = np.unique(did, return_inverse=True)
+        order = np.lexsort((term, -score, inv))
+        g = inv[order]
+        rnk = (np.arange(len(g))
+               - np.searchsorted(g, g, side="left") + 1).astype(np.int64)
+        keep = rnk <= self._k
+        sel = order[keep]
+        return pa.table({
+            "doc_id": pa.array(did[sel], pa.int64()),
+            "term": pa.array(term[sel], pa.string()),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "df": pa.array(dfv[sel].astype(np.int64), pa.int64()),
+            # UNROUNDED double: identical IEEE op chain in DuckDB
+            # (tf * LN(n/df)), so the driver's round-then-hash compare
+            # sees the same value on both sides
+            "score": pa.array(score[sel], pa.float64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+
+def tfidf_topk(ds, k: int = 5, max_vocab: int = 20_000_000):
+    """documents → the k highest tf·ln(N/df) terms per doc:
+    (doc_id, term, tf, df, score, rnk), rnk by score DESC then term ASC.
+
+    Scale shape: one streaming tokenize pass aggregates df per term
+    (per-batch exact (doc, term, tf) rows → groupby count — the input
+    to the shuffle is already collapsed to per-doc vocabulary); the
+    (term, df) table — vocabulary-sized, Heaps-sublinear in corpus
+    size — is broadcast once via ray.put and joined INSIDE the scoring
+    actors, so the second pass emits final per-doc top-k rows with no
+    output shuffle at all (documents are whole rows; a doc never spans
+    batches). Vocabularies above `max_vocab` refuse loudly: the scale
+    path is a distributed hash join on term plus a doc_id-hash
+    re-shuffle for the top-k, which this operator intentionally does
+    not silently fall into."""
+    n_docs = ds.count()
+    pairs = ds.select_columns(["doc_id", "text"]).map_batches(
+        _doc_term_tf, batch_format="pyarrow", zero_copy_batch=True)
+    dfagg = pairs.groupby("term").count()
+    n_vocab = dfagg.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds max_vocab={max_vocab} for the "
+            f"broadcast df table — use a distributed term hash join + "
+            f"doc_id re-shuffle at this scale")
+    dfpd = dfagg.to_pandas()
+    order = np.argsort(dfpd["term"].to_numpy(), kind="stable")
+    terms = dfpd["term"].to_numpy()[order]
+    dfs = dfpd["count()"].to_numpy().astype(np.int64)[order]
+    df_ref = ray.put((terms, dfs))
+    # autoscaling pool (min 1): a fixed pool the size of the CPU count
+    # deadlocks a small local session — upstream tasks can't get a slot
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _TfidfScorer, fn_constructor_args=(df_ref, n_docs, k),
+        concurrency=(1, 4), batch_format="pyarrow")

@@ -435,3 +435,49 @@ def test_cross_split_overlap_exact_and_blocking_invariant():
     got = {(r.train_doc, r.val_doc): r.n_shared
            for r in got1.itertuples()}
     assert got == want
+
+
+def test_tfidf_topk_matches_pandas_and_is_blocking_invariant():
+    """tfidf_topk must equal a single-process pandas computation of
+    tf*ln(N/df) with score-DESC/term-ASC ranking and be independent of
+    block splits (the df pass and the scoring pass must see the same
+    vocabulary)."""
+    import pandas as pd
+
+    from leiden_cuda_ray.functions.text import tfidf_topk
+
+    rows = []
+    rng = np.random.RandomState(9)
+    words = ["alpha", "beta", "gamma", "delta", "x", "it's", "a,b",
+             "zz", "qq"]
+    for i in range(50):
+        text = "  ".join(rng.choice(words, rng.randint(1, 15)))
+        rows.append({"doc_id": i, "text": " " + text + "\n"})
+    t = pa.Table.from_pylist(rows)
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (tfidf_topk(ds, k=3).to_pandas()
+                .sort_values(["doc_id", "rnk"]).reset_index(drop=True))
+
+    got1, got4 = run(1), run(4)
+    pd.testing.assert_frame_equal(got1, got4)
+
+    toks = []
+    for r in rows:
+        for w in r["text"].split():
+            toks.append((r["doc_id"], w))
+    df = pd.DataFrame(toks, columns=["doc_id", "term"])
+    tf = (df.groupby(["doc_id", "term"]).size().rename("tf")
+          .reset_index())
+    dfx = tf.groupby("term").size().rename("df").reset_index()
+    sc = tf.merge(dfx, on="term")
+    sc["score"] = sc["tf"] * np.log(len(rows) / sc["df"])
+    sc = sc.sort_values(["doc_id", "score", "term"],
+                        ascending=[True, False, True])
+    sc["rnk"] = sc.groupby("doc_id").cumcount() + 1
+    want = (sc[sc.rnk <= 3].reset_index(drop=True)
+            [["doc_id", "term", "tf", "df", "score", "rnk"]])
+    for c in ["doc_id", "tf", "df", "rnk"]:
+        want[c] = want[c].astype("int64")
+    pd.testing.assert_frame_equal(got1, want)
