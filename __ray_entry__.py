@@ -363,6 +363,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_jaccard": cq.graph_jaccard_edges,
         "graph_adamic_adar": cq.graph_adamic_adar,
         "graph_walks": cq.graph_walks,
+        "graph_scc": cq.graph_scc,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1268,6 +1269,35 @@ def oracle_sql() -> dict[str, str]:
         "repo_pagerank": _repo_pagerank_sql(),
         "graph_ktruss": _ktruss_sql(),
         "graph_walks": _walks_sql(),
+        "graph_scc": f"""
+            -- strongly connected components of the DIRECTED import
+            -- graph: scc(v) = min id mutually reachable with v
+            -- (including v); transitive closure + pair intersection —
+            -- exact, no unroll depth (algorithms/scc.py assigns the
+            -- identical min-member label)
+            WITH RECURSIVE {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            de AS (
+              SELECT vs.v AS u, vd.v AS t FROM import_edges e
+              JOIN vid vs ON vs.key = e.src_repo || '|' || e.src_path
+              JOIN vid vd ON vd.key = e.dst_repo || '|' || e.dst_path),
+            reach(a, b) AS (
+              SELECT u, t FROM de
+              UNION
+              SELECT r.a, d.t FROM reach r JOIN de d ON d.u = r.b),
+            mutual AS (
+              SELECT r1.a AS u, r1.b AS v
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a)
+            SELECT vid.v AS vertex,
+                   CAST(LEAST(vid.v, COALESCE(m.mn, vid.v)) AS BIGINT)
+                     AS scc
+            FROM vid
+            LEFT JOIN (SELECT u, MIN(v) AS mn FROM mutual GROUP BY u) m
+              ON m.u = vid.v""",
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),

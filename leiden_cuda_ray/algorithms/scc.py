@@ -1,0 +1,156 @@
+"""Distributed strongly connected components (directed graph).
+
+Min-pivot forward/backward peeling — the label-based variant of
+FW-BW decomposition (Fleischer/Hendrickson/Pinar 2000; coloring of
+Orzan 2004, with min labels instead of max):
+
+per phase, over the ALIVE subgraph,
+  f(v) = min id that can reach v   (min-label fixpoint along fwd edges)
+  g(v) = min id v can reach        (same fixpoint along rev edges)
+and every alive v with f(v) = g(v) = m is assigned scc = m: m reaches
+v and v reaches m, so v ∈ SCC(m); conversely every member of SCC(m)
+computes the identical (f, g) pair, so whole SCCs are assigned — and
+peeled — together (removing whole SCCs never breaks a surviving
+cycle: a cycle through u lies entirely inside SCC(u)). The assigned
+label is exactly the SCC's minimum member id (any smaller mutual
+partner would lower f and g equally), which is what the DuckDB
+closure oracle computes. The globally minimal alive vertex always
+satisfies f = g = itself, so every phase assigns at least one SCC and
+termination is guaranteed; practically each phase clears every
+"basin-minimal" SCC at once and DAG-like regions drain in a handful
+of phases. max_phases failure is LOUD (the ktruss convention), never
+a silently partial answer.
+
+Scale shape: reuses hits.py::build_directed_parts (fwd + rev CSR per
+partition, edges sharded in tasks, never on the driver); each
+propagation is the components.py frontier relaxation — a partition
+pushes only along edges whose src label changed last superstep, and
+dead vertices neither push nor receive. State is per-partition
+(scc, alive) arrays; nothing O(V) lives on the driver.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from leiden_cuda_ray.algorithms.common import local_src_per_slot
+from leiden_cuda_ray.algorithms.hits import build_directed_parts
+from leiden_cuda_ray.graph.runtime import fanout, segmin_by_key, shard_by_owner
+
+
+@ray.remote
+def _init_labels(vlo: int, vhi: int, alive):
+    lab = np.arange(vlo, vhi, dtype=np.int64)
+    return lab, alive.copy()
+
+
+@ray.remote
+def _push_min_alive(csr, lab, alive, active, bsize, P):
+    """Push min labels along this partition's (directed) CSR slots whose
+    src is alive and changed last superstep."""
+    src_slot = local_src_per_slot(csr)
+    sel = alive[src_slot] & active[src_slot]
+    ids, mins = segmin_by_key(csr["indices"][sel], lab[src_slot][sel])
+    shards = shard_by_owner(ids, bsize, P, mins)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
+
+
+@ray.remote
+def _reduce_min_alive(lab, alive, vlo, *shards):
+    new = lab.copy()
+    for ids, mins in shards:
+        loc = ids - vlo
+        np.minimum.at(new, loc, mins)
+    np.copyto(new, lab, where=~alive)  # dead vertices don't receive
+    changed = new != lab
+    return new, changed, int(changed.sum())
+
+
+def _propagate_min(parts, alives, ranges, bsize, P,
+                   max_iterations: int) -> list:
+    """Min-label fixpoint over the alive subgraph of the given directed
+    CSR partitions; returns per-partition label refs."""
+    inits = [_init_labels.options(num_returns=2).remote(
+        ranges[i][0], ranges[i][1], alives[i]) for i in range(P)]
+    labels = [o[0] for o in inits]
+    actives = [o[1] for o in inits]
+    for _ in range(max_iterations):
+        shards = fanout(
+            _push_min_alive,
+            [(parts[i], labels[i], alives[i], actives[i], bsize, P)
+             for i in range(P)], P)
+        outs = [
+            _reduce_min_alive.options(num_returns=3).remote(
+                labels[j], alives[j], ranges[j][0], *shards[j])
+            for j in range(P)
+        ]
+        labels = [o[0] for o in outs]
+        actives = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:
+            return labels
+    raise ValueError(
+        f"SCC label propagation did not converge in {max_iterations} "
+        f"supersteps")
+
+
+@ray.remote
+def _assign(scc, alive, f, g):
+    m = alive & (f == g)
+    out = scc.copy()
+    out[m] = f[m]
+    alive2 = alive & ~m
+    return out, alive2, int(alive2.sum())
+
+
+@ray.remote
+def _emit_scc(vlo: int, scc) -> pa.Table:
+    return pa.table({
+        "vertex": pa.array(np.arange(vlo, vlo + len(scc), dtype=np.int64),
+                           pa.int64()),
+        "scc": pa.array(scc, pa.int64()),
+    })
+
+
+def strongly_connected_components(pairs_ds, V: int, P: int | None = None,
+                                  max_phases: int = 64,
+                                  max_iterations: int = 10_000):
+    """Dataset[src:int64, dst:int64] (distinct directed edges) →
+    (Dataset[vertex:int64, scc:int64], phases) over all V vertices
+    (edge-free vertices are singleton SCCs, assigned in phase 1).
+    scc = minimum member id of the vertex's strongly connected
+    component."""
+    import ray.data
+
+    fwd, rev, bsize, P, ranges = build_directed_parts(pairs_ds, V, P)
+
+    @ray.remote(num_returns=2)
+    def _init_state(vlo, vhi):
+        nv = vhi - vlo
+        return np.full(nv, -1, np.int64), np.ones(nv, bool)
+
+    inits = [_init_state.remote(ranges[i][0], ranges[i][1])
+             for i in range(P)]
+    sccs = [o[0] for o in inits]
+    alives = [o[1] for o in inits]
+
+    for phase in range(1, max_phases + 1):
+        f = _propagate_min(fwd, alives, ranges, bsize, P, max_iterations)
+        g = _propagate_min(rev, alives, ranges, bsize, P, max_iterations)
+        outs = [
+            _assign.options(num_returns=3).remote(
+                sccs[j], alives[j], f[j], g[j])
+            for j in range(P)
+        ]
+        sccs = [o[0] for o in outs]
+        alives = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:
+            blocks = [_emit_scc.remote(ranges[j][0], sccs[j])
+                      for j in range(P)]
+            return ray.data.from_arrow_refs(blocks), phase
+    raise ValueError(
+        f"SCC peeling did not converge within {max_phases} phases — "
+        f"pathological chain structure; raise max_phases")

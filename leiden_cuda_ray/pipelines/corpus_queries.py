@@ -660,6 +660,19 @@ def graph_hits(sf_dir: str, iters: int = 8):
     return hits(pairs, V, iters=iters, ndigits=6)
 
 
+def graph_scc(sf_dir: str):
+    """Strongly connected components over the DIRECTED import graph
+    (algorithms/scc.py — min-pivot forward/backward peeling); scc = the
+    component's minimum member id, edge-free files are singletons. The
+    directed pair stream is the cached `_import_vid_pairs` set the
+    import_pairs oracle already pins row-for-row."""
+    from leiden_cuda_ray.algorithms.scc import strongly_connected_components
+
+    pairs, _numbering, V = _import_vid_pairs(sf_dir)
+    res, _phases = strongly_connected_components(pairs, V)
+    return res
+
+
 def graph_components(sf_dir: str):
     from leiden_cuda_ray.algorithms.components import connected_components
 

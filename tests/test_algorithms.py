@@ -729,3 +729,46 @@ def test_random_walks_brute_force(P):
     want = pd.DataFrame(rows, columns=["start", "step", "vertex"])
     assert len(df) == len(want)
     assert (df.values == want.values).all()
+
+
+@pytest.mark.parametrize("seed,P", [(3, 1), (3, 4), (11, 3), (29, 4)])
+def test_scc_brute_force(seed, P):
+    """SCC labels must equal brute-force mutual-reachability min ids on
+    random directed graphs, at any partitioning; singleton and
+    multi-phase (DAG-ish) regimes both covered by the seeds."""
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.scc import strongly_connected_components
+
+    rng = np.random.RandomState(seed)
+    V, E = (50, 60) if seed == 29 else (40, 90)
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([src[m], dst[m]], 1), axis=0)
+    ds = ray.data.from_arrow(pa.table({"src": pairs[:, 0],
+                                       "dst": pairs[:, 1]}))
+    res, phases = strongly_connected_components(ds, V, P=P)
+    df = res.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    adj = [[] for _ in range(V)]
+    for u, v in pairs:
+        adj[u].append(int(v))
+
+    def reach(s):
+        seen = {s}
+        st = [s]
+        while st:
+            x = st.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    st.append(y)
+        return seen
+
+    fw = [reach(v) for v in range(V)]
+    want = [min(w for w in fw[v] if v in fw[w]) for v in range(V)]
+    assert len(df) == V
+    assert (df["scc"].to_numpy() == np.array(want, np.int64)).all()
+    assert phases <= 16
