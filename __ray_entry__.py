@@ -364,6 +364,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_adamic_adar": cq.graph_adamic_adar,
         "graph_walks": cq.graph_walks,
         "graph_scc": cq.graph_scc,
+        "graph_import_depth": cq.graph_import_depth,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1298,6 +1299,50 @@ def oracle_sql() -> dict[str, str]:
             FROM vid
             LEFT JOIN (SELECT u, MIN(v) AS mn FROM mutual GROUP BY u) m
               ON m.u = vid.v""",
+        "graph_import_depth": f"""
+            -- dependency depth on the SCC condensation DAG: scc labels
+            -- via the same transitive-closure mutual-reachability as
+            -- graph_scc, cross-SCC edges deduplicated, depth(c) =
+            -- longest path ending at c (path-length enumeration + MAX;
+            -- terminates because the condensation is acyclic)
+            WITH RECURSIVE {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            de AS (
+              SELECT vs.v AS u, vd.v AS t FROM import_edges e
+              JOIN vid vs ON vs.key = e.src_repo || '|' || e.src_path
+              JOIN vid vd ON vd.key = e.dst_repo || '|' || e.dst_path),
+            reach(a, b) AS (
+              SELECT u, t FROM de
+              UNION
+              SELECT r.a, d.t FROM reach r JOIN de d ON d.u = r.b),
+            mutual AS (
+              SELECT r1.a AS u, r1.b AS v
+              FROM reach r1 JOIN reach r2
+                ON r2.a = r1.b AND r2.b = r1.a),
+            sccl AS (
+              SELECT vid.v AS vertex,
+                     CAST(LEAST(vid.v, COALESCE(m.mn, vid.v)) AS BIGINT)
+                       AS scc
+              FROM vid
+              LEFT JOIN (SELECT u, MIN(v) AS mn FROM mutual GROUP BY u) m
+                ON m.u = vid.v),
+            ce AS (
+              SELECT DISTINCT s1.scc AS a, s2.scc AS b
+              FROM de
+              JOIN sccl s1 ON s1.vertex = de.u
+              JOIN sccl s2 ON s2.vertex = de.t
+              WHERE s1.scc <> s2.scc),
+            paths(c, d) AS (
+              SELECT b, 1 FROM ce
+              UNION
+              SELECT ce.b, p.d + 1 FROM paths p JOIN ce ON ce.a = p.c),
+            dep AS (SELECT c, MAX(d) AS depth FROM paths GROUP BY c)
+            SELECT s.vertex, s.scc,
+                   CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth
+            FROM sccl s LEFT JOIN dep ON dep.c = s.scc""",
         "graph_labelprop": _labelprop_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),

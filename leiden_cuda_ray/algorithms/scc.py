@@ -37,7 +37,8 @@ import ray
 
 from leiden_cuda_ray.algorithms.common import local_src_per_slot
 from leiden_cuda_ray.algorithms.hits import build_directed_parts
-from leiden_cuda_ray.graph.runtime import fanout, segmin_by_key, shard_by_owner
+from leiden_cuda_ray.graph.runtime import (fanout, segmax_by_key,
+                                           segmin_by_key, shard_by_owner)
 
 
 @ray.remote
@@ -154,3 +155,129 @@ def strongly_connected_components(pairs_ds, V: int, P: int | None = None,
     raise ValueError(
         f"SCC peeling did not converge within {max_phases} phases — "
         f"pathological chain structure; raise max_phases")
+
+
+@ray.remote
+def _push_depth(csr, dep, active, bsize, P):
+    """Push dep(src)+1 along this partition's directed CSR slots whose
+    src depth changed last superstep (max-relaxation frontier)."""
+    src_slot = local_src_per_slot(csr)
+    sel = active[src_slot]
+    ids, maxs = segmax_by_key(csr["indices"][sel], dep[src_slot][sel] + 1)
+    shards = shard_by_owner(ids, bsize, P, maxs)
+    if P == 1:
+        return shards[0]
+    return tuple(shards)
+
+
+@ray.remote
+def _reduce_depth(dep, vlo, *shards):
+    new = dep.copy()
+    for ids, maxs in shards:
+        np.maximum.at(new, ids - vlo, maxs)
+    changed = new != dep
+    return new, changed, int(changed.sum())
+
+
+@ray.remote
+def _emit_depth(vlo: int, dep) -> pa.Table:
+    return pa.table({
+        "vertex": pa.array(np.arange(vlo, vlo + len(dep), dtype=np.int64),
+                           pa.int64()),
+        "depth": pa.array(dep, pa.int64()),
+    })
+
+
+def dag_depth(pairs_ds, V: int, P: int | None = None,
+              max_iterations: int = 10_000):
+    """Dataset[src:int64, dst:int64] (distinct directed edges of an
+    ACYCLIC graph) → Dataset[vertex:int64, depth:int64] over all V ids,
+    where depth(v) = length of the longest directed path ending at v
+    (0 for sources and edge-free ids).
+
+    Frontier max-relaxation: a vertex pushes dep+1 along its out-edges
+    only in the superstep after its depth grew, so total push volume is
+    Σ_v out-deg(v) · (#times dep(v) grows) ≤ E · L — and each superstep's
+    wave shrinks to the vertices whose longest path actually lengthened.
+    Converges in exactly L+1 supersteps (L = longest path); a CYCLE in
+    the input would relax forever, so exhausting max_iterations raises
+    LOUDLY naming the cause rather than returning a partial answer."""
+    import ray.data
+
+    fwd, _rev, bsize, P, ranges = build_directed_parts(pairs_ds, V, P)
+
+    @ray.remote(num_returns=2)
+    def _zeros(vlo, vhi):
+        nv = vhi - vlo
+        return np.zeros(nv, np.int64), np.ones(nv, bool)
+
+    inits = [_zeros.remote(ranges[i][0], ranges[i][1]) for i in range(P)]
+    deps = [o[0] for o in inits]
+    actives = [o[1] for o in inits]
+    for _ in range(max_iterations):
+        shards = fanout(
+            _push_depth,
+            [(fwd[i], deps[i], actives[i], bsize, P) for i in range(P)], P)
+        outs = [
+            _reduce_depth.options(num_returns=3).remote(
+                deps[j], ranges[j][0], *shards[j])
+            for j in range(P)
+        ]
+        deps = [o[0] for o in outs]
+        actives = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:
+            blocks = [_emit_depth.remote(ranges[j][0], deps[j])
+                      for j in range(P)]
+            return ray.data.from_arrow_refs(blocks)
+    raise ValueError(
+        f"dag_depth did not converge in {max_iterations} supersteps — "
+        f"the input graph almost certainly contains a directed cycle "
+        f"(run strongly_connected_components and condense first)")
+
+
+def condensation_depth(pairs_ds, V: int, P: int | None = None):
+    """Dataset[src, dst] (distinct directed edges) → Dataset[vertex:int64,
+    scc:int64, depth:int64]: each vertex's SCC label (min member id) and
+    the dependency depth of that SCC in the condensation DAG — the
+    longest chain of cross-SCC edges ending at the component (0 for
+    components nobody imports from... i.e. no incoming cross-SCC edge).
+
+    Composition, all distributed: strongly_connected_components supplies
+    labels; edges map into SCC space via two int-key hash joins (E rows
+    each, no O(V) broadcast); the cross-SCC pairs deduplicate through the
+    fused-key exchange (canonicalize_edges directed distinct); dag_depth
+    max-relaxes over the condensation, which is acyclic BY CONSTRUCTION —
+    so its cycle guard doubles as an SCC correctness assertion."""
+    from leiden_cuda_ray.stages.edges import canonicalize_edges
+    from leiden_cuda_ray.stages.joins import hash_join
+
+    scc_ds, _phases = strongly_connected_components(pairs_ds, V, P)
+
+    j1 = hash_join(pairs_ds, scc_ds, on=("src",), right_on=("vertex",))
+
+    def keep1(batch: pa.Table) -> pa.Table:
+        return pa.table({"cu": batch.column("scc"),
+                         "dst": batch.column("dst")})
+
+    j2 = hash_join(j1.map_batches(keep1, batch_format="pyarrow"),
+                   scc_ds, on=("dst",), right_on=("vertex",))
+
+    def cross(batch: pa.Table) -> pa.Table:
+        cu = np.asarray(batch.column("cu"), np.int64)
+        cv = np.asarray(batch.column("scc"), np.int64)
+        m = cu != cv
+        return pa.table({"src": pa.array(cu[m], pa.int64()),
+                         "dst": pa.array(cv[m], pa.int64())})
+
+    cond = canonicalize_edges(j2.map_batches(cross, batch_format="pyarrow"),
+                              sum_weights=False, V=V, directed=True)
+    dep = dag_depth(cond, V, P)
+
+    out = hash_join(scc_ds, dep, on=("scc",), right_on=("vertex",))
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({"vertex": batch.column("vertex"),
+                         "scc": batch.column("scc"),
+                         "depth": batch.column("depth")})
+
+    return out.map_batches(finish, batch_format="pyarrow")

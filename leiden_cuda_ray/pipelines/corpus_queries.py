@@ -673,6 +673,18 @@ def graph_scc(sf_dir: str):
     return res
 
 
+def graph_import_depth(sf_dir: str):
+    """Dependency depth over the import graph's SCC condensation
+    (algorithms/scc.py::condensation_depth): each file's SCC label and
+    the longest chain of cross-SCC import edges ending at its component.
+    The dag_depth cycle guard doubles as an SCC correctness assertion —
+    a wrong SCC labeling would leave a cycle and fail LOUDLY."""
+    from leiden_cuda_ray.algorithms.scc import condensation_depth
+
+    pairs, _numbering, V = _import_vid_pairs(sf_dir)
+    return condensation_depth(pairs, V)
+
+
 def graph_components(sf_dir: str):
     from leiden_cuda_ray.algorithms.components import connected_components
 

@@ -772,3 +772,97 @@ def test_scc_brute_force(seed, P):
     assert len(df) == V
     assert (df["scc"].to_numpy() == np.array(want, np.int64)).all()
     assert phases <= 16
+
+
+@pytest.mark.parametrize("seed,P", [(5, 1), (5, 4), (17, 3)])
+def test_dag_depth_brute_force(seed, P):
+    """dag_depth must equal longest-path-length-ending-at-v on random
+    DAGs (edges forced low→high id, so acyclic by construction)."""
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.scc import dag_depth
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 120
+    a = rng.randint(0, V, E).astype(np.int64)
+    b = rng.randint(0, V, E).astype(np.int64)
+    m = a != b
+    src = np.minimum(a[m], b[m])
+    dst = np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    ds = ray.data.from_arrow(pa.table({"src": pairs[:, 0],
+                                       "dst": pairs[:, 1]}))
+    df = (dag_depth(ds, V, P=P).to_pandas()
+          .sort_values("vertex").reset_index(drop=True))
+
+    want = np.zeros(V, np.int64)
+    for u, v in pairs:  # pairs sorted by (src, dst); src<dst = topo order
+        want[v] = max(want[v], want[u] + 1)
+    assert len(df) == V
+    assert (df["depth"].to_numpy() == want).all()
+
+
+def test_dag_depth_cycle_is_loud():
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.scc import dag_depth
+
+    ds = ray.data.from_arrow(pa.table(
+        {"src": np.array([0, 1, 2], np.int64),
+         "dst": np.array([1, 2, 0], np.int64)}))
+    with pytest.raises(ValueError, match="cycle"):
+        dag_depth(ds, 3, P=2, max_iterations=20)
+
+
+@pytest.mark.parametrize("seed,P", [(3, 1), (3, 4), (29, 3)])
+def test_condensation_depth_brute_force(seed, P):
+    """condensation_depth must equal the longest cross-SCC chain ending
+    at each vertex's component, computed by brute force (mutual-reach
+    SCCs + memoized longest path on the condensation)."""
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.scc import condensation_depth
+
+    rng = np.random.RandomState(seed)
+    V, E = 40, 90
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([src[m], dst[m]], 1), axis=0)
+    ds = ray.data.from_arrow(pa.table({"src": pairs[:, 0],
+                                       "dst": pairs[:, 1]}))
+    df = (condensation_depth(ds, V, P=P).to_pandas()
+          .sort_values("vertex").reset_index(drop=True))
+
+    adj = [[] for _ in range(V)]
+    for u, v in pairs:
+        adj[u].append(int(v))
+
+    def reach(s):
+        seen = {s}
+        st = [s]
+        while st:
+            x = st.pop()
+            for y in adj[x]:
+                if y not in seen:
+                    seen.add(y)
+                    st.append(y)
+        return seen
+
+    fw = [reach(v) for v in range(V)]
+    scc = [min(w for w in fw[v] if v in fw[w]) for v in range(V)]
+    cond = {(scc[u], scc[v]) for u, v in pairs if scc[u] != scc[v]}
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def depth(c):
+        preds = [a for a, b in cond if b == c]
+        return 0 if not preds else 1 + max(depth(a) for a in preds)
+
+    assert len(df) == V
+    assert (df["scc"].to_numpy() == np.array(scc, np.int64)).all()
+    want = np.array([depth(c) for c in scc], np.int64)
+    assert (df["depth"].to_numpy() == want).all()
