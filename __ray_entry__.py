@@ -365,6 +365,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_walks": cq.graph_walks,
         "graph_scc": cq.graph_scc,
         "graph_import_depth": cq.graph_import_depth,
+        "graph_mis": cq.graph_mis,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -693,6 +694,72 @@ w0 AS (
   WHERE u % {seed_mod} = 0),
 {','.join(steps)}
 {' UNION ALL '.join(sel)}"""
+
+
+def _mis_sql(rounds: int = 16, seed: int = 11) -> str:
+    """Unrolled fixed-priority Luby MIS matching algorithms/mis.py
+    exactly: key(v) = (splitmix64(v, seed) >> 32) · V + v via the proven
+    HUGEINT transcription (_splitmix_split_sql), then per round an alive
+    vertex joins iff its key < every alive neighbor's key, and alive
+    shrinks by the joiners and their neighbors. The engine asserts it
+    converged within `rounds` (corpus_queries.graph_mis), so the trailing
+    unrolled rounds are no-ops on an empty alive set."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    steps = []
+    for k in range(rounds):
+        steps.append(f"""
+j{k} AS MATERIALIZED (
+  SELECT a.v FROM a{k} a JOIN kv ka ON ka.v = a.v
+  WHERE NOT EXISTS (
+    SELECT 1 FROM sym s
+    JOIN a{k} w ON w.v = s.t
+    JOIN kv kb ON kb.v = s.t
+    WHERE s.u = a.v AND kb.key < ka.key)),
+a{k + 1} AS MATERIALIZED (
+  SELECT v FROM a{k}
+  WHERE v NOT IN (SELECT v FROM j{k})
+    AND v NOT IN (SELECT s.t FROM sym s JOIN j{k} j ON j.v = s.u))""")
+    joins = " UNION ALL ".join(f"SELECT v FROM j{k}" for k in range(rounds))
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+wedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM wpair),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v
+  UNION ALL
+  SELECT vb.v, va.v FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v),
+s0 AS (SELECT v, (CAST(v AS HUGEINT) + {a_seed}) % {m64} AS x FROM vid),
+s1 AS (SELECT v, CAST(xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+s2 AS (SELECT v, {mulmod} AS x FROM s1),
+s3 AS (SELECT v, xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 27) AS x FROM s2),
+kv AS MATERIALIZED (
+  SELECT v, CAST(x >> 32 AS BIGINT)
+            * (SELECT COUNT(*) FROM vid) + v AS key
+  FROM s3),
+a0 AS MATERIALIZED (SELECT v FROM vid),
+{','.join(steps)},
+mis AS ({joins})
+SELECT vid.v AS vertex,
+       CAST(CASE WHEN mis.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
+FROM vid LEFT JOIN mis ON mis.v = vid.v"""
 
 
 def _labelprop_sql(iters: int = 25) -> str:
@@ -1344,6 +1411,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(COALESCE(dep.depth, 0) AS BIGINT) AS depth
             FROM sccl s LEFT JOIN dep ON dep.c = s.scc""",
         "graph_labelprop": _labelprop_sql(),
+        "graph_mis": _mis_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_leiden_conductance": _leiden_conductance_sql(),

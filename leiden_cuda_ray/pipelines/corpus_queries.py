@@ -685,6 +685,22 @@ def graph_import_depth(sf_dir: str):
     return condensation_depth(pairs, V)
 
 
+def graph_mis(sf_dir: str, max_oracle_rounds: int = 16):
+    """Deterministic maximal independent set over the canonical corpus
+    graph (algorithms/mis.py — fixed-priority Luby ≡ greedy MIS in
+    ascending mis_key order). The round count is asserted ≤ the oracle's
+    unroll depth so post-fixpoint oracle rounds are provably no-ops."""
+    from leiden_cuda_ray.algorithms.mis import maximal_independent_set
+
+    graph, _ = _build_graph(sf_dir)
+    ds, rounds = maximal_independent_set(graph, seed=11)
+    if rounds > max_oracle_rounds:
+        raise ValueError(
+            f"MIS used {rounds} rounds > oracle unroll "
+            f"{max_oracle_rounds}; deepen the SQL unroll")
+    return ds
+
+
 def graph_components(sf_dir: str):
     from leiden_cuda_ray.algorithms.components import connected_components
 

@@ -866,3 +866,48 @@ def test_condensation_depth_brute_force(seed, P):
     assert (df["scc"].to_numpy() == np.array(scc, np.int64)).all()
     want = np.array([depth(c) for c in scc], np.int64)
     assert (df["depth"].to_numpy() == want).all()
+
+
+@pytest.mark.parametrize("seed,P", [(1, 1), (1, 4), (23, 3), (42, 5)])
+def test_mis_greedy_equivalence(seed, P):
+    """The parallel fixed-priority Luby MIS must equal the SEQUENTIAL
+    greedy MIS taken in ascending mis_key order, at any partitioning;
+    isolated vertices always join."""
+    from leiden_cuda_ray.algorithms.mis import (maximal_independent_set,
+                                                mis_key)
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 140
+    a = rng.randint(0, V - 5, E).astype(np.int64)  # 5 isolated vertices
+    b = rng.randint(0, V - 5, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=P)
+    ds, rounds = maximal_independent_set(g, seed=11)
+    df = ds.to_pandas().sort_values("vertex").reset_index(drop=True)
+
+    keys = mis_key(np.arange(V, dtype=np.int64), V, 11)
+    adj = [set() for _ in range(V)]
+    for u, v in pairs:
+        adj[u].add(int(v))
+        adj[v].add(int(u))
+    want = np.zeros(V, np.int64)
+    dead = np.zeros(V, bool)
+    for v in np.argsort(keys):
+        if not dead[v]:
+            want[v] = 1
+            dead[v] = True
+            for u in adj[v]:
+                dead[u] = True
+    assert len(df) == V
+    assert (df["in_mis"].to_numpy() == want).all()
+    assert want[V - 5:].all()  # isolated vertices are all in the MIS
+    # independence + maximality directly
+    got = df["in_mis"].to_numpy().astype(bool)
+    for u, v in pairs:
+        assert not (got[u] and got[v])
+    for v in range(V):
+        assert got[v] or any(got[u] for u in adj[v])
+    assert rounds <= 20
