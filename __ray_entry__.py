@@ -202,6 +202,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _write_partition(sf_dir, ids, "embedding_dup_pairs")
         return ids
 
+    def q_dup_clusters(sf_dir):
+        """Near-dup CLUSTER assignment: connected components over the
+        near-dup pair stream, cluster = min vec_id in the mutual-dup
+        component, keeper = 1 for that minimum (the row dedup would
+        retain). The pair stream here is the exact brute-force join so
+        the whole composition is oracle-checkable; at scale the same
+        components_from_pairs runs over the LSH pair stream
+        (functions/dedup.py::embedding_dup_pairs)."""
+        import pyarrow.compute as pc
+
+        from leiden_cuda_ray.algorithms.scc import components_from_pairs
+        from leiden_cuda_ray.stages.joins import hash_join
+
+        emb = _emb(sf_dir)
+        pairs = dedup.embedding_dup_pairs_exact(emb, threshold=0.45)
+
+        def to_sd(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "src": pc.cast(batch.column("vec_a"), pa.int64()),
+                "dst": pc.cast(batch.column("vec_b"), pa.int64()),
+            })
+
+        ids = emb.select_columns(["vec_id"])
+        V = int(ids.max("vec_id")) + 1
+        labels = components_from_pairs(
+            pairs.map_batches(to_sd, batch_format="pyarrow"), V)
+        # inner-join onto the real id set: correct even if vec_id were
+        # sparse (labels emits every id in [0, V))
+        j = hash_join(labels, ids, on=("vertex",), right_on=("vec_id",))
+
+        def fin(batch: pa.Table) -> pa.Table:
+            v = np.asarray(batch.column("vertex"), np.int64)
+            c = np.asarray(batch.column("component"), np.int64)
+            return pa.table({
+                "vec_id": pa.array(v, pa.int64()),
+                "cluster": pa.array(c, pa.int64()),
+                "keeper": pa.array((v == c).astype(np.int64), pa.int64()),
+            })
+
+        return j.map_batches(fin, batch_format="pyarrow")
+
     def q_embedding_dups(sf_dir):
         # testdata embeddings have no true near-dups (max cosine ≈ 0.51);
         # 0.45 surfaces the same-cluster "near" pairs. The arrow projection
@@ -343,6 +384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_pairs_consistency": q_simhash_pairs,
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
+        "dup_clusters": q_dup_clusters,
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1219,6 +1261,29 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
             FROM documents""",
+        "dup_clusters": """
+            -- connected components over the exact near-dup pairs:
+            -- cluster = min vec_id reachable through the undirected dup
+            -- graph (transitive closure), keeper = the minimum itself
+            WITH RECURSIVE pr AS (
+              SELECT a.vec_id AS u, b.vec_id AS w
+              FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(
+                  CAST(a.embedding AS DOUBLE[]),
+                  CAST(b.embedding AS DOUBLE[])) >= 0.45),
+            sym AS (SELECT u, w FROM pr UNION SELECT w, u FROM pr),
+            reach(a, b) AS (
+              SELECT u, w FROM sym
+              UNION
+              SELECT r.a, s.w FROM reach r JOIN sym s ON s.u = r.b),
+            mn AS (SELECT a, MIN(b) AS m FROM reach GROUP BY a)
+            SELECT e.vec_id,
+                   CAST(LEAST(e.vec_id, COALESCE(mn.m, e.vec_id))
+                        AS BIGINT) AS cluster,
+                   CAST(CASE WHEN LEAST(e.vec_id,
+                            COALESCE(mn.m, e.vec_id)) = e.vec_id
+                        THEN 1 ELSE 0 END AS BIGINT) AS keeper
+            FROM embeddings e LEFT JOIN mn ON mn.a = e.vec_id""",
         "embedding_dups_exact": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
                    ROUND(list_cosine_similarity(

@@ -157,6 +157,82 @@ def strongly_connected_components(pairs_ds, V: int, P: int | None = None,
         f"pathological chain structure; raise max_phases")
 
 
+def components_from_pairs(pairs_ds, V: int, P: int | None = None,
+                          max_iterations: int = 10_000):
+    """Dataset[src:int64, dst:int64] (directed OR undirected pair
+    stream) → Dataset[vertex:int64, component:int64] over all V ids,
+    where component = min id connected to the vertex ignoring edge
+    direction (edge-free ids are singletons).
+
+    This is min-label propagation over the symmetrized graph — the same
+    frontier fixpoint SCC's phases run, but one pass total because
+    symmetric reachability IS connectivity. Unlike
+    algorithms/components.py (which takes a built CSR Graph), this
+    operates directly on a pair stream in a sparse id space — the shape
+    dedup-cluster assignment needs, where building a full corpus Graph
+    for a handful of near-dup pairs would be waste."""
+    import ray.data
+
+    fwd, rev, bsize, P, ranges = build_directed_parts(pairs_ds, V, P)
+
+    @ray.remote
+    def _ones(vlo, vhi):
+        return np.ones(vhi - vlo, bool)
+
+    alives = [_ones.remote(ranges[i][0], ranges[i][1]) for i in range(P)]
+    # push along BOTH direction partitions each superstep: fwd CSR rows
+    # push src→dst, rev CSR rows push dst→src — together the symmetric
+    # relaxation, without materializing a symmetrized edge copy
+    labels = _propagate_min_sym(fwd, rev, alives, ranges, bsize, P,
+                                max_iterations)
+    blocks = [
+        _emit_labeled.remote(ranges[j][0], labels[j], "component")
+        for j in range(P)
+    ]
+    return ray.data.from_arrow_refs(blocks)
+
+
+def _propagate_min_sym(fwd, rev, alives, ranges, bsize, P,
+                       max_iterations: int) -> list:
+    """Min-label fixpoint pushing along fwd AND rev partitions (the
+    symmetrized relaxation); otherwise identical to _propagate_min."""
+    inits = [_init_labels.options(num_returns=2).remote(
+        ranges[i][0], ranges[i][1], alives[i]) for i in range(P)]
+    labels = [o[0] for o in inits]
+    actives = [o[1] for o in inits]
+    for _ in range(max_iterations):
+        shards_f = fanout(
+            _push_min_alive,
+            [(fwd[i], labels[i], alives[i], actives[i], bsize, P)
+             for i in range(P)], P)
+        shards_r = fanout(
+            _push_min_alive,
+            [(rev[i], labels[i], alives[i], actives[i], bsize, P)
+             for i in range(P)], P)
+        outs = [
+            _reduce_min_alive.options(num_returns=3).remote(
+                labels[j], alives[j], ranges[j][0],
+                *shards_f[j], *shards_r[j])
+            for j in range(P)
+        ]
+        labels = [o[0] for o in outs]
+        actives = [o[1] for o in outs]
+        if sum(ray.get([o[2] for o in outs])) == 0:
+            return labels
+    raise ValueError(
+        f"component label propagation did not converge in "
+        f"{max_iterations} supersteps")
+
+
+@ray.remote
+def _emit_labeled(vlo: int, lab, colname: str) -> pa.Table:
+    return pa.table({
+        "vertex": pa.array(np.arange(vlo, vlo + len(lab), dtype=np.int64),
+                           pa.int64()),
+        colname: pa.array(lab, pa.int64()),
+    })
+
+
 @ray.remote
 def _push_depth(csr, dep, active, bsize, P):
     """Push dep(src)+1 along this partition's directed CSR slots whose

@@ -868,6 +868,41 @@ def test_condensation_depth_brute_force(seed, P):
     assert (df["depth"].to_numpy() == want).all()
 
 
+@pytest.mark.parametrize("seed,P", [(7, 1), (7, 4), (19, 3)])
+def test_components_from_pairs_brute_force(seed, P):
+    """Min-label components over a raw (directed) pair stream must equal
+    undirected connectivity min ids, at any partitioning; edge-free ids
+    are singletons."""
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.algorithms.scc import components_from_pairs
+
+    rng = np.random.RandomState(seed)
+    V, E = 50, 40  # sparse: several components + isolated ids
+    src = rng.randint(0, V, E).astype(np.int64)
+    dst = rng.randint(0, V, E).astype(np.int64)
+    m = src != dst
+    pairs = np.unique(np.stack([src[m], dst[m]], 1), axis=0)
+    ds = ray.data.from_arrow(pa.table({"src": pairs[:, 0],
+                                       "dst": pairs[:, 1]}))
+    df = (components_from_pairs(ds, V, P=P).to_pandas()
+          .sort_values("vertex").reset_index(drop=True))
+
+    lab = np.arange(V)
+    for _ in range(V):
+        changed = False
+        for u, v in pairs:
+            m2 = min(lab[u], lab[v])
+            if lab[u] != m2 or lab[v] != m2:
+                lab[u] = lab[v] = m2
+                changed = True
+        if not changed:
+            break
+    assert len(df) == V
+    assert (df["component"].to_numpy() == lab).all()
+
+
 @pytest.mark.parametrize("seed,P", [(1, 1), (1, 4), (23, 3), (42, 5)])
 def test_mis_greedy_equivalence(seed, P):
     """The parallel fixed-priority Luby MIS must equal the SEQUENTIAL
