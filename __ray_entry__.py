@@ -202,6 +202,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _write_partition(sf_dir, ids, "embedding_dup_pairs")
         return ids
 
+    def q_heavy_hitters(sf_dir):
+        """Exact global top-40 tokens via a Misra-Gries candidate sketch
+        + exact verify pass; the engine's certificate (k-th exact count
+        > accumulated sketch undercount) guarantees equality with the
+        oracle's plain wordcount — a failed certificate raises instead
+        of returning an approximation (functions/text.py::heavy_hitters)."""
+        from leiden_cuda_ray.functions.text import heavy_hitters
+
+        return heavy_hitters(_docs(sf_dir), k=40, capacity=512)
+
     def q_dup_clusters(sf_dir):
         """Near-dup CLUSTER assignment: connected components over the
         near-dup pair stream, cluster = min vec_id in the mutual-dup
@@ -385,6 +395,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups": q_embedding_dups,
         "embedding_dups_exact": q_embedding_dups_exact,
         "dup_clusters": q_dup_clusters,
+        "heavy_hitters": q_heavy_hitters,
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1261,6 +1272,20 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
             FROM documents""",
+        "heavy_hitters": """
+            -- exact global token top-40 (the engine's MG sketch +
+            -- verify pass certifies equality with this plain count)
+            WITH toks AS (
+              SELECT unnest(regexp_extract_all(text, '\\S+')) AS term
+              FROM documents),
+            cnts AS (SELECT term, COUNT(*) AS cnt FROM toks
+                     GROUP BY term),
+            rk AS (SELECT term, CAST(cnt AS BIGINT) AS cnt,
+                          ROW_NUMBER() OVER (ORDER BY cnt DESC, term ASC)
+                            AS rnk
+                   FROM cnts)
+            SELECT term, cnt, CAST(rnk AS BIGINT) AS rnk
+            FROM rk WHERE rnk <= 40""",
         "dup_clusters": """
             -- connected components over the exact near-dup pairs:
             -- cluster = min vec_id reachable through the undirected dup

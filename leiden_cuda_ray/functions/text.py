@@ -385,3 +385,149 @@ def tfidf_topk(ds, k: int = 5, max_vocab: int = 20_000_000):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _TfidfScorer, fn_constructor_args=(df_ref, n_docs, k),
         concurrency=(1, 4), batch_format="pyarrow")
+
+
+# ------------------------------------------------------- heavy hitters ----
+
+def _mg_compress(terms: np.ndarray, counts: np.ndarray, cap: int):
+    """Misra-Gries compress to at most `cap` counters: subtract the
+    (cap+1)-th largest count from every counter and drop the
+    non-positive. At most cap counts strictly exceed that threshold, so
+    the survivor set fits; every counter undercounts by at most the
+    subtracted value. Returns (terms, counts, subtracted)."""
+    if len(terms) <= cap:
+        return terms, counts, 0
+    t = int(np.partition(counts, len(counts) - cap - 1)
+            [len(counts) - cap - 1])
+    keep = counts > t
+    return terms[keep], counts[keep] - t, t
+
+
+def _mg_partial(cap: int):
+    """Per-batch Misra-Gries sketch: exact factorize+bincount counts for
+    the block's own vocabulary, then one compress. Emits (term, cnt)
+    rows plus the block's accumulated undercount in `err` (set on the
+    first row, 0 elsewhere, so a plain SUM(err) is the stream total)."""
+    def fn(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        codes, uniques = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+        terms, cnt, sub = _mg_compress(np.asarray(uniques, object), cnt,
+                                       cap)
+        err = np.zeros(len(terms), np.int64)
+        if len(err):
+            err[0] = sub
+        return pa.table({
+            "term": pa.array(terms, pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+            "err": pa.array(err, pa.int64()),
+        })
+
+    return fn
+
+
+def heavy_hitters(ds, k: int = 40, capacity: int = 512):
+    """documents → the k globally most frequent '\\S+' tokens with EXACT
+    counts and a machine-checked exactness certificate: (term, cnt, rnk),
+    rnk by cnt DESC then term ASC.
+
+    Two passes, both bounded-memory — the 100-TB shape for top-k over an
+    unbounded vocabulary (where vocab_topk's full-vocabulary merge would
+    shuffle every distinct term):
+
+    1. CANDIDATES: per-batch Misra-Gries sketches of `capacity` counters
+       (each block compresses to O(capacity) rows before anything
+       shuffles); one merge task sums + recompresses, so the driver pulls
+       at most `capacity` candidate rows. The accumulated subtraction
+       total `err` is an exact bound: any token absent from the merged
+       sketch has true count ≤ err.
+    2. VERIFY: one more streaming pass counts ONLY the ≤capacity
+       candidate terms exactly (the candidate set is an O(capacity)
+       per-task broadcast), and the top-k by exact count is emitted.
+
+    Certificate: k-th exact count > err ⟹ no non-candidate can reach the
+    top-k, so the result equals the exact top-k. Violation raises LOUD
+    with the measured margin — never a silently approximate answer.
+    """
+    import pandas as pd
+
+    texts = ds.select_columns(["text"])
+    partials = texts.map_batches(_mg_partial(capacity),
+                                 batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def merge_sketch(batch: pa.Table) -> pa.Table:
+        terms = batch.column("term").to_numpy(zero_copy_only=False)
+        cnts = np.asarray(batch.column("cnt"), np.int64)
+        err = int(np.asarray(batch.column("err"), np.int64).sum())
+        codes, uniq = pd.factorize(terms)
+        csum = np.bincount(codes, weights=cnts,
+                           minlength=len(uniq)).astype(np.int64)
+        ct, cc, sub = _mg_compress(np.asarray(uniq, object), csum,
+                                   capacity)
+        e = np.zeros(len(ct), np.int64)
+        if len(e):
+            e[0] = err + sub
+        return pa.table({"term": pa.array(ct, pa.string()),
+                         "cnt": pa.array(cc, pa.int64()),
+                         "err": pa.array(e, pa.int64())})
+
+    sk = (partials.repartition(1)
+          .map_batches(merge_sketch, batch_format="pyarrow",
+                       batch_size=None).take_all())
+    cand = pa.array([r["term"] for r in sk], pa.string())
+    err_total = int(sum(r["err"] for r in sk))
+
+    def count_cands(batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        flat = pc.list_flatten(toks)
+        flat = flat.filter(pc.not_equal(flat, ""))
+        arr = flat.to_numpy(zero_copy_only=False)
+        codes2, uniq2 = pd.factorize(arr)
+        cnt2 = np.bincount(codes2, minlength=len(uniq2)).astype(np.int64)
+        ua = pa.array(np.asarray(uniq2, object), pa.string())
+        keep = pc.is_in(ua, value_set=cand).to_numpy(zero_copy_only=False)
+        return pa.table({
+            "term": ua.filter(pa.array(keep)),
+            "cnt": pa.array(cnt2[keep], pa.int64()),
+        })
+
+    def merge_exact(batch: pa.Table) -> pa.Table:
+        et = batch.column("term").to_numpy(zero_copy_only=False)
+        ec = np.asarray(batch.column("cnt"), np.int64)
+        codes3, uniq3 = pd.factorize(et)
+        esum = np.bincount(codes3, weights=ec,
+                           minlength=len(uniq3)).astype(np.int64)
+        order = np.lexsort((np.asarray(uniq3, object), -esum))
+        topk = order[:k]
+        return pa.table({
+            "term": pa.array(np.asarray(uniq3, object)[topk],
+                             pa.string()),
+            "cnt": pa.array(esum[topk], pa.int64()),
+            "rnk": pa.array(np.arange(1, len(topk) + 1, dtype=np.int64),
+                            pa.int64()),
+        })
+
+    top = (texts.map_batches(count_cands, batch_format="pyarrow",
+                             zero_copy_batch=True)
+           .repartition(1)
+           .map_batches(merge_exact, batch_format="pyarrow",
+                        batch_size=None).take_all())
+    kth = int(top[-1]["cnt"]) if len(top) else 0
+    # fewer than k candidates only proves a complete answer when the
+    # sketch never compressed (err 0 ⟹ it IS the exact full count table)
+    if (kth <= err_total) or (len(top) < k and err_total > 0):
+        raise ValueError(
+            f"heavy_hitters certificate FAILED: {len(top)} candidates, "
+            f"k-th exact count {kth} vs sketch undercount bound "
+            f"{err_total}; a non-candidate could belong to the top-{k} "
+            f"— raise capacity (={capacity}) and rerun")
+    return pa.table({
+        "term": pa.array([r["term"] for r in top], pa.string()),
+        "cnt": pa.array([r["cnt"] for r in top], pa.int64()),
+        "rnk": pa.array([r["rnk"] for r in top], pa.int64()),
+    })

@@ -481,3 +481,41 @@ def test_tfidf_topk_matches_pandas_and_is_blocking_invariant():
     for c in ["doc_id", "tf", "df", "rnk"]:
         want[c] = want[c].astype("int64")
     pd.testing.assert_frame_equal(got1, want)
+
+
+def test_heavy_hitters_exact_with_certificate():
+    """heavy_hitters must equal the exact Counter top-k (count DESC,
+    term ASC) whenever the certificate passes — at any blocking — and
+    the too-small-capacity path must fail LOUD, never approximate."""
+    from collections import Counter
+
+    import pytest as _pytest
+
+    from leiden_cuda_ray.functions.text import heavy_hitters
+
+    rng = np.random.RandomState(9)
+    # zipf-ish: token i has weight ~ 1/(i+1)
+    vocab = [f"w{i:03d}" for i in range(200)]
+    p = 1.0 / np.arange(1, 201)
+    p /= p.sum()
+    rows = []
+    for i in range(80):
+        text = " ".join(rng.choice(vocab, size=rng.randint(5, 40), p=p))
+        rows.append({"doc_id": i, "text": text})
+    t = pa.Table.from_pylist(rows)
+
+    cnt = Counter()
+    for r in rows:
+        cnt.update(r["text"].split())
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+
+    for n_blocks in (1, 5):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        got = heavy_hitters(ds, k=10, capacity=64).to_pylist()
+        assert [(r["term"], r["cnt"]) for r in got] == want
+        assert [r["rnk"] for r in got] == list(range(1, 11))
+
+    # capacity 2 cannot certify a top-10 over 200 tokens
+    ds = ray.data.from_arrow(t).repartition(5)
+    with _pytest.raises(ValueError, match="certificate FAILED"):
+        heavy_hitters(ds, k=10, capacity=2)
