@@ -419,6 +419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": cq.graph_scc,
         "graph_import_depth": cq.graph_import_depth,
         "graph_mis": cq.graph_mis,
+        "graph_matching": cq.graph_matching,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -813,6 +814,80 @@ mis AS ({joins})
 SELECT vid.v AS vertex,
        CAST(CASE WHEN mis.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
 FROM vid LEFT JOIN mis ON mis.v = vid.v"""
+
+
+def _matching_sql(rounds: int = 24, seed: int = 13) -> str:
+    """Unrolled deterministic handshake matching matching
+    algorithms/matching.py exactly: per round each alive vertex proposes
+    to its min-key alive neighbor (key = the HUGEINT-transcribed
+    mis_key), mutual proposals match, matched endpoints leave. The
+    engine asserts convergence within `rounds`
+    (corpus_queries.graph_matching), so trailing rounds are no-ops."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    steps = []
+    for k in range(rounds):
+        steps.append(f"""
+p{k} AS MATERIALIZED (
+  SELECT u, t FROM (
+    SELECT s.u, s.t,
+           ROW_NUMBER() OVER (PARTITION BY s.u
+               ORDER BY kb.key ASC) AS rn
+    FROM sym s
+    JOIN a{k} au ON au.v = s.u
+    JOIN a{k} av ON av.v = s.t
+    JOIN kv kb ON kb.v = s.t) x
+  WHERE rn = 1),
+m{k} AS MATERIALIZED (
+  SELECT p1.u AS a, p1.t AS b
+  FROM p{k} p1 JOIN p{k} p2 ON p2.u = p1.t AND p2.t = p1.u
+  WHERE p1.u < p1.t),
+a{k + 1} AS MATERIALIZED (
+  SELECT v FROM a{k}
+  WHERE v NOT IN (SELECT a FROM m{k})
+    AND v NOT IN (SELECT b FROM m{k}))""")
+    mm = " UNION ALL ".join(
+        f"SELECT a, b FROM m{k} UNION ALL SELECT b, a FROM m{k}"
+        for k in range(rounds))
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+wedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM wpair),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v
+  UNION ALL
+  SELECT vb.v, va.v FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v),
+s0 AS (SELECT v, (CAST(v AS HUGEINT) + {a_seed}) % {m64} AS x FROM vid),
+s1 AS (SELECT v, CAST(xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+s2 AS (SELECT v, {mulmod} AS x FROM s1),
+s3 AS (SELECT v, xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 27) AS x FROM s2),
+kv AS MATERIALIZED (
+  SELECT v, CAST(x >> 32 AS BIGINT)
+            * (SELECT COUNT(*) FROM vid) + v AS key
+  FROM s3),
+a0 AS MATERIALIZED (SELECT v FROM vid),
+{','.join(steps)},
+mm AS ({mm})
+SELECT vid.v AS vertex,
+       CAST(COALESCE(mm.b, -1) AS BIGINT) AS mate
+FROM vid LEFT JOIN mm ON mm.a = vid.v"""
 
 
 def _labelprop_sql(iters: int = 25) -> str:
@@ -1502,6 +1577,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sccl s LEFT JOIN dep ON dep.c = s.scc""",
         "graph_labelprop": _labelprop_sql(),
         "graph_mis": _mis_sql(),
+        "graph_matching": _matching_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_leiden_conductance": _leiden_conductance_sql(),

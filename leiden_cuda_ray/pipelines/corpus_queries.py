@@ -701,6 +701,21 @@ def graph_mis(sf_dir: str, max_oracle_rounds: int = 16):
     return ds
 
 
+def graph_matching(sf_dir: str, max_oracle_rounds: int = 24):
+    """Deterministic maximal matching over the canonical corpus graph
+    (algorithms/matching.py — greedy handshake with fixed splitmix
+    keys). Round count asserted ≤ the oracle's unroll depth."""
+    from leiden_cuda_ray.algorithms.matching import maximal_matching
+
+    graph, _ = _build_graph(sf_dir)
+    ds, rounds = maximal_matching(graph, seed=13, max_rounds=256)
+    if rounds > max_oracle_rounds:
+        raise ValueError(
+            f"matching used {rounds} rounds > oracle unroll "
+            f"{max_oracle_rounds}; deepen the SQL unroll")
+    return ds
+
+
 def graph_components(sf_dir: str):
     from leiden_cuda_ray.algorithms.components import connected_components
 

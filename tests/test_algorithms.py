@@ -903,6 +903,55 @@ def test_components_from_pairs_brute_force(seed, P):
     assert (df["component"].to_numpy() == lab).all()
 
 
+@pytest.mark.parametrize("seed,P", [(2, 1), (2, 4), (31, 3)])
+def test_matching_handshake_equivalence(seed, P):
+    """The distributed handshake matching must equal a sequential
+    simulation of the same synchronous rounds, be a valid matching
+    (mate[mate[v]] == v), and be maximal — at any partitioning."""
+    from leiden_cuda_ray.algorithms.matching import maximal_matching
+    from leiden_cuda_ray.algorithms.mis import mis_key
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 120
+    a = rng.randint(0, V - 4, E).astype(np.int64)  # 4 isolated vertices
+    b = rng.randint(0, V - 4, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=P)
+    ds, rounds = maximal_matching(g, seed=13)
+    df = ds.to_pandas().sort_values("vertex").reset_index(drop=True)
+    got = df["mate"].to_numpy()
+
+    keys = mis_key(np.arange(V, dtype=np.int64), V, 13)
+    adj = [set() for _ in range(V)]
+    for u, v in pairs:
+        adj[u].add(int(v))
+        adj[v].add(int(u))
+    mate = np.full(V, -1, np.int64)
+    while True:
+        prop = {}
+        for v in range(V):
+            if mate[v] == -1:
+                alive = [u for u in adj[v] if mate[u] == -1]
+                if alive:
+                    prop[v] = min(alive, key=lambda u: keys[u])
+        if not prop:
+            break
+        for v, u in prop.items():
+            if prop.get(u) == v:
+                mate[v] = u
+                mate[u] = v
+    assert (got == mate).all()
+    matched = np.flatnonzero(got != -1)
+    assert (got[got[matched]] == matched).all()  # involution
+    for u, v in pairs:  # maximal: no edge with both endpoints free
+        assert got[u] != -1 or got[v] != -1
+    assert got[V - 4:].max() == -1  # isolated stay unmatched
+    assert rounds <= 20
+
+
 @pytest.mark.parametrize("seed,P", [(1, 1), (1, 4), (23, 3), (42, 5)])
 def test_mis_greedy_equivalence(seed, P):
     """The parallel fixed-priority Luby MIS must equal the SEQUENTIAL
