@@ -420,6 +420,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_import_depth": cq.graph_import_depth,
         "graph_mis": cq.graph_mis,
         "graph_matching": cq.graph_matching,
+        "graph_spcount": cq.graph_spcount,
+        "graph_betweenness": cq.graph_betweenness,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -814,6 +816,140 @@ mis AS ({joins})
 SELECT vid.v AS vertex,
        CAST(CASE WHEN mis.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
 FROM vid LEFT JOIN mis ON mis.v = vid.v"""
+
+
+def _spcount_sql(levels: int = 16) -> str:
+    """Level-unrolled BFS path counting matching algorithms/spcount.py:
+    lv{d} = the (seed, vertex, σ) rows settled at distance d — σ of a
+    new vertex is the SUM of its level-(d-1) neighbors' σ, computed over
+    every predecessor at once (synchronous levels), and already-settled
+    vertices are excluded via the seen-set anti-join. The engine asserts
+    its true BFS depth ≤ `levels`, so trailing levels are empty no-ops.
+    DuckDB sums BIGINT into HUGEINT (exact); the engine guards σ < 2^53."""
+    steps = []
+    for d in range(1, levels + 1):
+        steps.append(f"""
+lv{d} AS MATERIALIZED (
+  SELECT p.seed, s.u AS v, SUM(p.sigma) AS sigma
+  FROM lv{d - 1} p JOIN sym s ON s.w = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} x
+                    WHERE x.seed = p.seed AND x.v = s.u)
+  GROUP BY p.seed, s.u),
+seen{d} AS MATERIALIZED (
+  SELECT seed, v FROM seen{d - 1}
+  UNION ALL SELECT seed, v FROM lv{d})""")
+    dists = " UNION ALL ".join(
+        f"SELECT seed, v, {d} AS dist, sigma FROM lv{d}"
+        for d in range(levels + 1))
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+wedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM wpair),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v
+  UNION ALL
+  SELECT vb.v, va.v FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v),
+seeds AS (SELECT v FROM vid
+          WHERE v % 97 = 0 AND v < 97 * 4),
+lv0 AS MATERIALIZED (SELECT v AS seed, v, CAST(1 AS BIGINT) AS sigma
+                     FROM seeds),
+seen0 AS MATERIALIZED (SELECT seed, v FROM lv0),
+{','.join(steps)},
+alllv AS ({dists})
+SELECT sd.v AS seed, vid.v AS vertex,
+       CAST(COALESCE(a.dist, -1) AS BIGINT) AS dist,
+       CAST(COALESCE(a.sigma, 0) AS BIGINT) AS sigma
+FROM seeds sd CROSS JOIN vid
+LEFT JOIN alllv a ON a.seed = sd.v AND a.v = vid.v"""
+
+
+def _betweenness_sql(levels: int = 16) -> str:
+    """_spcount_sql's forward levels plus the backward quantized
+    dependency recurrence of spcount.py::betweenness_quantized:
+      dl{d}.dq = σ(v) · Σ over level-(d+1) successors of
+                 (SCALE + dq_succ) // σ_succ
+    — all BIGINT floor-div/multiply/sum, so both sides are bit-exact.
+    dq at the seed itself is emitted as 0 (Brandes convention)."""
+    scale = 1 << 20
+    steps = []
+    for d in range(1, levels + 1):
+        steps.append(f"""
+lv{d} AS MATERIALIZED (
+  SELECT p.seed, s.u AS v, SUM(p.sigma) AS sigma
+  FROM lv{d - 1} p JOIN sym s ON s.w = p.v
+  WHERE NOT EXISTS (SELECT 1 FROM seen{d - 1} x
+                    WHERE x.seed = p.seed AND x.v = s.u)
+  GROUP BY p.seed, s.u),
+seen{d} AS MATERIALIZED (
+  SELECT seed, v FROM seen{d - 1}
+  UNION ALL SELECT seed, v FROM lv{d})""")
+    back = [f"""
+dl{levels} AS MATERIALIZED (
+  SELECT seed, v, CAST(0 AS BIGINT) AS dq FROM lv{levels})"""]
+    for d in range(levels - 1, -1, -1):
+        back.append(f"""
+dl{d} AS MATERIALIZED (
+  SELECT p.seed, p.v,
+         CAST(p.sigma * COALESCE(agg.q, 0) AS BIGINT) AS dq
+  FROM lv{d} p
+  LEFT JOIN (
+    SELECT wv.seed, s.u AS v,
+           SUM(({scale} + w.dq) // wv.sigma) AS q
+    FROM sym s
+    JOIN lv{d + 1} wv ON wv.v = s.w
+    JOIN dl{d + 1} w ON w.seed = wv.seed AND w.v = wv.v
+    GROUP BY wv.seed, s.u) agg
+    ON agg.seed = p.seed AND agg.v = p.v)""")
+    dists = " UNION ALL ".join(
+        f"SELECT l.seed, l.v, {d} AS dist, l.sigma, dl{d}.dq "
+        f"FROM lv{d} l JOIN dl{d} ON dl{d}.seed = l.seed "
+        f"AND dl{d}.v = l.v"
+        for d in range(levels + 1))
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+wedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM wpair),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS w FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v
+  UNION ALL
+  SELECT vb.v, va.v FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v),
+seeds AS (SELECT v FROM vid
+          WHERE v % 97 = 0 AND v < 97 * 4),
+lv0 AS MATERIALIZED (SELECT v AS seed, v, CAST(1 AS BIGINT) AS sigma
+                     FROM seeds),
+seen0 AS MATERIALIZED (SELECT seed, v FROM lv0),
+{','.join(steps)},
+{','.join(back)},
+alllv AS ({dists})
+SELECT sd.v AS seed, vid.v AS vertex,
+       CAST(COALESCE(a.dist, -1) AS BIGINT) AS dist,
+       CAST(COALESCE(a.sigma, 0) AS BIGINT) AS sigma,
+       CAST(CASE WHEN sd.v = vid.v THEN 0
+                 ELSE COALESCE(a.dq, 0) END AS BIGINT) AS delta_q
+FROM seeds sd CROSS JOIN vid
+LEFT JOIN alllv a ON a.seed = sd.v AND a.v = vid.v"""
 
 
 def _matching_sql(rounds: int = 24, seed: int = 13) -> str:
@@ -1578,6 +1714,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _labelprop_sql(),
         "graph_mis": _mis_sql(),
         "graph_matching": _matching_sql(),
+        "graph_spcount": _spcount_sql(),
+        "graph_betweenness": _betweenness_sql(),
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_leiden_conductance": _leiden_conductance_sql(),

@@ -701,6 +701,39 @@ def graph_mis(sf_dir: str, max_oracle_rounds: int = 16):
     return ds
 
 
+def graph_spcount(sf_dir: str, max_oracle_levels: int = 16):
+    """Shortest-path counts σ from the first 4 multiples of 97 (the
+    forward half of Brandes betweenness, algorithms/spcount.py). Exact
+    integer σ per (seed, vertex); BFS depth asserted under the oracle's
+    level unroll so trailing oracle levels are provably no-ops."""
+    from leiden_cuda_ray.algorithms.spcount import shortest_path_counts
+
+    graph, _ = _build_graph(sf_dir)
+    ds, depth = shortest_path_counts(graph, seed_mod=97, max_seeds=4)
+    if depth > max_oracle_levels:
+        raise ValueError(
+            f"BFS depth {depth} exceeds the oracle's level unroll "
+            f"{max_oracle_levels}; deepen _spcount_sql")
+    return ds
+
+
+def graph_betweenness(sf_dir: str, max_oracle_levels: int = 16):
+    """Sampled-source Brandes betweenness with pinned integer
+    arithmetic (algorithms/spcount.py::betweenness_quantized): per
+    (seed, vertex) the exact σ plus delta_q — the quantized dependency,
+    bit-replayable in SQL as a backward level-unrolled recurrence.
+    delta_q / 2^20 tracks true Brandes δ within the quantization error."""
+    from leiden_cuda_ray.algorithms.spcount import betweenness_quantized
+
+    graph, _ = _build_graph(sf_dir)
+    ds, depth = betweenness_quantized(graph, seed_mod=97, max_seeds=4)
+    if depth > max_oracle_levels:
+        raise ValueError(
+            f"BFS depth {depth} exceeds the oracle's level unroll "
+            f"{max_oracle_levels}; deepen _betweenness_sql")
+    return ds
+
+
 def graph_matching(sf_dir: str, max_oracle_rounds: int = 24):
     """Deterministic maximal matching over the canonical corpus graph
     (algorithms/matching.py — greedy handshake with fixed splitmix

@@ -903,6 +903,120 @@ def test_components_from_pairs_brute_force(seed, P):
     assert (df["component"].to_numpy() == lab).all()
 
 
+@pytest.mark.parametrize("seed,P", [(4, 1), (4, 4), (37, 3)])
+def test_shortest_path_counts_brute_force(seed, P):
+    """σ and dist must equal brute-force BFS path counting per seed, at
+    any partitioning; unreachable pairs report (-1, 0)."""
+    from collections import deque
+
+    from leiden_cuda_ray.algorithms.spcount import shortest_path_counts
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 110
+    a = rng.randint(0, V, E).astype(np.int64)
+    b = rng.randint(0, V, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=P)
+    ds, depth = shortest_path_counts(g, seed_mod=17, max_seeds=3)
+    df = (ds.to_pandas().sort_values(["seed", "vertex"])
+          .reset_index(drop=True))
+
+    adj = [[] for _ in range(V)]
+    for u, v in pairs:
+        adj[u].append(int(v))
+        adj[v].append(int(u))
+    rows = []
+    for s in [0, 17, 34]:
+        dist = np.full(V, -1, np.int64)
+        sig = np.zeros(V, np.int64)
+        dist[s], sig[s] = 0, 1
+        q = deque([s])
+        order = [s]
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] == -1:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                    order.append(w)
+        for u in order:  # settle σ in level order
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    sig[w] += sig[u]
+        for v in range(V):
+            rows.append((s, v, dist[v], sig[v]))
+    import pandas as pd
+    want = pd.DataFrame(rows, columns=["seed", "vertex", "dist", "sigma"])
+    assert len(df) == len(want)
+    assert (df.values == want.values).all()
+    assert depth <= 16
+
+
+@pytest.mark.parametrize("seed,P", [(4, 1), (4, 4), (37, 3)])
+def test_betweenness_quantized_brute_force(seed, P):
+    """delta_q must equal a sequential replay of the pinned integer
+    recurrence δq(v) = σ(v)·Σ_succ (SCALE + δq(w)) // σ(w), and track
+    true Brandes δ within the quantization error, at any partitioning."""
+    from collections import deque
+
+    from leiden_cuda_ray.algorithms.spcount import (_DELTA_SCALE,
+                                                    betweenness_quantized)
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 110
+    a = rng.randint(0, V, E).astype(np.int64)
+    b = rng.randint(0, V, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=P)
+    ds, depth = betweenness_quantized(g, seed_mod=17, max_seeds=3)
+    df = (ds.to_pandas().sort_values(["seed", "vertex"])
+          .reset_index(drop=True))
+
+    adj = [[] for _ in range(V)]
+    for u, v in pairs:
+        adj[u].append(int(v))
+        adj[v].append(int(u))
+    for s in [0, 17, 34]:
+        dist = np.full(V, -1, np.int64)
+        sig = np.zeros(V, np.int64)
+        dist[s], sig[s] = 0, 1
+        q = deque([s])
+        order = [s]
+        while q:
+            u = q.popleft()
+            for w in adj[u]:
+                if dist[w] == -1:
+                    dist[w] = dist[u] + 1
+                    q.append(w)
+                    order.append(w)
+        for u in order:
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    sig[w] += sig[u]
+        dq = np.zeros(V, np.int64)
+        delta = np.zeros(V, np.float64)  # true Brandes for the bound
+        for u in reversed(order):
+            for w in adj[u]:
+                if dist[w] == dist[u] + 1:
+                    dq[u] += sig[u] * ((_DELTA_SCALE + dq[w]) // sig[w])
+                    delta[u] += sig[u] / sig[w] * (1 + delta[w])
+        dq[s] = 0
+        delta[s] = 0.0
+        sub = df[df.seed == s]
+        got = sub["delta_q"].to_numpy()
+        assert (got == dq).all()
+        reached = dist >= 0
+        err = np.abs(got[reached] / _DELTA_SCALE - delta[reached])
+        assert err.max(initial=0) < 0.01  # quantization stays tight
+    assert depth <= 16
+
+
 @pytest.mark.parametrize("seed,P", [(2, 1), (2, 4), (31, 3)])
 def test_matching_handshake_equivalence(seed, P):
     """The distributed handshake matching must equal a sequential
