@@ -364,6 +364,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_customers": rel.top_customers,
         "nation_order_counts": rel.nation_order_counts,
         "region_revenue": rel.region_revenue,
+        "rollup_revenue": rel.rollup_revenue,
+        "customers_no_big_order": rel.customers_without_orders,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -1293,6 +1295,32 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "customers_no_big_order": """
+            -- anti-join: customers with no order above $350,000
+            SELECT c.c_custkey, c.c_name,
+                   CAST(ROUND(c.c_acctbal * 100) AS BIGINT)
+                     AS c_acctbal_c
+            FROM customer c
+            WHERE NOT EXISTS (
+              SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey
+                AND o.o_totalprice > 350000)""",
+        "rollup_revenue": """
+            -- GROUP BY ROLLUP with NULL-free sentinels ('ALL' / -1) so
+            -- both engines hash the rolled-up rows identically
+            SELECT COALESCE(n_name, 'ALL') AS n_name,
+                   CAST(COALESCE(yr, -1) AS BIGINT) AS o_year,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(price_c) AS BIGINT) AS revenue_c
+            FROM (SELECT n.n_name,
+                         CAST(EXTRACT(year FROM o.o_orderdate) AS BIGINT)
+                           AS yr,
+                         CAST(ROUND(o.o_totalprice * 100) AS BIGINT)
+                           AS price_c
+                  FROM orders o
+                  JOIN customer c ON c.c_custkey = o.o_custkey
+                  JOIN nation n ON n.n_nationkey = c.c_nationkey)
+            GROUP BY ROLLUP(n_name, yr)""",
         "region_revenue": """
             SELECT r.r_name, COUNT(*) AS n_orders,
                    SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) / 100.0

@@ -394,3 +394,125 @@ def top_docs_per_group(sf_dir: str, k: int = 3):
     # batch_size=None: one block after repartition(1) → one merge batch
     return merged.map_batches(final, batch_format="pyarrow",
                               batch_size=None)
+
+
+def rollup_revenue(sf_dir: str):
+    """Hierarchical (ROLLUP) aggregate: exact order count + revenue
+    cents per (nation, order-year), per nation, and grand total — the
+    GROUP BY ROLLUP(n_name, year) surface. Sentinels 'ALL' / -1 stand in
+    for the rolled-up levels so the schema stays NULL-free (NULL markers
+    hash differently across engines; sentinels compare exactly).
+
+    Scale shape: the detail aggregation is the only pass over the fact
+    table (orders ⋈ customer ⋈ nation, int64 cents); both rollup levels
+    derive from the (nation, year) CELL table — 25 nations × a handful
+    of years — inside one final task, so the rollup costs nothing extra
+    at any scale."""
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+    nation = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_totalprice", "o_orderdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "o_year": pc.cast(pc.year(batch.column("o_orderdate")),
+                              pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    oc = hash_join(orders.map_batches(prep, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                   cust, on=("o_custkey",), right_on=("c_custkey",))
+
+    def nat_key(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_nationkey": pc.cast(batch.column("c_nationkey"), pa.int32()),
+            "o_year": pc.cast(batch.column("o_year"), pa.int64()),
+            "price_c": pc.cast(batch.column("price_c"), pa.int64()),
+        })
+
+    on_nation = hash_join(
+        oc.map_batches(nat_key, batch_format="pyarrow"), nation,
+        on=("c_nationkey",), right_on=("n_nationkey",))
+    cells = on_nation.groupby(["n_name", "o_year"]).aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_c", alias_name="revenue_c"))
+
+    def rollup(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        name = batch.column("n_name").to_numpy(zero_copy_only=False)
+        year = np.asarray(batch.column("o_year"), np.int64)
+        cnt = np.asarray(batch.column("n_orders"), np.int64)
+        rev = np.asarray(batch.column("revenue_c"), np.int64)
+        codes, uniq = pd.factorize(name)
+        ncnt = np.bincount(codes, weights=cnt,
+                           minlength=len(uniq)).astype(np.int64)
+        nrev = np.bincount(codes, weights=rev,
+                           minlength=len(uniq)).astype(np.int64)
+        return pa.table({
+            "n_name": pa.array(
+                list(name) + list(np.asarray(uniq, object)) + ["ALL"],
+                pa.string()),
+            "o_year": pa.array(
+                np.concatenate([year,
+                                np.full(len(uniq) + 1, -1, np.int64)]),
+                pa.int64()),
+            "n_orders": pa.array(
+                np.concatenate([cnt, ncnt, [cnt.sum()]]), pa.int64()),
+            "revenue_c": pa.array(
+                np.concatenate([rev, nrev, [rev.sum()]]), pa.int64()),
+        })
+
+    return cells.repartition(1).map_batches(rollup, batch_format="pyarrow",
+                                            batch_size=None)
+
+
+def customers_without_orders(sf_dir: str, min_price: float = 350_000.0):
+    """Anti-join: customers with NO order above `min_price` —
+    (c_custkey, c_name, c_acctbal_c). Distributed as customer LEFT OUTER
+    (filtered orders → distinct custkeys) with a null-marker filter: the
+    predicate + distinct shrink the probe side to unique qualifying
+    custkeys before the join, so the exchange carries keys, not the
+    orders fact table."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"])
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal_c = np.rint(np.asarray(batch.column("c_acctbal"),
+                                   np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "c_name": pc.cast(batch.column("c_name"), pa.string()),
+            "c_acctbal_c": pa.array(bal_c, pa.int64()),
+        })
+
+    def okey(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"),
+                                    min_price))
+        return pa.table({
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+        })
+
+    okeys = (orders.map_batches(okey, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("o_custkey").aggregate(Count(alias_name="n_o")))
+    j = hash_join(cust.map_batches(prep, batch_format="pyarrow",
+                                   zero_copy_batch=True),
+                  okeys, on=("c_custkey",), right_on=("o_custkey",),
+                  join_type="left_outer")
+
+    def anti(batch: pa.Table) -> pa.Table:
+        keep = pc.is_null(batch.column("n_o"))
+        t = batch.filter(keep)
+        return pa.table({
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_name": pc.cast(t.column("c_name"), pa.string()),
+            "c_acctbal_c": pc.cast(t.column("c_acctbal_c"), pa.int64()),
+        })
+
+    return j.map_batches(anti, batch_format="pyarrow")
