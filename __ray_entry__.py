@@ -202,6 +202,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _write_partition(sf_dir, ids, "embedding_dup_pairs")
         return ids
 
+    def q_distinct_kmv(sf_dir):
+        """KMV distinct-count sketch over event user_ids with an exact
+        integer estimation protocol — the oracle replays hash, k-th
+        minimum and the HUGEINT division bit-for-bit, and the exact
+        distinct count rides along as the accuracy reference
+        (functions/sampling.py::kmv_distinct)."""
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import kmv_distinct
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+        return kmv_distinct(ev, id_col="user_id", k=64, seed=101)
+
     def q_heavy_hitters(sf_dir):
         """Exact global top-40 tokens via a Misra-Gries candidate sketch
         + exact verify pass; the engine's certificate (k-th exact count
@@ -398,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_exact": q_embedding_dups_exact,
         "dup_clusters": q_dup_clusters,
         "heavy_hitters": q_heavy_hitters,
+        "distinct_kmv": q_distinct_kmv,
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -1511,6 +1526,36 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
             FROM documents""",
+        "distinct_kmv": f"""
+            -- KMV sketch protocol replay: the identical splitmix chain
+            -- (seed 101) over distinct user_ids, k-th minimum hash,
+            -- exact HUGEINT floor-div estimate; < k hashes ⟹ the
+            -- sketch IS the exact count (both sides take this branch
+            -- identically)
+            WITH ids AS (SELECT DISTINCT user_id AS v FROM events),
+            s0 AS (SELECT v, (CAST(v AS HUGEINT)
+                   + {(0x9E3779B97F4A7C15 * 101) % (1 << 64)})
+                   % {1 << 64} AS x FROM ids),
+            s1 AS (SELECT v, CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+            s2 AS (SELECT v, ((x % 4294967296) * {0xBF58476D1CE4E5B9}
+                   + ((((x // 4294967296) * {0xBF58476D1CE4E5B9})
+                   % 4294967296) * 4294967296)) % {1 << 64} AS x
+                   FROM s1),
+            s3 AS (SELECT xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 27) AS h FROM s2),
+            hs AS (SELECT DISTINCT h FROM s3),
+            kth AS (SELECT h FROM hs ORDER BY h ASC
+                    LIMIT 1 OFFSET 63)
+            SELECT CAST((SELECT COUNT(*) FROM ids) AS BIGINT)
+                     AS n_exact,
+                   CAST(64 AS BIGINT) AS k_used,
+                   CAST(CASE WHEN (SELECT COUNT(*) FROM hs) < 64
+                        THEN (SELECT COUNT(*) FROM hs)
+                        ELSE (63 * CAST('18446744073709551616'
+                                        AS HUGEINT))
+                             // (SELECT CAST(h AS HUGEINT) FROM kth)
+                        END AS BIGINT) AS kmv_estimate""",
         "heavy_hitters": """
             -- exact global token top-40 (the engine's MG sketch +
             -- verify pass certifies equality with this plain count)
