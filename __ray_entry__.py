@@ -439,6 +439,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_matching": cq.graph_matching,
         "graph_spcount": cq.graph_spcount,
         "graph_betweenness": cq.graph_betweenness,
+        "graph_harmonic": cq.graph_harmonic,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1789,6 +1790,15 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_harmonic": f"""
+            -- quantized harmonic centrality over the spcount seed set:
+            -- exact integer floor-div of the same unrolled BFS levels
+            WITH sp AS ({_spcount_sql()})
+            SELECT vertex,
+                   CAST(SUM(CASE WHEN dist > 0
+                            THEN 1048576 // dist ELSE 0 END)
+                        AS BIGINT) AS harmonic_q
+            FROM sp GROUP BY vertex""",
         "graph_kcore": _kcore_sql(),
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_leiden_conductance": _leiden_conductance_sql(),

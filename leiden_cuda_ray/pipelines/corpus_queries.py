@@ -717,6 +717,36 @@ def graph_spcount(sf_dir: str, max_oracle_levels: int = 16):
     return ds
 
 
+def graph_harmonic(sf_dir: str, max_oracle_levels: int = 16):
+    """Quantized harmonic centrality from the spcount seed set:
+    h_q(v) = Σ_seeds (2^20 // dist(s, v)) over reached, non-self pairs —
+    exact integer floor-div, so the oracle recomputes it bit-for-bit
+    from the same unrolled BFS levels. No extra exchange: each spcount
+    emit block holds ALL seeds for its vertices (vertex-major layout),
+    so the per-vertex sum is one in-block reshape."""
+    from leiden_cuda_ray.algorithms.spcount import shortest_path_counts
+
+    graph, _ = _build_graph(sf_dir)
+    ds, depth = shortest_path_counts(graph, seed_mod=97, max_seeds=4)
+    if depth > max_oracle_levels:
+        raise ValueError(
+            f"BFS depth {depth} exceeds the oracle's level unroll "
+            f"{max_oracle_levels}; deepen _spcount_sql")
+    scale = 1 << 20
+
+    def fold(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch.column("vertex"), np.int64)
+        d = np.asarray(batch.column("dist"), np.int64)
+        contrib = np.where(d > 0, scale // np.maximum(d, 1), 0)
+        uv, inv = np.unique(v, return_inverse=True)
+        h = np.bincount(inv, weights=contrib,
+                        minlength=len(uv)).astype(np.int64)
+        return pa.table({"vertex": pa.array(uv, pa.int64()),
+                         "harmonic_q": pa.array(h, pa.int64())})
+
+    return ds.map_batches(fold, batch_format="pyarrow", batch_size=None)
+
+
 def graph_betweenness(sf_dir: str, max_oracle_levels: int = 16):
     """Sampled-source Brandes betweenness with pinned integer
     arithmetic (algorithms/spcount.py::betweenness_quantized): per
