@@ -380,6 +380,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "region_revenue": rel.region_revenue,
         "rollup_revenue": rel.rollup_revenue,
         "customers_no_big_order": rel.customers_without_orders,
+        "funnel_stages": rel.funnel_stages,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -1311,6 +1312,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "funnel_stages": """
+            -- per-user funnel view → click → purchase with STRICT
+            -- temporal ordering (first click after first view, first
+            -- purchase after that click); stage 0 = never viewed
+            WITH t1 AS (SELECT user_id, MIN(ts) AS t FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+            t2 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN t1 ON t1.user_id = e.user_id
+                   WHERE e.event_type = 'click' AND e.ts > t1.t
+                   GROUP BY e.user_id),
+            t3 AS (SELECT e.user_id, MIN(e.ts) AS t FROM events e
+                   JOIN t2 ON t2.user_id = e.user_id
+                   WHERE e.event_type = 'purchase' AND e.ts > t2.t
+                   GROUP BY e.user_id),
+            u AS (SELECT DISTINCT user_id FROM events)
+            SELECT u.user_id,
+                   CAST(CASE WHEN t3.t IS NOT NULL THEN 3
+                             WHEN t2.t IS NOT NULL THEN 2
+                             WHEN t1.t IS NOT NULL THEN 1
+                             ELSE 0 END AS BIGINT) AS stage
+            FROM u
+            LEFT JOIN t1 ON t1.user_id = u.user_id
+            LEFT JOIN t2 ON t2.user_id = u.user_id
+            LEFT JOIN t3 ON t3.user_id = u.user_id""",
         "customers_no_big_order": """
             -- anti-join: customers with no order above $350,000
             SELECT c.c_custkey, c.c_name,

@@ -516,3 +516,60 @@ def customers_without_orders(sf_dir: str, min_price: float = 350_000.0):
         })
 
     return j.map_batches(anti, batch_format="pyarrow")
+
+
+def funnel_stages(sf_dir: str, num_partitions: int = 64):
+    """Per-user funnel progression view → click → purchase: stage 1 =
+    viewed, 2 = first click STRICTLY after the first view, 3 = first
+    purchase strictly after that click; 0 = never viewed. One hash-
+    bucket shuffle co-locates each user (the sessionize pattern) and the
+    per-partition evaluation is three vectorized reduceat passes — min
+    view ts per user, min qualifying click ts, min qualifying purchase
+    ts — no per-user Python loop. → Dataset[user_id, stage]."""
+    ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        # every user stays visible (stage 0 included): non-funnel rows
+        # carry code 0
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        code = np.zeros(len(uid), np.int64)
+        code[et == "view"] = 1
+        code[et == "click"] = 2
+        code[et == "purchase"] = 3
+        part = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(num_partitions)
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "ts": batch.column("ts"),
+            "code": pa.array(code, pa.int64()),
+            "part": pa.array(part.astype(np.int64), pa.int64()),
+        })
+
+    def _min_per_user(uid, ts, mask, n_users, inv, sentinel):
+        """min ts per user over masked rows (inv = per-row user index)."""
+        out = np.full(n_users, sentinel)
+        if mask.any():
+            np.minimum.at(out, inv[mask], ts[mask])
+        return out
+
+    def emit(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        ts = group.column("ts").to_numpy()  # datetime64[us]
+        code = group.column("code").to_numpy().astype(np.int64)
+        users, inv = np.unique(uid, return_inverse=True)
+        nu = len(users)
+        sentinel = np.datetime64("2200-01-01", "us")
+        t1 = _min_per_user(uid, ts, code == 1, nu, inv, sentinel)
+        t2 = _min_per_user(uid, ts, (code == 2) & (ts > t1[inv]),
+                           nu, inv, sentinel)
+        t3 = _min_per_user(uid, ts, (code == 3) & (ts > t2[inv]),
+                           nu, inv, sentinel)
+        stage = ((t1 < sentinel).astype(np.int64)
+                 + (t2 < sentinel) + (t3 < sentinel))
+        return pa.table({"user_id": pa.array(users, pa.int64()),
+                         "stage": pa.array(stage, pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))
