@@ -381,6 +381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rollup_revenue": rel.rollup_revenue,
         "customers_no_big_order": rel.customers_without_orders,
         "funnel_stages": rel.funnel_stages,
+        "price_histogram": rel.price_histogram,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -441,6 +442,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_spcount": cq.graph_spcount,
         "graph_betweenness": cq.graph_betweenness,
         "graph_harmonic": cq.graph_harmonic,
+        "graph_degree_hist": cq.graph_degree_hist,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
         "graph_assortativity": cq.graph_assortativity,
@@ -1312,6 +1314,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "price_histogram": """
+            -- equi-width histogram of order totals ($50,000 buckets),
+            -- exact integer cents
+            SELECT CAST(price_c // 5000000 AS BIGINT) AS bucket,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(price_c) AS BIGINT) AS revenue_c
+            FROM (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                    AS price_c FROM orders)
+            GROUP BY 1""",
         "funnel_stages": """
             -- per-user funnel view → click → purchase with STRICT
             -- temporal ordering (first click after first view, first
@@ -1731,6 +1742,22 @@ def oracle_sql() -> dict[str, str]:
             FROM deg
             ORDER BY degree DESC, repo ASC, path ASC
             LIMIT 10""",
+        "graph_degree_hist": f"""
+            -- exact degree-frequency histogram incl. degree 0: the
+            -- canonical edge set counted from both directions, LEFT
+            -- JOINed onto the full file set
+            WITH {_CORPUS_CTE},
+            both_dirs AS (
+              SELECT key_a AS key FROM canon
+              UNION ALL SELECT key_b FROM canon),
+            deg AS (
+              SELECT key, COUNT(*) AS degree FROM both_dirs GROUP BY key),
+            perv AS (
+              SELECT CAST(COALESCE(d.degree, 0) AS BIGINT) AS degree
+              FROM files f
+              LEFT JOIN deg d ON d.key = f.repo || '|' || f.path)
+            SELECT degree, CAST(COUNT(*) AS BIGINT) AS n_vertices
+            FROM perv GROUP BY degree""",
         "graph_pagerank_fixed": _pagerank_fixed_sql(),
         "graph_hits": _hits_sql(),
         "graph_ppr": _ppr_sql(),

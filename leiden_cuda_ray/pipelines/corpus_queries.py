@@ -717,6 +717,41 @@ def graph_spcount(sf_dir: str, max_oracle_levels: int = 16):
     return ds
 
 
+def graph_degree_hist(sf_dir: str):
+    """Exact degree-frequency histogram (degree, n_vertices), degree 0
+    included — the scale-analytics summary a 100-TB graph job wants
+    BEFORE choosing partitioning (skew detection). Rides the CSR
+    partitions: one bincount per partition (row lengths ARE the
+    distinct-neighbor degrees), then a tiny distinct-degree merge —
+    nothing vertex-sized leaves the partitions."""
+    import ray.data
+
+    graph, _ = _build_graph(sf_dir)
+
+    @ray.remote
+    def _part_hist(part) -> pa.Table:
+        deg = part["deg"]
+        cnt = np.bincount(deg)
+        nz = np.flatnonzero(cnt)
+        return pa.table({"degree": pa.array(nz, pa.int64()),
+                         "n_vertices": pa.array(cnt[nz], pa.int64())})
+
+    partials = ray.data.from_arrow_refs(
+        [_part_hist.remote(p) for p in graph.parts])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch.column("degree"), np.int64)
+        c = np.asarray(batch.column("n_vertices"), np.int64)
+        ud, inv = np.unique(d, return_inverse=True)
+        s = np.bincount(inv, weights=c, minlength=len(ud)).astype(np.int64)
+        return pa.table({"degree": pa.array(ud, pa.int64()),
+                         "n_vertices": pa.array(s, pa.int64())})
+
+    return partials.repartition(1).map_batches(merge,
+                                               batch_format="pyarrow",
+                                               batch_size=None)
+
+
 def graph_harmonic(sf_dir: str, max_oracle_levels: int = 16):
     """Quantized harmonic centrality from the spcount seed set:
     h_q(v) = Σ_seeds (2^20 // dist(s, v)) over reached, non-self pairs —

@@ -573,3 +573,45 @@ def funnel_stages(sf_dir: str, num_partitions: int = 64):
     return (ev.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
+def price_histogram(sf_dir: str, width_c: int = 5_000_000):
+    """Equi-width histogram of order totals: bucket = price_cents //
+    width (width $50,000), with exact order count and revenue cents per
+    bucket. One streaming pass of per-batch bincount partials; the merge
+    input is O(buckets · blocks) — nothing row-sized shuffles."""
+    orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        b = price_c // width_c
+        ub, inv = np.unique(b, return_inverse=True)
+        n = np.bincount(inv, minlength=len(ub)).astype(np.int64)
+        s = np.bincount(inv, weights=price_c,
+                        minlength=len(ub)).astype(np.int64)
+        return pa.table({"bucket": pa.array(ub, pa.int64()),
+                         "n_orders": pa.array(n, pa.int64()),
+                         "revenue_c": pa.array(s, pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("bucket"), np.int64)
+        n = np.asarray(batch.column("n_orders"), np.int64)
+        s = np.asarray(batch.column("revenue_c"), np.int64)
+        ub, inv = np.unique(b, return_inverse=True)
+        return pa.table({
+            "bucket": pa.array(ub, pa.int64()),
+            "n_orders": pa.array(
+                np.bincount(inv, weights=n,
+                            minlength=len(ub)).astype(np.int64),
+                pa.int64()),
+            "revenue_c": pa.array(
+                np.bincount(inv, weights=s,
+                            minlength=len(ub)).astype(np.int64),
+                pa.int64()),
+        })
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))
