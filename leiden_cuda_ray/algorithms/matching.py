@@ -36,7 +36,7 @@ import ray
 
 from leiden_cuda_ray.algorithms.common import local_src_per_slot
 from leiden_cuda_ray.algorithms.kcore import _simple_mask
-from leiden_cuda_ray.algorithms.mis import _grow_dead_mask, mis_key
+from leiden_cuda_ray.algorithms.mis import mis_key
 from leiden_cuda_ray.graph.build import Graph
 from leiden_cuda_ray.graph.runtime import segmin_by_key, shard_by_owner
 
@@ -89,6 +89,35 @@ def _decide(plan, mate, prop, *shards):
     return out, np.sort(newly), seen
 
 
+@ray.remote(num_returns=2)
+def _retire_slots(plan, nbr_dead, mate, *newly_dead):
+    """OR this round's matched-id deltas into the per-slot mask, and —
+    when more than half the remaining slots are dead on either endpoint
+    — COMPACT the plan to the alive slots. Without compaction every
+    round pays O(E_original) for the gathers/segmin even when two
+    vertices remain; with halving-triggered compaction total round cost
+    is a geometric series in the alive subgraph (the sf1 sweep measured
+    the uncompacted handshake spending whole rounds in this mask pass)."""
+    ne = [a for a in newly_dead if len(a)]
+    mask = nbr_dead
+    if ne:
+        dead = np.concatenate(ne)
+        dead.sort()
+        d = plan["d"]
+        pos = np.searchsorted(dead, d)
+        pos[pos == len(dead)] = 0
+        mask = nbr_dead | (dead[pos] == d)
+    gone = mask | (mate[plan["s"]] != -1)
+    n_dead = int(gone.sum())
+    if n_dead * 2 <= len(gone):
+        return plan, mask
+    keep = ~gone
+    new_plan = {"vlo": plan["vlo"], "nv": plan["nv"],
+                "s": plan["s"][keep], "d": plan["d"][keep],
+                "dkeys": plan["dkeys"][keep]}
+    return new_plan, np.zeros(int(keep.sum()), bool)
+
+
 @ray.remote
 def _emit_mate(vlo: int, mate) -> pa.Table:
     return pa.table({
@@ -133,8 +162,11 @@ def maximal_matching(graph: Graph, seed: int = 13, max_rounds: int = 64):
             blocks = [_emit_mate.remote(ranges[j][0], mates[j])
                       for j in range(P)]
             return ray.data.from_arrow_refs(blocks), rnd
-        nbr_dead = [_grow_dead_mask.remote(plans[i], nbr_dead[i], *deltas)
-                    for i in range(P)]
+        ret = [_retire_slots.remote(plans[i], nbr_dead[i], mates[i],
+                                    *deltas)
+               for i in range(P)]
+        plans = [o[0] for o in ret]
+        nbr_dead = [o[1] for o in ret]
     raise ValueError(
         f"matching did not converge within {max_rounds} rounds — with "
         f"uniform keys the handshake drains in O(log V) w.h.p.; raise "

@@ -128,19 +128,30 @@ def _exclude(plan, status, joined_mask, *shards):
     return out, np.sort(np.concatenate(newly))
 
 
-@ray.remote
-def _grow_dead_mask(plan, nbr_dead, *newly_dead):
+@ray.remote(num_returns=2)
+def _grow_dead_mask(plan, nbr_dead, status, *newly_dead):
     """OR this round's decided-id deltas into the per-slot mask (sorted
-    searchsorted membership — O(|d| log Δ), no O(V) state)."""
+    searchsorted membership — O(|slots| log Δ), no O(V) state), and
+    COMPACT the plan to the alive slots once more than half are dead on
+    either endpoint — so per-round gather/segmin cost tracks the
+    shrinking alive subgraph instead of the original E (a geometric
+    series via the halving trigger). Returns (plan', mask')."""
     ne = [a for a in newly_dead if len(a)]
-    if not ne:
-        return nbr_dead
-    dead = np.concatenate(ne)
-    dead.sort()
-    d = plan["d"]
-    pos = np.searchsorted(dead, d)
-    pos[pos == len(dead)] = 0
-    return nbr_dead | (dead[pos] == d)
+    mask = nbr_dead
+    if ne:
+        dead = np.concatenate(ne)
+        dead.sort()
+        d = plan["d"]
+        pos = np.searchsorted(dead, d)
+        pos[pos == len(dead)] = 0
+        mask = nbr_dead | (dead[pos] == d)
+    gone = mask | (status[plan["s"]] != _UND)
+    if int(gone.sum()) * 2 <= len(gone):
+        return plan, mask
+    keep = ~gone
+    new_plan = {"vlo": plan["vlo"], "nv": plan["nv"],
+                "s": plan["s"][keep], "d": plan["d"][keep]}
+    return new_plan, np.zeros(int(keep.sum()), bool)
 
 
 @ray.remote
@@ -194,8 +205,11 @@ def maximal_independent_set(graph: Graph, seed: int = 11,
             blocks = [_emit_mis.remote(ranges[j][0], status[j])
                       for j in range(P)]
             return ray.data.from_arrow_refs(blocks), rnd
-        nbr_dead = [_grow_dead_mask.remote(plans[i], nbr_dead[i], *deltas)
-                    for i in range(P)]
+        ret = [_grow_dead_mask.remote(plans[i], nbr_dead[i], status[i],
+                                      *deltas)
+               for i in range(P)]
+        plans = [o[0] for o in ret]
+        nbr_dead = [o[1] for o in ret]
     raise ValueError(
         f"MIS did not converge within {max_rounds} rounds — with "
         f"uniform priorities Luby needs O(log V) w.h.p.; raise "
