@@ -382,6 +382,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customers_no_big_order": rel.customers_without_orders,
         "funnel_stages": rel.funnel_stages,
         "price_histogram": rel.price_histogram,
+        "bloom_semijoin": rel.bloom_semijoin_revenue,
+        "daily_running_revenue": rel.daily_running_revenue,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -1314,6 +1316,30 @@ def oracle_sql() -> dict[str, str]:
             JOIN customer c ON o.o_custkey = c.c_custkey
             JOIN nation n ON c.c_nationkey = n.n_nationkey
             GROUP BY n.n_name""",
+        "daily_running_revenue": """
+            -- per-day revenue + global ordered running total, exact
+            -- cents; day as ISO string on both sides
+            WITH d AS (
+              SELECT strftime(o_orderdate, '%Y-%m-%d') AS day,
+                     CAST(COUNT(*) AS BIGINT) AS n_orders,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS revenue_c
+              FROM orders GROUP BY 1)
+            SELECT day, n_orders, revenue_c,
+                   CAST(SUM(revenue_c) OVER (ORDER BY day ASC)
+                        AS BIGINT) AS running_revenue_c
+            FROM d""",
+        "bloom_semijoin": """
+            -- plain join semantics: the engine's Bloom pre-filter is a
+            -- wire-volume optimization whose false positives the
+            -- verifying join removes, so the result is exactly this
+            SELECT c.c_custkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+            WHERE c.c_acctbal > 9000
+            GROUP BY c.c_custkey""",
         "price_histogram": """
             -- equi-width histogram of order totals ($50,000 buckets),
             -- exact integer cents

@@ -615,3 +615,132 @@ def price_histogram(sf_dir: str, width_c: int = 5_000_000):
                                zero_copy_batch=True)
             .repartition(1).map_batches(merge, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def bloom_semijoin_revenue(sf_dir: str, min_acctbal: float = 9000.0,
+                           m_bits: int = 1 << 17, k_hashes: int = 4,
+                           max_keys: int = 4_000_000):
+    """Bloom-filtered semi-join: revenue per high-balance customer
+    (c_acctbal > min_acctbal), with the orders fact table pre-filtered
+    by a broadcast Bloom filter BEFORE the join shuffle. The filter is
+    a pure wire-volume optimization — false positives are removed by
+    the verifying hash join, so the result is exactly the plain join's
+    (what the oracle checks) while ~90% of fact rows never enter the
+    exchange. Filter bits are k splitmix hashes (seeds 1..k) mod m;
+    the ~16 KB bit array ships once per task via ray.put.
+
+    The qualifying key set is pulled driver-side to build the filter
+    (the package's broadcast-id-map pattern) behind a max_keys guard
+    that names the distributed alternative."""
+    import ray
+
+    from leiden_cuda_ray.functions.sampling import splitmix_value
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_acctbal"])
+
+    def small(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("c_acctbal"),
+                                    min_acctbal))
+        return pa.table({
+            "c_custkey": pc.cast(t.column("c_custkey"), pa.int64()),
+            "c_name": pc.cast(t.column("c_name"), pa.string()),
+        })
+
+    sm = cust.map_batches(small, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_small = sm.count()
+    if n_small > max_keys:
+        raise ValueError(
+            f"bloom build side has {n_small} keys > max_keys={max_keys}; "
+            f"partition the filter (per-bucket blooms) at this scale")
+    keys = np.array([r["c_custkey"] for r in
+                     sm.select_columns(["c_custkey"]).take_all()],
+                    np.int64)
+    bloom = np.zeros(m_bits, bool)
+    for s in range(1, k_hashes + 1):
+        bloom[(splitmix_value(keys, s) % np.uint64(m_bits))
+              .astype(np.int64)] = True
+    bloom_ref = ray.put(bloom)
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    class _BloomFilter:
+        def __init__(self, ref):
+            self.bloom = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ck = np.asarray(batch.column("o_custkey"), np.int64)
+            hit = np.ones(len(ck), bool)
+            for s in range(1, k_hashes + 1):
+                hit &= self.bloom[
+                    (splitmix_value(ck, s) % np.uint64(m_bits))
+                    .astype(np.int64)]
+            price_c = np.rint(
+                np.asarray(batch.column("o_totalprice"),
+                           np.float64)[hit] * 100.0).astype(np.int64)
+            return pa.table({
+                "o_custkey": pa.array(ck[hit], pa.int64()),
+                "price_c": pa.array(price_c, pa.int64()),
+            })
+
+    cand = orders.map_batches(_BloomFilter,
+                              fn_constructor_args=(bloom_ref,),
+                              concurrency=(1, 8),
+                              batch_format="pyarrow",
+                              zero_copy_batch=True)
+    j = hash_join(cand, sm, on=("o_custkey",), right_on=("c_custkey",))
+    agg = j.groupby("o_custkey").aggregate(
+        Count(alias_name="n_orders"),
+        Sum("price_c", alias_name="revenue_c"))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            "revenue_c": pc.cast(batch.column("revenue_c"), pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def daily_running_revenue(sf_dir: str):
+    """Per-day order revenue with a GLOBAL running total (the ordered
+    cumulative-window op). One streaming pass of per-batch (day,
+    revenue) partials; days are few (years × 365), so the ordered
+    prefix sum runs in one final task over the day table — a global
+    ORDER BY of the fact table never happens. Days as 'YYYY-MM-DD'
+    strings so both engines hash identical values."""
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ts = batch.column("o_orderdate").to_numpy()
+        day = ts.astype("datetime64[D]")
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        s = np.bincount(inv, weights=price_c,
+                        minlength=len(ud)).astype(np.int64)
+        n = np.bincount(inv, minlength=len(ud)).astype(np.int64)
+        return pa.table({"day": pa.array(ud.astype(str), pa.string()),
+                         "n_orders": pa.array(n, pa.int64()),
+                         "revenue_c": pa.array(s, pa.int64())})
+
+    def fold(batch: pa.Table) -> pa.Table:
+        d = batch.column("day").to_numpy(zero_copy_only=False)
+        n = np.asarray(batch.column("n_orders"), np.int64)
+        s = np.asarray(batch.column("revenue_c"), np.int64)
+        ud, inv = np.unique(d, return_inverse=True)  # sorted ascending
+        ns = np.bincount(inv, weights=n, minlength=len(ud)).astype(np.int64)
+        ss = np.bincount(inv, weights=s, minlength=len(ud)).astype(np.int64)
+        return pa.table({
+            "day": pa.array(ud, pa.string()),
+            "n_orders": pa.array(ns, pa.int64()),
+            "revenue_c": pa.array(ss, pa.int64()),
+            "running_revenue_c": pa.array(np.cumsum(ss), pa.int64()),
+        })
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1).map_batches(fold, batch_format="pyarrow",
+                                        batch_size=None))
