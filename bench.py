@@ -202,6 +202,36 @@ def run_single(graph_only: bool = False) -> dict:
             t_bfs = min(t_bfs, time.perf_counter() - t0)
         queries["bfs"] = t_bfs
 
+        from leiden_cuda_ray.algorithms.mis import maximal_independent_set
+
+        t_mis = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            mis_ds, _rounds = maximal_independent_set(graph)
+            mis_ds.count()
+            t_mis = min(t_mis, time.perf_counter() - t0)
+        queries["mis"] = t_mis
+
+        from leiden_cuda_ray.algorithms.matching import maximal_matching
+
+        t_mm = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            mm_ds, _rounds = maximal_matching(graph, max_rounds=256)
+            mm_ds.count()
+            t_mm = min(t_mm, time.perf_counter() - t0)
+        queries["matching"] = t_mm
+
+        from leiden_cuda_ray.algorithms.spcount import betweenness_quantized
+
+        t_bc = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            bc_ds, _depth = betweenness_quantized(graph)
+            bc_ds.count()
+            t_bc = min(t_bc, time.perf_counter() - t0)
+        queries["betweenness"] = t_bc
+
     # documents-side headline ops at this tier
     import ray.data
 
