@@ -694,7 +694,7 @@ def graph_mis(sf_dir: str, max_oracle_rounds: int = 16):
 
     graph, _ = _build_graph(sf_dir)
     ds, rounds = maximal_independent_set(graph, seed=11)
-    if rounds > max_oracle_rounds:
+    if graph.V <= 10_000 and rounds > max_oracle_rounds:
         raise ValueError(
             f"MIS used {rounds} rounds > oracle unroll "
             f"{max_oracle_rounds}; deepen the SQL unroll")
@@ -710,7 +710,7 @@ def graph_spcount(sf_dir: str, max_oracle_levels: int = 16):
 
     graph, _ = _build_graph(sf_dir)
     ds, depth = shortest_path_counts(graph, seed_mod=97, max_seeds=4)
-    if depth > max_oracle_levels:
+    if graph.V <= 10_000 and depth > max_oracle_levels:
         raise ValueError(
             f"BFS depth {depth} exceeds the oracle's level unroll "
             f"{max_oracle_levels}; deepen _spcount_sql")
@@ -763,7 +763,7 @@ def graph_harmonic(sf_dir: str, max_oracle_levels: int = 16):
 
     graph, _ = _build_graph(sf_dir)
     ds, depth = shortest_path_counts(graph, seed_mod=97, max_seeds=4)
-    if depth > max_oracle_levels:
+    if graph.V <= 10_000 and depth > max_oracle_levels:
         raise ValueError(
             f"BFS depth {depth} exceeds the oracle's level unroll "
             f"{max_oracle_levels}; deepen _spcount_sql")
@@ -792,7 +792,7 @@ def graph_betweenness(sf_dir: str, max_oracle_levels: int = 16):
 
     graph, _ = _build_graph(sf_dir)
     ds, depth = betweenness_quantized(graph, seed_mod=97, max_seeds=4)
-    if depth > max_oracle_levels:
+    if graph.V <= 10_000 and depth > max_oracle_levels:
         raise ValueError(
             f"BFS depth {depth} exceeds the oracle's level unroll "
             f"{max_oracle_levels}; deepen _betweenness_sql")
@@ -806,8 +806,12 @@ def graph_matching(sf_dir: str, max_oracle_rounds: int = 24):
     from leiden_cuda_ray.algorithms.matching import maximal_matching
 
     graph, _ = _build_graph(sf_dir)
-    ds, rounds = maximal_matching(graph, seed=13, max_rounds=256)
-    if rounds > max_oracle_rounds:
+    ds, rounds = maximal_matching(graph, seed=13, max_rounds=4096)
+    # the unroll contract only binds at oracle-compared tiers (the
+    # driver compares at sf0.01, V=640); at scale tiers the handshake
+    # legitimately needs rounds ~ max residual clique size and the
+    # result is correct at any round count
+    if graph.V <= 10_000 and rounds > max_oracle_rounds:
         raise ValueError(
             f"matching used {rounds} rounds > oracle unroll "
             f"{max_oracle_rounds}; deepen the SQL unroll")
