@@ -86,6 +86,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return stratified_sample(docs, group_col="lang", id_col="doc_id",
                                  n=25, seed=7)
 
+    def q_weighted_sample(sf_dir):
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import weighted_sample
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "n_chars"])
+        return weighted_sample(docs, weight_col="n_chars",
+                               id_col="doc_id", n=100, seed=19)
+
+    def q_doc_repetition(sf_dir):
+        return text.doc_repetition(_docs(sf_dir))
+
+    def q_boilerplate(sf_dir):
+        from leiden_cuda_ray.sources.corpus import (
+            ensure_corpus_for_sf_dir,
+            read_corpus,
+        )
+
+        corpus = read_corpus(ensure_corpus_for_sf_dir(sf_dir),
+                             columns=["repo", "path", "content"])
+        return text.boilerplate_lines(corpus, min_files=3)
+
     def q_exact_dedup(sf_dir):
         return dedup.exact_dedup_keepers(_docs(sf_dir))
 
@@ -399,6 +422,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
+        "weighted_sample": q_weighted_sample,
+        "doc_repetition": q_doc_repetition,
+        "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
@@ -1145,6 +1171,36 @@ def _stratified_sample_sql(n: int = 25, seed: int = 7) -> str:
         FROM rk WHERE rn <= {n}"""
 
 
+def _weighted_sample_sql(n: int = 100, seed: int = 19) -> str:
+    """Exact SQL transcription of sampling.py::weighted_sample —
+    sequential Poisson sampling: the HUGEINT splitmix64 chain over
+    doc_id, priority = hash // max(n_chars, 1) (exact integer floor
+    division on both sides), global top-n by (priority, doc_id)."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    return f"""
+        WITH s0 AS (SELECT doc_id, n_chars,
+               (CAST(doc_id AS HUGEINT) + {a_seed}) % {m64} AS x
+             FROM documents),
+        s1 AS (SELECT doc_id, n_chars, CAST(xor(CAST(x AS UBIGINT),
+               CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+        s2 AS (SELECT doc_id, n_chars, {mulmod} AS x FROM s1),
+        s3 AS (SELECT doc_id, n_chars,
+               CAST(xor(CAST(x AS UBIGINT), CAST(x AS UBIGINT) >> 27)
+                    AS HUGEINT) AS x FROM s2),
+        pr AS (SELECT doc_id, n_chars,
+               x // GREATEST(CAST(n_chars AS HUGEINT), 1) AS q FROM s3),
+        rk AS (SELECT doc_id, n_chars,
+               ROW_NUMBER() OVER (ORDER BY q ASC, doc_id ASC) AS rn
+             FROM pr)
+        SELECT doc_id, n_chars, CAST(rn AS BIGINT) AS rnk
+        FROM rk WHERE rn <= {n}"""
+
+
 def _kcore_sql(iters: int = 32) -> str:
     """Unrolled h-index iteration matching the engine exactly (kcore.py):
     c_0 = unweighted degree (self-loops excluded), c_{n+1}(v) = h-index of
@@ -1584,6 +1640,91 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n1 + n2 + n3 AS BIGINT) AS n_redactions,
                    sha256(t) AS redacted_sha
             FROM s3""",
+        "weighted_sample": _weighted_sample_sql(),
+        "doc_repetition": """
+            -- Gopher-style repetition signals: exact integer n-gram
+            -- counts + the identical IEEE int64→float64 quotients the
+            -- engine computes (CAST to DOUBLE then divide)
+            WITH toks AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            uni AS (
+              SELECT doc_id, unnest(t) AS tok FROM toks),
+            ucnt AS (
+              SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                     CAST(COUNT(DISTINCT tok) AS BIGINT) AS n_distinct
+              FROM uni GROUP BY doc_id),
+            bpos AS (
+              SELECT doc_id, t, unnest(range(1, len(t))) AS i FROM toks),
+            bg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] AS g FROM bpos),
+            bga AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+                     CAST(MAX(c) AS BIGINT) AS top_bigram
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM bg
+                    GROUP BY doc_id, g) GROUP BY doc_id),
+            tpos AS (
+              SELECT doc_id, t, unnest(range(1, len(t) - 1)) AS i
+              FROM toks),
+            tg AS (
+              SELECT doc_id, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS g
+              FROM tpos),
+            tga AS (
+              SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_trigrams,
+                     CAST(MAX(c) AS BIGINT) AS top_trigram
+              FROM (SELECT doc_id, g, COUNT(*) AS c FROM tg
+                    GROUP BY doc_id, g) GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(u.n_tokens, 0) AS n_tokens,
+                   COALESCE(u.n_distinct, 0) AS n_distinct,
+                   COALESCE(b.n_bigrams, 0) AS n_bigrams,
+                   COALESCE(b.top_bigram, 0) AS top_bigram,
+                   COALESCE(t3.n_trigrams, 0) AS n_trigrams,
+                   COALESCE(t3.top_trigram, 0) AS top_trigram,
+                   CASE WHEN COALESCE(u.n_tokens, 0) > 0
+                        THEN CAST(u.n_tokens - u.n_distinct AS DOUBLE)
+                             / CAST(u.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS dup_frac,
+                   CASE WHEN COALESCE(b.n_bigrams, 0) > 0
+                        THEN CAST(b.top_bigram AS DOUBLE)
+                             / CAST(b.n_bigrams AS DOUBLE)
+                        ELSE 0.0 END AS top_bigram_frac
+            FROM documents d
+            LEFT JOIN ucnt u ON d.doc_id = u.doc_id
+            LEFT JOIN bga b ON d.doc_id = b.doc_id
+            LEFT JOIN tga t3 ON d.doc_id = t3.doc_id""",
+        "boilerplate_lines": f"""
+            -- cross-file boilerplate scrub: lines in >= 3 distinct
+            -- files removed, document rebuilt from surviving lines in
+            -- order, sha256 of the rebuilt text (corpus rows are unique
+            -- per (repo, path), verified by corpus_sha256)
+            WITH c AS (SELECT repo, path, content
+                       FROM read_parquet('{_CORPUS_001}')),
+            l AS (SELECT repo, path,
+                    unnest(string_split(content, chr(10))) AS line,
+                    generate_subscripts(
+                      string_split(content, chr(10)), 1) AS ord
+                  FROM c),
+            freq AS (SELECT line FROM (
+                       SELECT line,
+                              COUNT(DISTINCT repo || chr(10) || path)
+                                AS nf
+                       FROM l GROUP BY line) WHERE nf >= 3),
+            kept AS (SELECT repo, path, ord, line FROM l
+                     WHERE line NOT IN (SELECT line FROM freq)),
+            reb AS (SELECT repo, path,
+                      CAST(COUNT(*) AS BIGINT) AS n_kept,
+                      string_agg(line, chr(10) ORDER BY ord) AS cleaned
+                    FROM kept GROUP BY repo, path),
+            base AS (SELECT repo, path,
+                       CAST(len(string_split(content, chr(10)))
+                            AS BIGINT) AS n_lines
+                     FROM c)
+            SELECT b.repo, b.path, b.n_lines,
+                   b.n_lines - COALESCE(r.n_kept, 0) AS n_removed,
+                   sha256(COALESCE(r.cleaned, '')) AS cleaned_sha
+            FROM base b LEFT JOIN reb r
+              ON b.repo = r.repo AND b.path = r.path""",
         "doc_stats": """
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,

@@ -149,3 +149,48 @@ def kmv_distinct(ds, id_col: str = "user_id", k: int = 64,
         "k_used": pa.array([k], pa.int64()),
         "kmv_estimate": pa.array([est], pa.int64()),
     })
+
+
+def weighted_sample(ds, weight_col: str = "n_chars",
+                    id_col: str = "doc_id", n: int = 100, seed: int = 19):
+    """Deterministic weighted sample (sequential Poisson / priority
+    sampling, Ohlsson 1998): each row draws priority
+    q = splitmix64(id, seed) // max(weight, 1) and the n rows with the
+    SMALLEST q win — heavier rows draw stochastically smaller priorities,
+    so inclusion probability grows with weight, yet the whole draw is a
+    pure function of (id, seed) with no RNG stream and no coordination.
+    The integer floor-div keeps the protocol bit-replayable in DuckDB
+    HUGEINT arithmetic (ties broken by id on both sides). Output
+    (id, weight, rnk), rnk = 1..n by (priority, id).
+
+    Scale shape: a per-batch partial top-n combiner (one lexsort per
+    block) bounds what moves to O(blocks · n) rows; the final merge is
+    one task over the combined partials."""
+
+    def _prio(batch: pa.Table):
+        ids = np.asarray(batch.column(id_col), np.int64)
+        w = np.asarray(batch.column(weight_col), np.int64)
+        w = np.maximum(w, 1).astype(np.uint64)
+        q = splitmix_value(ids, seed) // w
+        return ids, q
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, q = _prio(batch)
+        order = np.lexsort((ids, q))[:n]
+        return batch.take(pa.array(order))
+
+    merged = (ds.select_columns([id_col, weight_col])
+              .map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+              .repartition(1))
+
+    def final(batch: pa.Table) -> pa.Table:
+        ids, q = _prio(batch)
+        order = np.lexsort((ids, q))[:n]
+        out = batch.take(pa.array(order))
+        return out.append_column(
+            "rnk", pa.array(np.arange(1, len(order) + 1, dtype=np.int64),
+                            pa.int64()))
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)

@@ -531,3 +531,217 @@ def heavy_hitters(ds, k: int = 40, capacity: int = 512):
         "cnt": pa.array([r["cnt"] for r in top], pa.int64()),
         "rnk": pa.array([r["rnk"] for r in top], pa.int64()),
     })
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality signals (Gopher-style n-gram repetition filters)
+# --------------------------------------------------------------------------
+
+def _repetition_batch(batch: pa.Table) -> pa.Table:
+    """One batch → per-doc repetition signals. A document is a single
+    row, so every n-gram of a doc lives inside the batch — the whole
+    operator is embarrassingly parallel with NO shuffle.
+
+    Counts are built by successive factorization so every intermediate
+    code stays bounded by the batch's token-position count (never the
+    vocabulary squared): unigram codes → bigram codes = factorize
+    (code[i], code[i+1]) fused → trigram codes = factorize
+    (bigram_code[i], code[i+2]) fused. Per-doc aggregation fuses the
+    parent row index with the n-gram code (row_count × position_count
+    keys, always < 2^63)."""
+    import pandas as pd
+
+    text = batch.column("text")
+    nrows = len(text)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    par_arr = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    par = np.asarray(par_arr.filter(mask), np.int64)
+
+    codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    codes = codes.astype(np.int64)
+    U = max(len(uniq), 1)
+    npos = len(codes)
+
+    n_tokens = np.bincount(par, minlength=nrows).astype(np.int64)
+
+    # distinct tokens per doc: unique (doc, token) keys, bucketed by doc
+    dt_key = par * U + codes
+    n_distinct = np.bincount(np.unique(dt_key) // U,
+                             minlength=nrows).astype(np.int64)
+
+    def _ngram_stats(gram_par: np.ndarray, gram_codes: np.ndarray,
+                     n_codes: int):
+        """(per-doc gram count, per-doc top-gram count)."""
+        n_grams = np.bincount(gram_par, minlength=nrows).astype(np.int64)
+        top = np.zeros(nrows, np.int64)
+        if len(gram_codes):
+            k = gram_par * n_codes + gram_codes
+            uk, cnt = np.unique(k, return_counts=True)
+            np.maximum.at(top, uk // n_codes, cnt.astype(np.int64))
+        return n_grams, top
+
+    # bigrams: consecutive positions within the same doc
+    if npos >= 2:
+        pm = par[:-1] == par[1:]
+        bg_fused = codes[:-1] * U + codes[1:]
+        bg_codes_all, _ = pd.factorize(bg_fused)
+        bg_codes_all = bg_codes_all.astype(np.int64)
+        nb = int(bg_codes_all.max()) + 1 if len(bg_codes_all) else 1
+        n_bigrams, top_bigram = _ngram_stats(
+            par[:-1][pm], bg_codes_all[pm], nb)
+    else:
+        bg_codes_all = np.zeros(0, np.int64)
+        nb = 1
+        n_bigrams = np.zeros(nrows, np.int64)
+        top_bigram = np.zeros(nrows, np.int64)
+
+    # trigrams: a bigram code at i fused with the unigram at i+2
+    if npos >= 3:
+        tm = (par[:-2] == par[1:-1]) & (par[1:-1] == par[2:])
+        tg_fused = bg_codes_all[:-1] * U + codes[2:]
+        tg_codes, _ = pd.factorize(tg_fused)
+        tg_codes = tg_codes.astype(np.int64)
+        nt = int(tg_codes.max()) + 1 if len(tg_codes) else 1
+        n_trigrams, top_trigram = _ngram_stats(
+            par[:-2][tm], tg_codes[tm], nt)
+    else:
+        n_trigrams = np.zeros(nrows, np.int64)
+        top_trigram = np.zeros(nrows, np.int64)
+
+    # IEEE-identical quotients (int64 → float64 division, 0 when empty),
+    # the op chain the DuckDB oracle replays with CAST(... AS DOUBLE)
+    with np.errstate(invalid="ignore"):
+        dup_frac = np.where(
+            n_tokens > 0,
+            (n_tokens - n_distinct).astype(np.float64)
+            / np.maximum(n_tokens, 1).astype(np.float64), 0.0)
+        top_bigram_frac = np.where(
+            n_bigrams > 0,
+            top_bigram.astype(np.float64)
+            / np.maximum(n_bigrams, 1).astype(np.float64), 0.0)
+
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "n_distinct": pa.array(n_distinct, pa.int64()),
+        "n_bigrams": pa.array(n_bigrams, pa.int64()),
+        "top_bigram": pa.array(top_bigram, pa.int64()),
+        "n_trigrams": pa.array(n_trigrams, pa.int64()),
+        "top_trigram": pa.array(top_trigram, pa.int64()),
+        "dup_frac": pa.array(dup_frac, pa.float64()),
+        "top_bigram_frac": pa.array(top_bigram_frac, pa.float64()),
+    })
+
+
+def doc_repetition(ds):
+    """documents → per-doc repetition quality signals (the Gopher-style
+    repetition filters a training-data pipeline gates on): token count,
+    distinct-token count, bigram/trigram totals, the count of the most
+    frequent bigram/trigram, and the duplicate-token / top-bigram
+    fractions. Exact integers + IEEE quotients — SQL-oracle-able.
+
+    Tokens = '\\S+' runs (the package-wide definition); n-grams are
+    consecutive token pairs/triples within a document."""
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _repetition_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Cross-file boilerplate line removal (CCNet/RefinedWeb-style line dedup)
+# --------------------------------------------------------------------------
+
+def boilerplate_lines(ds, min_files: int = 3,
+                      id_cols=("repo", "path"), text_col: str = "content",
+                      max_frequent: int = 2_000_000):
+    """Remove lines that occur in ≥ `min_files` distinct documents —
+    the classic boilerplate scrub (license headers, shared imports,
+    navigation chrome) a web/code training corpus needs before dedup.
+    Output: (id_cols…, n_lines, n_removed, cleaned_sha256) where
+    cleaned_sha256 hashes the document rebuilt from the surviving lines
+    in their original order (the corpus_sha256 invariant pattern: the
+    full transform output is SQL-checkable without shipping the text).
+
+    Scale shape: pass A collapses every block to its OWN distinct lines
+    (each document lives in exactly one row, so per-block distinct-file
+    counts sum to the global distinct-file count), a (line) groupby-sum
+    over those partials, then only the frequent lines — bounded above by
+    total_lines / min_files and in practice tiny — are collected and
+    broadcast once via ray.put. Pass B is stateless: membership test
+    with a pyarrow is_in kernel, list rebuild from offsets, one
+    binary_join per batch. Raises when the frequent set exceeds
+    `max_frequent` (the refusal names the distributed-join fallback
+    rather than silently materializing an unbounded driver-side set)."""
+    import pandas as pd
+
+    id_cols = list(id_cols)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lines = pc.split_pattern(batch.column(text_col), "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        par = np.asarray(pc.list_parent_indices(lines), np.int64)
+        codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+        U = max(len(uniq), 1)
+        # distinct (doc, line) pairs → per-line distinct-file count
+        uk = np.unique(par * U + codes.astype(np.int64))
+        nf = np.bincount(uk % U, minlength=U).astype(np.int64)
+        return pa.table({"line": pa.array(np.asarray(uniq, object),
+                                          pa.string()),
+                         "nf": pa.array(nf, pa.int64())})
+
+    def keep_frequent(batch: pa.Table) -> pa.Table:
+        return batch.filter(
+            pc.greater_equal(batch.column("sum(nf)"),
+                             pa.scalar(int(min_files), pa.int64())))
+
+    freq_tbl = (ds.select_columns([text_col])
+                .map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("line").sum("nf")
+                .map_batches(keep_frequent, batch_format="pyarrow",
+                             zero_copy_batch=True))
+    freq_rows = freq_tbl.take_all()
+    if len(freq_rows) > max_frequent:
+        raise ValueError(
+            f"boilerplate_lines: {len(freq_rows)} frequent lines exceeds "
+            f"max_frequent={max_frequent}; switch to the distributed "
+            f"path (hash-join the frequent-line table against the "
+            f"exploded line stream instead of broadcasting)")
+    frequent = pa.array([r["line"] for r in freq_rows], pa.string())
+    freq_ref = ray.put(frequent)
+
+    def scrub(batch: pa.Table) -> pa.Table:
+        freq = ray.get(freq_ref)
+        text = batch.column(text_col)
+        nrows = len(text)
+        lines = pc.split_pattern(text, "\n")
+        if isinstance(lines, pa.ChunkedArray):
+            lines = lines.combine_chunks()
+        flat = pc.list_flatten(lines)
+        par = np.asarray(pc.list_parent_indices(lines), np.int64)
+        drop = np.asarray(pc.is_in(flat, value_set=freq))
+        keep = ~drop
+        n_lines = np.bincount(par, minlength=nrows).astype(np.int64)
+        kept_counts = np.bincount(par[keep],
+                                  minlength=nrows).astype(np.int64)
+        offsets = np.zeros(nrows + 1, np.int64)
+        np.cumsum(kept_counts, out=offsets[1:])
+        # one batch's line total always fits list<int32> offsets
+        assert offsets[-1] < 2 ** 31, "batch too large for list offsets"
+        kept_lists = pa.ListArray.from_arrays(
+            pa.array(offsets, pa.int32()), flat.filter(pa.array(keep)))
+        cleaned = pc.binary_join(kept_lists, "\n")
+        sha = [hashlib.sha256(t.encode()).hexdigest()
+               for t in cleaned.to_pylist()]
+        cols = {c: batch.column(c) for c in id_cols}
+        cols["n_lines"] = pa.array(n_lines, pa.int64())
+        cols["n_removed"] = pa.array(n_lines - kept_counts, pa.int64())
+        cols["cleaned_sha"] = pa.array(sha, pa.string())
+        return pa.table(cols)
+
+    return ds.select_columns(id_cols + [text_col]).map_batches(
+        scrub, batch_format="pyarrow", zero_copy_batch=True)

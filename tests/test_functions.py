@@ -519,3 +519,105 @@ def test_heavy_hitters_exact_with_certificate():
     ds = ray.data.from_arrow(t).repartition(5)
     with _pytest.raises(ValueError, match="certificate FAILED"):
         heavy_hitters(ds, k=10, capacity=2)
+
+
+def test_doc_repetition_matches_brute_force():
+    """doc_repetition's vectorized n-gram counting == a per-doc Python
+    recount, and the batch kernel is blocking-invariant."""
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import doc_repetition
+
+    rng = np.random.default_rng(5)
+    vocab = ["a", "b", "c", "dd", "ee"]
+    docs = []
+    for i in range(120):
+        k = int(rng.integers(0, 12))
+        docs.append(" ".join(rng.choice(vocab, k)))
+    docs[7] = ""            # empty doc
+    docs[11] = "   "        # whitespace-only doc
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (doc_repetition(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    got1, got5 = run(1), run(5)
+    pd.testing.assert_frame_equal(got1, got5)
+
+    for i, text in enumerate(docs):
+        toks = text.split()
+        row = got1.iloc[i]
+        assert row.n_tokens == len(toks)
+        assert row.n_distinct == len(set(toks))
+        bgs = collections.Counter(zip(toks, toks[1:]))
+        tgs = collections.Counter(zip(toks, toks[1:], toks[2:]))
+        assert row.n_bigrams == sum(bgs.values())
+        assert row.top_bigram == (max(bgs.values()) if bgs else 0)
+        assert row.n_trigrams == sum(tgs.values())
+        assert row.top_trigram == (max(tgs.values()) if tgs else 0)
+        want_dup = ((len(toks) - len(set(toks))) / len(toks)
+                    if toks else 0.0)
+        assert row.dup_frac == want_dup
+        want_tb = (max(bgs.values()) / sum(bgs.values())) if bgs else 0.0
+        assert row.top_bigram_frac == want_tb
+
+
+def test_boilerplate_lines_matches_brute_force():
+    """boilerplate_lines removes exactly the lines occurring in >=
+    min_files distinct docs, rebuilds in order, and is blocking-
+    invariant."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import boilerplate_lines
+
+    common = "import os"
+    docs = {
+        ("r0", "a.py"): f"{common}\nx = 1\n\nend",
+        ("r0", "b.py"): f"{common}\ny = 2\n\nend",
+        ("r1", "c.py"): f"{common}\nz = 3\nunique line",
+        ("r1", "d.py"): "totally\nunique\ncontent",
+        ("r1", "e.py"): f"{common}\n{common}\nsolo",  # dup line in ONE doc
+    }
+    t = pa.table({
+        "repo": pa.array([k[0] for k in docs], pa.string()),
+        "path": pa.array([k[1] for k in docs], pa.string()),
+        "content": pa.array(list(docs.values()), pa.string()),
+    })
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (boilerplate_lines(ds, min_files=3).to_pandas()
+                .sort_values(["repo", "path"]).reset_index(drop=True))
+
+    got1, got3 = run(1), run(3)
+    pd.testing.assert_frame_equal(got1, got3)
+
+    # brute force: distinct-file counts per line
+    nf = collections.Counter()
+    for content in docs.values():
+        for line in set(content.split("\n")):
+            nf[line] += 1
+    frequent = {ln for ln, c in nf.items() if c >= 3}
+    assert common in frequent            # shared import removed
+    assert "" not in frequent            # blank line in only 2 docs
+    for _, row in got1.iterrows():
+        content = docs[(row.repo, row.path)]
+        lines = content.split("\n")
+        kept = [ln for ln in lines if ln not in frequent]
+        assert row.n_lines == len(lines)
+        assert row.n_removed == len(lines) - len(kept)
+        want_sha = hashlib.sha256("\n".join(kept).encode()).hexdigest()
+        assert row.cleaned_sha == want_sha
+    # e.py: its duplicated common line is removed twice
+    e = got1[(got1.repo == "r1") & (got1.path == "e.py")].iloc[0]
+    assert e.n_removed == 2

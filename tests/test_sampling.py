@@ -73,3 +73,43 @@ def test_stratified_sample_blocking_invariant_and_exact():
     want["rnk"] = want["rnk"].astype("int64")
     pd.testing.assert_frame_equal(got1, want)
     assert (got1.groupby("lang").size() == 5).all()
+
+
+def test_weighted_sample_blocking_invariant_and_exact():
+    """weighted_sample = sequential Poisson sampling: the n smallest
+    splitmix(id) // max(w, 1) priorities (ties by id), independent of
+    block layout; heavier rows must be overrepresented vs uniform."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+
+    from leiden_cuda_ray.functions.sampling import (
+        splitmix_value,
+        weighted_sample,
+    )
+
+    n_rows = 2000
+    # weights: 10% of rows are 100x heavier
+    w = np.where(np.arange(n_rows) % 10 == 0, 5000, 50).astype(np.int64)
+    rows = pa.table({"doc_id": pa.array(np.arange(n_rows), pa.int64()),
+                     "n_chars": pa.array(w, pa.int64())})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(rows).repartition(n_blocks)
+        return (weighted_sample(ds, n=100, seed=19).to_pandas()
+                .sort_values("rnk").reset_index(drop=True))
+
+    got1, got8 = run(1), run(8)
+    pd.testing.assert_frame_equal(got1, got8)
+
+    ids = np.arange(n_rows, dtype=np.int64)
+    q = splitmix_value(ids, 19) // np.maximum(w, 1).astype(np.uint64)
+    order = np.lexsort((ids, q))[:100]
+    want = pd.DataFrame({"doc_id": ids[order], "n_chars": w[order],
+                         "rnk": np.arange(1, 101, dtype=np.int64)})
+    pd.testing.assert_frame_equal(got1, want)
+
+    # heavy rows are 100x the weight of light ones: with 10% of rows
+    # heavy, the sample must be dominated by them (uniform would give ~10)
+    heavy = (got1["n_chars"] == 5000).sum()
+    assert heavy > 50, heavy
