@@ -418,6 +418,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_docs_per_group": rel.top_docs_per_group,
         "event_attribution": tmp.event_attribution,
         "events_rolling": tmp.events_rolling,
+        "events_interarrival": tmp.events_interarrival,
         "segment_order_percentiles": tmp.segment_order_percentiles,
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
@@ -1531,6 +1532,19 @@ def oracle_sql() -> dict[str, str]:
                          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
                      AS roll_sum
             FROM events""",
+        "events_interarrival": """
+            -- per-user LEAD/LAG inter-arrival stats; consecutive-diff
+            -- aggregates depend only on the sorted timestamp multiset,
+            -- so tie order among equal ts cannot change them
+            WITH g AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+            d AS (SELECT user_id, tus,
+                    tus - lag(tus) OVER (PARTITION BY user_id
+                                         ORDER BY tus) AS gap
+                  FROM g)
+            SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(MAX(tus) - MIN(tus) AS BIGINT) AS span_us,
+                   CAST(COALESCE(MAX(gap), 0) AS BIGINT) AS max_gap_us
+            FROM d GROUP BY user_id""",
         "segment_order_percentiles": """
             SELECT c_mktsegment, COUNT(*) AS n_orders,
                    ROUND(quantile_cont(o_totalprice, 0.5), 6) AS p50,

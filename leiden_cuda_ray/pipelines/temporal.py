@@ -186,6 +186,66 @@ def events_rolling(sf_dir: str, window: int = 7,
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
 
 
+def events_interarrival(sf_dir: str, num_partitions: int = 64):
+    """Per-user inter-arrival statistics — the LEAD/LAG window shape:
+    (user_id, n_events, span_us, max_gap_us) where gaps are the
+    microsecond deltas between the user's consecutive events ordered by
+    (ts, event_id), span = last - first, max_gap = the largest single
+    silence (0 for single-event users, matching COALESCE(MAX(gap), 0)).
+
+    Same partitioning contract as the as-of/rolling kernels: one
+    multiplicative-hash bucket shuffle co-locates each user, then one
+    vectorized sorted-diff scan per PARTITION — consecutive-diff
+    aggregates only need the per-user sorted multiset of timestamps, so
+    the result is independent of tie order among equal timestamps."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        return batch.append_column(
+            "part", pa.array(_bucket_part(uid, num_partitions), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        uid0 = group.column("user_id").to_numpy().astype(np.int64)
+        if len(uid0) == 0:
+            return pa.table({"user_id": np.empty(0, np.int64),
+                             "n_events": np.empty(0, np.int64),
+                             "span_us": np.empty(0, np.int64),
+                             "max_gap_us": np.empty(0, np.int64)})
+        ts0 = (group.column("ts").to_numpy()
+               .astype("datetime64[us]").view(np.int64))
+        eid0 = group.column("event_id").to_numpy().astype(np.int64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid, ts = uid0[order], ts0[order]
+        n = len(uid)
+        # dense per-partition user codes: users are consecutive post-sort
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        code = np.cumsum(new_user) - 1
+        nu = int(code[-1]) + 1
+        users = uid[new_user]
+        n_events = np.bincount(code, minlength=nu).astype(np.int64)
+        first = np.zeros(nu, np.int64)
+        last = np.zeros(nu, np.int64)
+        first[code[new_user]] = ts[new_user]
+        last_mask = np.ones(n, bool)
+        last_mask[:-1] = new_user[1:]
+        last[code[last_mask]] = ts[last_mask]
+        max_gap = np.zeros(nu, np.int64)
+        if n > 1:
+            same = ~new_user[1:]
+            gaps = ts[1:] - ts[:-1]
+            np.maximum.at(max_gap, code[1:][same], gaps[same])
+        return pa.table({"user_id": users,
+                         "n_events": n_events,
+                         "span_us": last - first,
+                         "max_gap_us": max_gap})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # distributed exact percentiles (two-pass histogram refinement)
 # ---------------------------------------------------------------------------

@@ -78,3 +78,23 @@ def test_percentiles_match_numpy(ray_session):
             round(float(np.quantile(vals, 0.5)), 6), abs=1e-6)
         assert got.loc[seg, "p95"] == pytest.approx(
             round(float(np.quantile(vals, 0.95)), 6), abs=1e-6)
+
+
+def test_interarrival_partition_invariant_and_brute_force(ray_session):
+    from leiden_cuda_ray.pipelines.temporal import events_interarrival
+
+    a = _canon(_pdf(events_interarrival(SF, num_partitions=1)))
+    b = _canon(_pdf(events_interarrival(SF, num_partitions=64)))
+    assert len(a) > 0
+    pd.testing.assert_frame_equal(a, b)
+
+    ev = pd.read_parquet(f"{SF}/events.parquet",
+                         columns=["user_id", "ts", "event_id"])
+    got = a.set_index("user_id")
+    for uid, grp in ev.groupby("user_id"):
+        ts = np.sort(grp["ts"].to_numpy().astype("datetime64[us]")
+                     .view(np.int64))
+        assert got.loc[uid, "n_events"] == len(ts)
+        assert got.loc[uid, "span_us"] == int(ts[-1] - ts[0])
+        want_gap = int(np.diff(ts).max()) if len(ts) > 1 else 0
+        assert got.loc[uid, "max_gap_us"] == want_gap
