@@ -467,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_scc": cq.graph_scc,
         "graph_import_depth": cq.graph_import_depth,
         "graph_mis": cq.graph_mis,
+        "graph_coloring": cq.graph_coloring,
         "graph_matching": cq.graph_matching,
         "graph_spcount": cq.graph_spcount,
         "graph_betweenness": cq.graph_betweenness,
@@ -866,6 +867,66 @@ mis AS ({joins})
 SELECT vid.v AS vertex,
        CAST(CASE WHEN mis.v IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_mis
 FROM vid LEFT JOIN mis ON mis.v = vid.v"""
+
+
+def _coloring_sql(rounds: int = 40, seed: int = 11) -> str:
+    """Unrolled Jones–Plassmann wave-coloring recurrence matching
+    algorithms/coloring.py exactly: the mis_key HUGEINT hash chain,
+    then c_0(v) = 1 and c_{k+1}(v) = 1 + MAX(c_k(u) : u adjacent,
+    key(u) < key(v)) (MAX of nothing → 0). c_k = min(depth, k) + 1, so
+    the engine's assertion (max color ≤ rounds + 1) makes trailing
+    rounds provable no-ops."""
+    a_seed = (0x9E3779B97F4A7C15 * seed) % (1 << 64)
+    b = 0xBF58476D1CE4E5B9
+    m64 = 1 << 64
+    mulmod = (f"((x % 4294967296) * {b}"
+              f" + ((((x // 4294967296) * {b}) % 4294967296)"
+              f" * 4294967296)) % {m64}")
+    steps = []
+    for k in range(rounds):
+        steps.append(f"""
+c{k + 1} AS MATERIALIZED (
+  SELECT a.v,
+         1 + COALESCE(MAX(CASE WHEN ku.key < ka.key THEN c.col END), 0)
+           AS col
+  FROM vid a
+  JOIN kv ka ON ka.v = a.v
+  LEFT JOIN sym s ON s.u = a.v
+  LEFT JOIN kv ku ON ku.v = s.t
+  LEFT JOIN c{k} c ON c.v = s.t
+  GROUP BY a.v, ka.key)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd
+  FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path
+  FROM cocommit_edges),
+wedge AS (SELECT DISTINCT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb
+          FROM wpair),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v
+  UNION ALL
+  SELECT vb.v, va.v FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  WHERE va.v <> vb.v),
+s0 AS (SELECT v, (CAST(v AS HUGEINT) + {a_seed}) % {m64} AS x FROM vid),
+s1 AS (SELECT v, CAST(xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+s2 AS (SELECT v, {mulmod} AS x FROM s1),
+s3 AS (SELECT v, xor(CAST(x AS UBIGINT),
+       CAST(x AS UBIGINT) >> 27) AS x FROM s2),
+kv AS MATERIALIZED (
+  SELECT v, CAST(x >> 32 AS BIGINT)
+            * (SELECT COUNT(*) FROM vid) + v AS key
+  FROM s3),
+c0 AS MATERIALIZED (SELECT v, CAST(1 AS BIGINT) AS col FROM vid),
+{','.join(steps)}
+SELECT v AS vertex, CAST(col AS BIGINT) AS color FROM c{rounds}"""
 
 
 def _spcount_sql(levels: int = 16) -> str:
@@ -2020,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sccl s LEFT JOIN dep ON dep.c = s.scc""",
         "graph_labelprop": _labelprop_sql(),
         "graph_mis": _mis_sql(),
+        "graph_coloring": _coloring_sql(),
         "graph_matching": _matching_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),

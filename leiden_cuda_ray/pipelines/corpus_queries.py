@@ -701,6 +701,26 @@ def graph_mis(sf_dir: str, max_oracle_rounds: int = 16):
     return ds
 
 
+def graph_coloring(sf_dir: str, max_oracle_rounds: int = 40):
+    """Jones–Plassmann greedy coloring over the canonical corpus graph
+    (algorithms/coloring.py — color = 1 + longest path ending at v in
+    the low→high mis_key orientation, one dag_depth relaxation). The
+    color count is asserted ≤ the oracle's unroll depth (oracle-compared
+    sizes only) so post-fixpoint oracle rounds are provably no-ops."""
+    from leiden_cuda_ray.algorithms.coloring import jp_coloring
+
+    graph, _ = _build_graph(sf_dir)
+    ds = jp_coloring(graph, seed=11)
+    if graph.V <= 10_000:
+        ds = ds.materialize()
+        cmax = ds.max("color")
+        if cmax - 1 > max_oracle_rounds:
+            raise ValueError(
+                f"coloring used {cmax} colors > oracle unroll "
+                f"{max_oracle_rounds} + 1; deepen the SQL unroll")
+    return ds
+
+
 def graph_spcount(sf_dir: str, max_oracle_levels: int = 16):
     """Shortest-path counts σ from the first 4 multiples of 97 (the
     forward half of Brandes betweenness, algorithms/spcount.py). Exact

@@ -1109,3 +1109,41 @@ def test_mis_greedy_equivalence(seed, P):
     for v in range(V):
         assert got[v] or any(got[u] for u in adj[v])
     assert rounds <= 20
+
+
+@pytest.mark.parametrize("seed,P", [(3, 1), (3, 4), (29, 3)])
+def test_jp_coloring_proper_and_greedy_equivalent(seed, P):
+    """JP wave coloring must equal the sequential recurrence
+    color(v) = 1 + max(color(u) : u adjacent, key(u) < key(v)) taken in
+    ascending mis_key order, be a PROPER coloring, and be P-invariant;
+    isolated vertices get color 1."""
+    from leiden_cuda_ray.algorithms.coloring import jp_coloring
+    from leiden_cuda_ray.algorithms.mis import mis_key
+
+    rng = np.random.RandomState(seed)
+    V, E = 60, 140
+    a = rng.randint(0, V - 5, E).astype(np.int64)  # 5 isolated vertices
+    b = rng.randint(0, V - 5, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=P)
+    df = (jp_coloring(g, seed=11).to_pandas()
+          .sort_values("vertex").reset_index(drop=True))
+    got = df["color"].to_numpy()
+
+    keys = mis_key(np.arange(V, dtype=np.int64), V, 11)
+    adj = [set() for _ in range(V)]
+    for u, v in pairs:
+        adj[u].add(int(v))
+        adj[v].add(int(u))
+    want = np.zeros(V, np.int64)
+    for v in np.argsort(keys):  # ascending keys: deps already colored
+        lower = [want[u] for u in adj[v] if keys[u] < keys[v]]
+        want[v] = 1 + (max(lower) if lower else 0)
+    assert len(df) == V
+    assert (got == want).all()
+    assert (got[V - 5:] == 1).all()   # isolated vertices
+    for u, v in pairs:                # proper coloring
+        assert got[u] != got[v]
