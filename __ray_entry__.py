@@ -99,6 +99,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_repetition(sf_dir):
         return text.doc_repetition(_docs(sf_dir))
 
+    def q_doc_surprisal(sf_dir):
+        return text.doc_surprisal(_docs(sf_dir))
+
     def q_boilerplate(sf_dir):
         from leiden_cuda_ray.sources.corpus import (
             ensure_corpus_for_sf_dir,
@@ -425,6 +428,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_sample": q_stratified_sample,
         "weighted_sample": q_weighted_sample,
         "doc_repetition": q_doc_repetition,
+        "doc_surprisal": q_doc_surprisal,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -1768,6 +1772,36 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ucnt u ON d.doc_id = u.doc_id
             LEFT JOIN bga b ON d.doc_id = b.doc_id
             LEFT JOIN tga t3 ON d.doc_id = t3.doc_id""",
+        "doc_surprisal": """
+            -- unigram-LM surprisal with the quantized exact-int
+            -- protocol: q(t) = FLOOR(LN(N/c) * 2^20) computed once per
+            -- vocab entry (identical IEEE chain), per-doc SUM of
+            -- int64 — order-independent on both sides
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                       AS tok
+              FROM documents),
+            cnt AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM toks GROUP BY tok),
+            tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS n FROM cnt),
+            q AS (SELECT tok,
+                    CAST(FLOOR(LN((SELECT n FROM tot)
+                                  / CAST(c AS DOUBLE)) * 1048576.0)
+                         AS BIGINT) AS q
+                  FROM cnt),
+            per AS (SELECT t.doc_id,
+                      CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                      CAST(SUM(q.q) AS BIGINT) AS surprisal_q
+                    FROM toks t JOIN q ON q.tok = t.tok
+                    GROUP BY t.doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.surprisal_q, 0) AS surprisal_q,
+                   CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                        THEN CAST(p.surprisal_q AS DOUBLE) / 1048576.0
+                             / CAST(p.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS avg_surprisal
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
         "boilerplate_lines": f"""
             -- cross-file boilerplate scrub: lines in >= 3 distinct
             -- files removed, document rebuilt from surviving lines in

@@ -745,3 +745,92 @@ def boilerplate_lines(ds, min_files: int = 3,
 
     return ds.select_columns(id_cols + [text_col]).map_batches(
         scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# --------------------------------------------------------------------------
+# Unigram-LM surprisal (perplexity-style quality score, exact-int protocol)
+# --------------------------------------------------------------------------
+
+class _SurprisalScorer:
+    """Actor-pool scoring stage: the quantized (term, q) surprisal table
+    is fetched from the object store ONCE per actor in __init__ and
+    looked up vectorized per batch (the _TfidfScorer broadcast shape)."""
+
+    def __init__(self, q_ref):
+        import pandas as pd
+
+        terms, qvals = ray.get(q_ref)
+        self._idx = pd.Index(terms)
+        self._q = qvals
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        flat = pc.list_flatten(toks)
+        par_arr = pc.list_parent_indices(toks)
+        mask = pc.not_equal(flat, "")
+        flat = flat.filter(mask)
+        par = np.asarray(par_arr.filter(mask), np.int64)
+        nrows = len(batch)
+        pos = self._idx.get_indexer(flat.to_numpy(zero_copy_only=False))
+        if (pos < 0).any():
+            raise ValueError(
+                "term missing from the count table — the counting pass "
+                "and the scoring pass tokenized differently")
+        q = self._q[pos]
+        sq = np.zeros(nrows, np.int64)
+        np.add.at(sq, par, q)
+        ntok = np.bincount(par, minlength=nrows).astype(np.int64)
+        avg = np.where(
+            ntok > 0,
+            sq.astype(np.float64) / 1048576.0
+            / np.maximum(ntok, 1).astype(np.float64), 0.0)
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_tokens": pa.array(ntok, pa.int64()),
+            "surprisal_q": pa.array(sq, pa.int64()),
+            "avg_surprisal": pa.array(avg, pa.float64()),
+        })
+
+
+def doc_surprisal(ds, max_vocab: int = 20_000_000):
+    """documents → per-doc unigram-LM surprisal, the perplexity-style
+    quality score a corpus filter ranks on: for each token t with
+    global count c out of N total tokens,
+        q(t) = floor(ln(N/c) · 2^20)   (int64)
+    and the doc's surprisal_q = Σ q(t) — an EXACT integer, so the sum
+    is order-independent and bit-replayable in SQL (the package's
+    floor-div quantization pattern: the float ln is computed once per
+    VOCAB ENTRY — identical IEEE op chain in DuckDB — never accumulated
+    in float across a document). avg_surprisal = surprisal_q / 2^20 /
+    n_tokens rides along as the human-readable nats/token.
+
+    Scale shape: one streaming tokenize pass aggregates global term
+    counts (per-batch (doc, term, tf) rows collapse each block to its
+    own vocabulary before the shuffle); the vocabulary-sized quantized
+    table broadcasts once via ray.put into a scoring actor pool; the
+    scoring pass is stateless per batch with no output shuffle.
+    Vocabularies above `max_vocab` refuse loudly (the scale path is a
+    distributed term hash join, as in tfidf_topk)."""
+    pairs = ds.select_columns(["doc_id", "text"]).map_batches(
+        _doc_term_tf, batch_format="pyarrow", zero_copy_batch=True)
+    agg = pairs.groupby("term").sum("tf")
+    n_vocab = agg.count()
+    if n_vocab > max_vocab:
+        raise ValueError(
+            f"vocabulary {n_vocab} exceeds max_vocab={max_vocab} for "
+            f"the broadcast count table — use a distributed term hash "
+            f"join at this scale")
+    cpd = agg.to_pandas()
+    order = np.argsort(cpd["term"].to_numpy(), kind="stable")
+    terms = cpd["term"].to_numpy()[order]
+    cnts = cpd["sum(tf)"].to_numpy().astype(np.int64)[order]
+    n_total = float(cnts.sum())
+    qvals = np.floor(
+        np.log(n_total / cnts.astype(np.float64)) * 1048576.0
+    ).astype(np.int64)
+    q_ref = ray.put((terms, qvals))
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        _SurprisalScorer, fn_constructor_args=(q_ref,),
+        concurrency=(1, 4), batch_format="pyarrow")

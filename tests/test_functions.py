@@ -621,3 +621,48 @@ def test_boilerplate_lines_matches_brute_force():
     # e.py: its duplicated common line is removed twice
     e = got1[(got1.repo == "r1") & (got1.path == "e.py")].iloc[0]
     assert e.n_removed == 2
+
+
+def test_doc_surprisal_matches_brute_force():
+    """doc_surprisal's quantized protocol == a direct recount: global
+    token counts, q = floor(ln(N/c) * 2^20), per-doc int sum; and the
+    two-pass pipeline is blocking-invariant."""
+    import collections
+    import math
+
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import doc_surprisal
+
+    rng = np.random.default_rng(9)
+    vocab = ["aa", "bb", "cc", "dd", "rare"]
+    probs = [0.4, 0.3, 0.2, 0.099, 0.001]
+    docs = [" ".join(rng.choice(vocab, int(rng.integers(1, 30)), p=probs))
+            for _ in range(80)]
+    docs[3] = ""
+    t = pa.table({"doc_id": pa.array(np.arange(len(docs)), pa.int64()),
+                  "text": pa.array(docs, pa.string())})
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (doc_surprisal(ds).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    got1, got4 = run(1), run(4)
+    pd.testing.assert_frame_equal(got1, got4)
+
+    cnt = collections.Counter(tok for d in docs for tok in d.split())
+    n_total = float(sum(cnt.values()))
+    q = {tok: math.floor(math.log(n_total / float(c)) * 1048576.0)
+         for tok, c in cnt.items()}
+    for i, d in enumerate(docs):
+        toks = d.split()
+        row = got1.iloc[i]
+        assert row.n_tokens == len(toks)
+        want_sq = sum(q[tok] for tok in toks)
+        assert row.surprisal_q == want_sq
+        want_avg = (want_sq / 1048576.0 / len(toks)) if toks else 0.0
+        assert row.avg_surprisal == want_avg
+    # rare tokens must carry more surprisal than common ones
+    assert q["rare"] > q["aa"]
