@@ -472,6 +472,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_import_depth": cq.graph_import_depth,
         "graph_mis": cq.graph_mis,
         "graph_coloring": cq.graph_coloring,
+        "graph_reciprocity": cq.graph_reciprocity,
         "graph_matching": cq.graph_matching,
         "graph_spcount": cq.graph_spcount,
         "graph_betweenness": cq.graph_betweenness,
@@ -2116,6 +2117,27 @@ def oracle_sql() -> dict[str, str]:
         "graph_labelprop": _labelprop_sql(),
         "graph_mis": _mis_sql(),
         "graph_coloring": _coloring_sql(),
+        "graph_reciprocity": f"""
+            -- directed-edge reciprocity over the distinct import pairs
+            -- (self-imports excluded from the metric)
+            WITH {_CORPUS_CTE},
+            vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+                    ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+                  FROM files),
+            de AS MATERIALIZED (
+              SELECT DISTINCT vs.v AS u, vd.v AS t FROM import_edges e
+              JOIN vid vs ON vs.key = e.src_repo || '|' || e.src_path
+              JOIN vid vd ON vd.key = e.dst_repo || '|' || e.dst_path),
+            nz AS (SELECT u, t FROM de WHERE u <> t),
+            r AS (SELECT a.u FROM nz a
+                  JOIN nz b ON a.u = b.t AND a.t = b.u)
+            SELECT CAST((SELECT COUNT(*) FROM nz) AS BIGINT) AS n_edges,
+                   CAST((SELECT COUNT(*) FROM r) AS BIGINT)
+                     AS n_reciprocated,
+                   CASE WHEN (SELECT COUNT(*) FROM nz) > 0
+                        THEN CAST((SELECT COUNT(*) FROM r) AS DOUBLE)
+                             / CAST((SELECT COUNT(*) FROM nz) AS DOUBLE)
+                        ELSE 0.0 END AS reciprocity""",
         "graph_matching": _matching_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
