@@ -102,6 +102,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_surprisal(sf_dir):
         return text.doc_surprisal(_docs(sf_dir))
 
+    def q_docs_global_rank(sf_dir):
+        # distributed TOTAL-ORDER rank: Ray's range-partitioned sort
+        # orders the blocks, zip_with_index assigns dense global ranks
+        # from per-block row counts only (nothing row-sized reaches the
+        # driver) — the same machinery the vertex numbering is built on
+        import pyarrow as pa
+        import ray.data
+
+        from leiden_cuda_ray.stages.numbering import zip_with_index
+
+        docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                     columns=["doc_id", "n_chars"])
+        ranked, _n = zip_with_index(
+            docs.sort(["n_chars", "doc_id"], descending=[True, False]),
+            "rnk0")
+
+        def bump(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "doc_id": batch.column("doc_id"),
+                "n_chars": batch.column("n_chars"),
+                "rnk": pc.add(batch.column("rnk0"),
+                              pa.scalar(1, pa.int64())),
+            })
+
+        return ranked.map_batches(bump, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
     def q_boilerplate(sf_dir):
         from leiden_cuda_ray.sources.corpus import (
             ensure_corpus_for_sf_dir,
@@ -429,6 +458,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "doc_repetition": q_doc_repetition,
         "doc_surprisal": q_doc_surprisal,
+        "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
@@ -1773,6 +1803,13 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ucnt u ON d.doc_id = u.doc_id
             LEFT JOIN bga b ON d.doc_id = b.doc_id
             LEFT JOIN tga t3 ON d.doc_id = t3.doc_id""",
+        "docs_global_rank": """
+            -- distributed total-order rank (global ORDER BY + dense
+            -- ROW_NUMBER via sorted blocks + per-block offsets)
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                     AS rnk
+            FROM documents""",
         "doc_surprisal": """
             -- unigram-LM surprisal with the quantized exact-int
             -- protocol: q(t) = FLOOR(LN(N/c) * 2^20) computed once per
