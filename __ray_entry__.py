@@ -153,6 +153,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_tfidf_topk(sf_dir):
         return text.tfidf_topk(_docs(sf_dir))
 
+    def q_bigram_topk(sf_dir):
+        return text.bigram_topk(_docs(sf_dir))
+
     def q_decontaminate(sf_dir):
         return dedup.cross_split_overlap(_docs(sf_dir))
 
@@ -464,6 +467,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_stats": q_doc_stats,
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
+        "bigram_topk": q_bigram_topk,
         "redact_text": q_redact,
         "decontaminate": q_decontaminate,
         "language_id": q_language_id,
@@ -1803,6 +1807,26 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ucnt u ON d.doc_id = u.doc_id
             LEFT JOIN bga b ON d.doc_id = b.doc_id
             LEFT JOIN tga t3 ON d.doc_id = t3.doc_id""",
+        "bigram_topk": """
+            -- top-10 token bigrams per lang (tie → bigram ASC); same
+            -- '\\S+' token definition as vocab_topk, consecutive pairs
+            WITH toks AS (
+              SELECT lang, regexp_extract_all(text, '\\S+') AS t
+              FROM documents),
+            pos AS (
+              SELECT lang, t, unnest(range(1, len(t))) AS i FROM toks),
+            bg AS (
+              SELECT lang, t[i] || ' ' || t[i+1] AS bigram FROM pos),
+            agg AS (
+              SELECT lang, bigram, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM bg GROUP BY lang, bigram),
+            rk AS (
+              SELECT lang, bigram, tf,
+                     ROW_NUMBER() OVER (PARTITION BY lang
+                         ORDER BY tf DESC, bigram ASC) AS rn
+              FROM agg)
+            SELECT lang, bigram, tf, CAST(rn AS BIGINT) AS rnk
+            FROM rk WHERE rn <= 10""",
         "docs_global_rank": """
             -- distributed total-order rank (global ORDER BY + dense
             -- ROW_NUMBER via sorted blocks + per-block offsets)

@@ -834,3 +834,94 @@ def doc_surprisal(ds, max_vocab: int = 20_000_000):
     return ds.select_columns(["doc_id", "text"]).map_batches(
         _SurprisalScorer, fn_constructor_args=(q_ref,),
         concurrency=(1, 4), batch_format="pyarrow")
+
+
+# --------------------------------------------------------------------------
+# Bigram counts (n-gram LM statistics)
+# --------------------------------------------------------------------------
+
+def _bigram_partial(batch: pa.Table) -> pa.Table:
+    """One batch → its (lang, bigram, cnt) partial counts. Bigram
+    strings are built with ZERO-COPY array slices (flat[:-1] ⊕ flat[1:])
+    masked to same-document positions; the per-batch factorize+bincount
+    collapses the block to its own bigram vocabulary before the shuffle
+    (the _vocab_partial combiner shape, one n-gram order up)."""
+    import pandas as pd
+
+    toks = pc.split_pattern_regex(batch.column("text"), r"\s+")
+    if isinstance(toks, pa.ChunkedArray):
+        toks = toks.combine_chunks()
+    flat = pc.list_flatten(toks)
+    par_arr = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    par = np.asarray(par_arr.filter(mask), np.int64)
+    if len(par) < 2:
+        return pa.table({"lang": pa.array([], pa.string()),
+                         "bigram": pa.array([], pa.string()),
+                         "cnt": pa.array([], pa.int64())})
+    n = len(par)
+    pairs = pc.binary_join_element_wise(
+        flat.slice(0, n - 1), flat.slice(1, n - 1), " ")
+    pm = pa.array(par[:-1] == par[1:])
+    pairs = pairs.filter(pm)
+    langs = pc.take(batch.column("lang"),
+                    pa.array(par[:-1][par[:-1] == par[1:]]))
+    # lang codes contain no space, so partition-on-first-space is
+    # unambiguous even though the bigram itself embeds one space
+    key = pc.binary_join_element_wise(langs, pairs, " ")
+    codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
+    cnt = np.bincount(codes, minlength=len(uniques)).astype(np.int64)
+    parts = pd.Series(uniques).str.partition(" ")
+    return pa.table({
+        "lang": pa.array(parts[0], pa.string()),
+        "bigram": pa.array(parts[2], pa.string()),
+        "cnt": pa.array(cnt, pa.int64()),
+    })
+
+
+def bigram_topk(ds, k: int = 10):
+    """documents → the k most frequent token BIGRAMS per lang:
+    (lang, bigram, tf, rnk), rnk by tf DESC then bigram ASC — the
+    n-gram LM count table a data pipeline feeds into smoothing /
+    contamination checks. Exact integers, SQL-oracle-able.
+
+    Same scale shape as vocab_topk: per-batch combiner partials, a
+    bounded merge over the distinct-bigram vocabulary (sublinear in
+    corpus size; for a vocabulary too large for one task the merge
+    would hash-partition by lang)."""
+    import pandas as pd
+
+    partials = ds.select_columns(["lang", "text"]).map_batches(
+        _bigram_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    merged = partials.repartition(1)
+
+    def final(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        bg = batch.column("bigram").to_numpy(zero_copy_only=False)
+        cnt = batch.column("cnt").to_numpy().astype(np.int64)
+        key = pc.binary_join_element_wise(
+            batch.column("lang"), batch.column("bigram"), " ")
+        codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
+        tf = np.bincount(codes, weights=cnt,
+                         minlength=len(uniques)).astype(np.int64)
+        rep = np.empty(len(uniques), np.int64)
+        rep[codes] = np.arange(len(codes), dtype=np.int64)
+        lang_u = lang[rep]
+        bg_u = bg[rep]
+        order = np.lexsort((bg_u, -tf, lang_u))
+        g_sorted = lang_u[order]
+        starts = np.searchsorted(g_sorted, g_sorted, side="left")
+        rnk = (np.arange(len(order)) - starts + 1).astype(np.int64)
+        keep = rnk <= k
+        sel = order[keep]
+        return pa.table({
+            "lang": pa.array(lang_u[sel], pa.string()),
+            "bigram": pa.array(bg_u[sel], pa.string()),
+            "tf": pa.array(tf[sel], pa.int64()),
+            "rnk": pa.array(rnk[keep], pa.int64()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)
