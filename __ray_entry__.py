@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_bigram_topk(sf_dir):
         return text.bigram_topk(_docs(sf_dir))
 
+    def q_quality_filter(sf_dir):
+        return text.quality_threshold_filter(_docs(sf_dir))
+
     def q_decontaminate(sf_dir):
         return dedup.cross_split_overlap(_docs(sf_dir))
 
@@ -468,6 +471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
         "bigram_topk": q_bigram_topk,
+        "quality_filter": q_quality_filter,
         "redact_text": q_redact,
         "decontaminate": q_decontaminate,
         "language_id": q_language_id,
@@ -1807,6 +1811,33 @@ def oracle_sql() -> dict[str, str]:
             LEFT JOIN ucnt u ON d.doc_id = u.doc_id
             LEFT JOIN bga b ON d.doc_id = b.doc_id
             LEFT JOIN tga t3 ON d.doc_id = t3.doc_id""",
+        "quality_filter": """
+            -- filter by a COMPUTED global order statistic: docs with
+            -- quality >= the 50th largest quality value (exact float,
+            -- no interpolation; the quality chain is the bit-identical
+            -- IEEE op sequence the quality_score oracle pins)
+            WITH s AS (
+              SELECT doc_id,
+                0.4 * LEAST(GREATEST(n_tok / 100.0, 0), 1)
+                + 0.4 * LEAST(GREATEST(n_stop / GREATEST(n_tok, 1.0) * 5,
+                                       0), 1)
+                + 0.2 * (1.0 - LEAST(GREATEST(
+                      n_punct / GREATEST(n_chars, 1.0) * 10, 0), 1))
+                  AS quality
+              FROM (SELECT doc_id,
+                      CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                      CAST(LEN(regexp_extract_all(text, '\\S+'))
+                        AS DOUBLE) AS n_tok,
+                      CAST(LEN(regexp_extract_all(text, '[.,;:!?]'))
+                        AS DOUBLE) AS n_punct,
+                      CAST(LEN(regexp_extract_all(text,
+                        '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))
+                        AS DOUBLE) AS n_stop
+                    FROM documents)),
+            th AS (SELECT quality AS v FROM s
+                   ORDER BY quality DESC LIMIT 1 OFFSET 49)
+            SELECT doc_id, quality FROM s
+            WHERE quality >= (SELECT v FROM th)""",
         "bigram_topk": """
             -- top-10 token bigrams per lang (tie → bigram ASC); same
             -- '\\S+' token definition as vocab_topk, consecutive pairs

@@ -925,3 +925,46 @@ def bigram_topk(ds, k: int = 10):
 
     return merged.map_batches(final, batch_format="pyarrow",
                               batch_size=None)
+
+
+def quality_threshold_filter(ds, k: int = 50):
+    """Corpus filtering by a COMPUTED global statistic: keep the
+    documents whose quality score is ≥ the k-th largest quality value
+    in the corpus (a discrete order statistic — no interpolation, so
+    the threshold is an exact float both sides reproduce bit-for-bit;
+    ties at the threshold are included, making the result well-defined
+    at any partitioning). Output (doc_id, quality).
+
+    Scale shape: the scored (doc_id, quality) projection materializes
+    once (two float columns — thousands of times smaller than the
+    text); a per-batch top-k partial combiner bounds the threshold
+    merge to O(blocks · k) values; the filter pass is stateless with
+    the scalar threshold captured in the closure."""
+    scored = (quality_score(ds)
+              .select_columns(["doc_id", "quality"])
+              .materialize())
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("quality"), np.float64)
+        top = np.sort(q)[::-1][:k]
+        return pa.table({"quality": pa.array(top, pa.float64())})
+
+    def kth(batch: pa.Table) -> pa.Table:
+        q = np.sort(np.asarray(batch.column("quality"), np.float64))[::-1]
+        th = q[min(k, len(q)) - 1] if len(q) else float("-inf")
+        return pa.table({"th": pa.array([th], pa.float64())})
+
+    th = (scored.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+          .repartition(1)
+          .map_batches(kth, batch_format="pyarrow", batch_size=None)
+          .take_all())[0]["th"]
+
+    def filt(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch.column("quality"), np.float64)
+        m = pa.array(q >= th)
+        return pa.table({"doc_id": batch.column("doc_id").filter(m),
+                         "quality": batch.column("quality").filter(m)})
+
+    return scored.map_batches(filt, batch_format="pyarrow",
+                              zero_copy_batch=True)
