@@ -666,3 +666,70 @@ def test_doc_surprisal_matches_brute_force():
         assert row.avg_surprisal == want_avg
     # rare tokens must carry more surprisal than common ones
     assert q["rare"] > q["aa"]
+
+
+def test_bigram_topk_matches_pandas_and_is_blocking_invariant():
+    import collections
+
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import bigram_topk
+
+    rng = np.random.default_rng(3)
+    vocab = ["x", "y", "zz"]
+    rows = [{"doc_id": i, "lang": ["en", "de"][i % 2],
+             "text": " ".join(rng.choice(vocab, int(rng.integers(0, 9))))}
+            for i in range(100)]
+    t = pa.Table.from_pylist(rows)
+
+    def run(n_blocks):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (bigram_topk(ds, k=4).to_pandas()
+                .sort_values(["lang", "rnk"]).reset_index(drop=True))
+
+    got1, got7 = run(1), run(7)
+    pd.testing.assert_frame_equal(got1, got7)
+
+    cnt = collections.Counter()
+    for r in rows:
+        toks = r["text"].split()
+        for a, b in zip(toks, toks[1:]):
+            cnt[(r["lang"], f"{a} {b}")] += 1
+    for lang in ["en", "de"]:
+        sub = sorted(((g, c) for (lg, g), c in cnt.items() if lg == lang),
+                     key=lambda x: (-x[1], x[0]))[:4]
+        got = got1[got1.lang == lang]
+        assert list(got.bigram) == [g for g, _ in sub]
+        assert list(got.tf) == [c for _, c in sub]
+        assert list(got.rnk) == [1, 2, 3, 4]
+
+
+def test_quality_filter_threshold_semantics():
+    import pandas as pd
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import (
+        quality_score,
+        quality_threshold_filter,
+    )
+
+    docs = pd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                           columns=["doc_id", "text"])
+    t = pa.Table.from_pandas(docs, preserve_index=False)
+
+    def run(n_blocks, k):
+        ds = ray.data.from_arrow(t).repartition(n_blocks)
+        return (quality_threshold_filter(ds, k=k).to_pandas()
+                .sort_values("doc_id").reset_index(drop=True))
+
+    got1, got6 = run(1, 50), run(6, 50)
+    pd.testing.assert_frame_equal(got1, got6)
+
+    all_q = (quality_score(ray.data.from_arrow(t)).to_pandas()
+             .sort_values("doc_id").reset_index(drop=True))
+    th = np.sort(all_q.quality.to_numpy())[::-1][49]
+    want = all_q[all_q.quality >= th][["doc_id", "quality"]].reset_index(
+        drop=True)
+    pd.testing.assert_frame_equal(got1, want)
+    assert len(got1) >= 50          # ties included
