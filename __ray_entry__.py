@@ -445,6 +445,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "price_histogram": rel.price_histogram,
         "bloom_semijoin": rel.bloom_semijoin_revenue,
         "daily_running_revenue": rel.daily_running_revenue,
+        "pareto_parts": rel.pareto_parts,
+        "priority_value_variance": rel.priority_value_variance,
+        "parts_churn": rel.parts_churn,
+        "above_segment_avg": rel.above_segment_avg,
         "brand_item_counts": rel.brand_item_counts,
         "high_value_orders": rel.high_value_orders,
         "distinct_segments": rel.distinct_segments,
@@ -1501,6 +1505,65 @@ def oracle_sql() -> dict[str, str]:
             FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
             WHERE c.c_acctbal > 9000
             GROUP BY c.c_custkey""",
+        "pareto_parts": """
+            -- 2-d skyline: minimize retail price (cents), maximize size;
+            -- a part survives iff nothing dominates it
+            WITH p AS (SELECT p_partkey,
+                              CAST(ROUND(p_retailprice * 100) AS BIGINT)
+                                AS price_c,
+                              CAST(p_size AS BIGINT) AS p_size
+                       FROM part)
+            SELECT b.p_partkey, b.price_c, b.p_size FROM p b
+            WHERE NOT EXISTS (
+              SELECT 1 FROM p a
+              WHERE a.price_c <= b.price_c AND a.p_size >= b.p_size
+                AND (a.price_c < b.price_c OR a.p_size > b.p_size))""",
+        "priority_value_variance": """
+            -- exact integer sample variance of order totals (cents²)
+            -- per priority: var = (n·Σc² − (Σc)²) // (n·(n−1)), HUGEINT
+            WITH t AS (SELECT o_orderpriority,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS c
+                       FROM orders),
+            a AS (SELECT o_orderpriority,
+                         CAST(COUNT(*) AS BIGINT) AS n_orders,
+                         CAST(SUM(c) AS BIGINT) AS sum_c,
+                         SUM(CAST(c AS HUGEINT) * CAST(c AS HUGEINT))
+                           AS ssq
+                  FROM t GROUP BY 1)
+            SELECT o_orderpriority, n_orders, sum_c,
+                   CAST(CASE WHEN n_orders > 1 THEN
+                          (n_orders * ssq
+                           - CAST(sum_c AS HUGEINT) * sum_c)
+                          // (CAST(n_orders AS HUGEINT) * (n_orders - 1))
+                        ELSE 0 END AS BIGINT) AS var_c2
+            FROM a""",
+        "parts_churn": """
+            -- EXCEPT: parts shipped in 1996 but never in 1997
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE EXTRACT(year FROM l_shipdate) = 1996
+              AND l_partkey NOT IN (
+                SELECT l_partkey FROM lineitem
+                WHERE EXTRACT(year FROM l_shipdate) = 1997)""",
+        "above_segment_avg": """
+            -- correlated-subquery shape: customers spending more than
+            -- 1.5× their segment's average customer spend; the exact
+            -- integer cross-multiplication both engines replay
+            WITH sp AS (SELECT o_custkey,
+                               CAST(SUM(CAST(ROUND(o_totalprice * 100)
+                                             AS BIGINT)) AS BIGINT)
+                                 AS spent_c
+                        FROM orders GROUP BY 1),
+            j AS (SELECT c.c_custkey, c.c_mktsegment, sp.spent_c
+                  FROM sp JOIN customer c ON c.c_custkey = sp.o_custkey),
+            seg AS (SELECT c_mktsegment,
+                           CAST(SUM(spent_c) AS HUGEINT) AS ssum,
+                           CAST(COUNT(*) AS HUGEINT) AS sn
+                    FROM j GROUP BY 1)
+            SELECT j.c_custkey, j.c_mktsegment, j.spent_c
+            FROM j JOIN seg USING (c_mktsegment)
+            WHERE CAST(j.spent_c AS HUGEINT) * 10 * seg.sn
+                  > 15 * seg.ssum""",
         "price_histogram": """
             -- equi-width histogram of order totals ($50,000 buckets),
             -- exact integer cents

@@ -744,3 +744,246 @@ def daily_running_revenue(sf_dir: str):
                                zero_copy_batch=True)
             .repartition(1).map_batches(fold, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def _skyline_mask(price_c, size, tiebreak):
+    """Boolean mask of the 2-d skyline (minimize price_c, maximize size).
+
+    A row survives iff no other row has price ≤ AND size ≥ with at least
+    one strict; duplicates of a surviving (price, size) point all survive.
+    One lexsort sweep: survivor ⟺ size equals the max at its exact price
+    AND exceeds the max over every strictly cheaper price."""
+    order = np.lexsort((tiebreak, -size, price_c))
+    p, s = price_c[order], size[order]
+    new_p = np.ones(len(p), bool)
+    new_p[1:] = p[1:] != p[:-1]
+    gidx = np.cumsum(new_p) - 1
+    gmax = s[new_p]  # sorted size-desc within price ⟹ first = group max
+    cheaper = np.full(len(gmax), np.iinfo(np.int64).min, np.int64)
+    cheaper[1:] = np.maximum.accumulate(gmax)[:-1]
+    keep_sorted = (s == gmax[gidx]) & (s > cheaper[gidx])
+    mask = np.zeros(len(p), bool)
+    mask[order] = keep_sorted
+    return mask
+
+
+def pareto_parts(sf_dir: str):
+    """Skyline (pareto-optimal) parts: minimize retail price, maximize
+    size — no other part is both cheaper-or-equal AND larger-or-equal
+    with one strict. → (p_partkey, price_c, p_size).
+
+    Scale shape: skyline(A ∪ B) ⊆ skyline(A) ∪ skyline(B), so a per-batch
+    PARTIAL skyline is a valid combiner — every block reduces to its own
+    skyline (≤ distinct-price points) before anything moves, and the
+    final pass re-runs the identical sweep over the concatenated partials
+    in one task. The fact table never shuffles."""
+    part = _read(sf_dir, "part", ["p_partkey", "p_retailprice", "p_size"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("p_retailprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "p_partkey": pc.cast(batch.column("p_partkey"), pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+            "p_size": pc.cast(batch.column("p_size"), pa.int64()),
+        })
+
+    def sky(batch: pa.Table) -> pa.Table:
+        mask = _skyline_mask(np.asarray(batch.column("price_c"), np.int64),
+                             np.asarray(batch.column("p_size"), np.int64),
+                             np.asarray(batch.column("p_partkey"), np.int64))
+        return batch.filter(pa.array(mask))
+
+    partials = part.map_batches(prep, batch_format="pyarrow",
+                                zero_copy_batch=True).map_batches(
+        sky, batch_format="pyarrow")
+    return partials.repartition(1).map_batches(sky, batch_format="pyarrow",
+                                               batch_size=None)
+
+
+def priority_value_variance(sf_dir: str):
+    """Exact distributed variance: per order priority, the SAMPLE
+    variance of order totals in cents² as an exact integer —
+    var_c2 = (n·Σc² − (Σc)²) // (n·(n−1)).
+
+    Scale shape: one streaming pass of per-batch integer partials. c² (up
+    to ~2^52 for 8-digit cent totals) would overflow int64 when summed
+    over a large batch, so each partial carries the square split as
+    (Σ hi, Σ lo) with hi = c²>>31, lo = c² & (2^31−1) — both sums stay
+    far under 2^63 for any batch size ≤ 2^30 rows. The final fold over
+    the O(priorities · blocks) partials reassembles Σc² in arbitrary-
+    precision Python ints, so the variance is bit-exact at any scale and
+    replayable in DuckDB HUGEINT arithmetic."""
+    import pandas as pd
+
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+    _LO = np.int64((1 << 31) - 1)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        c = np.rint(np.asarray(batch.column("o_totalprice"),
+                               np.float64) * 100.0).astype(np.int64)
+        assert c.size == 0 or c.max() < (1 << 31), \
+            "order total cents exceed 2^31: widen the hi/lo split"
+        codes, uniq = pd.factorize(prio)
+        k = len(uniq)
+        sq = c * c
+        return pa.table({
+            "o_orderpriority": pa.array(np.asarray(uniq, object),
+                                        pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64),
+                          pa.int64()),
+            "sum_c": pa.array(np.bincount(codes, weights=c, minlength=k)
+                              .astype(np.int64), pa.int64()),
+            "ssq_hi": pa.array(np.bincount(codes, weights=sq >> 31,
+                                           minlength=k).astype(np.int64),
+                               pa.int64()),
+            "ssq_lo": pa.array(np.bincount(codes, weights=sq & _LO,
+                                           minlength=k).astype(np.int64),
+                               pa.int64()),
+        })
+
+    def fold(batch: pa.Table) -> pa.Table:
+        prio = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        codes, uniq = pd.factorize(prio)
+        k = len(uniq)
+        n = np.bincount(codes,
+                        weights=np.asarray(batch.column("n"), np.int64),
+                        minlength=k).astype(np.int64)
+        sc = np.bincount(codes,
+                         weights=np.asarray(batch.column("sum_c"),
+                                            np.int64),
+                         minlength=k).astype(np.int64)
+        hi = np.bincount(codes,
+                         weights=np.asarray(batch.column("ssq_hi"),
+                                            np.int64),
+                         minlength=k).astype(np.int64)
+        lo = np.bincount(codes,
+                         weights=np.asarray(batch.column("ssq_lo"),
+                                            np.int64),
+                         minlength=k).astype(np.int64)
+        var = np.empty(k, np.int64)
+        for i in range(k):  # k = priority vocabulary, a handful of rows
+            ssq = (int(hi[i]) << 31) + int(lo[i])
+            ni, si = int(n[i]), int(sc[i])
+            var[i] = ((ni * ssq - si * si) // (ni * (ni - 1))
+                      if ni > 1 else 0)
+        return pa.table({
+            "o_orderpriority": pa.array(np.asarray(uniq, object),
+                                        pa.string()),
+            "n_orders": pa.array(n, pa.int64()),
+            "sum_c": pa.array(sc, pa.int64()),
+            "var_c2": pa.array(var, pa.int64()),
+        })
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1).map_batches(fold, batch_format="pyarrow",
+                                        batch_size=None))
+
+
+def parts_churn(sf_dir: str, year_a: int = 1996, year_b: int = 1997):
+    """Set difference (EXCEPT): parts shipped in year A but never in
+    year B. One shuffle: per-row year indicators, grouped MAX per
+    partkey, filter has_a AND NOT has_b — the two distinct sets and the
+    anti-join collapse into a single int-key aggregation."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        yr = np.asarray(pc.year(batch.column("l_shipdate")), np.int64)
+        keep = (yr == year_a) | (yr == year_b)
+        pk = np.asarray(batch.column("l_partkey"), np.int64)[keep]
+        yk = yr[keep]
+        return pa.table({
+            "l_partkey": pa.array(pk, pa.int64()),
+            "in_a": pa.array((yk == year_a).astype(np.int64), pa.int64()),
+            "in_b": pa.array((yk == year_b).astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Max
+
+    agg = (li.map_batches(prep, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_partkey")
+           .aggregate(Max("in_a", alias_name="has_a"),
+                      Max("in_b", alias_name="has_b")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(pc.equal(batch.column("has_a"), 1),
+                       pc.equal(batch.column("has_b"), 0))
+        t = batch.filter(keep)
+        return pa.table({
+            "l_partkey": pc.cast(t.column("l_partkey"), pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+def above_segment_avg(sf_dir: str, num: int = 15, den: int = 10):
+    """Correlated-subquery shape: customers whose total order spend
+    exceeds num/den × their market segment's average customer spend.
+    → (c_custkey, c_mktsegment, spent_c).
+
+    Scale shape: per-customer spend is one int-key aggregation over the
+    fact table; the per-segment (Σ spend, n customers) table is a
+    handful of rows pulled once and broadcast via ray.put; the filter
+    replays the exact integer cross-multiplication spent·den·n >
+    num·Σspend inside map_batches — no second pass over orders and no
+    float division on either side."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    spent = (orders.map_batches(cents, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("o_custkey")
+             .aggregate(Sum("price_c", alias_name="spent_c")))
+    j = hash_join(spent, cust, on=("o_custkey",),
+                  right_on=("c_custkey",)).materialize()
+    seg_rows = (j.groupby("c_mktsegment")
+                .aggregate(Sum("spent_c", alias_name="seg_sum"),
+                           Count(alias_name="seg_n")).take_all())
+    seg = {r["c_mktsegment"]: (int(r["seg_sum"]), int(r["seg_n"]))
+           for r in seg_rows}
+    seg_ref = ray.put(seg)
+
+    class _Filter:
+        def __init__(self, ref):
+            self.seg = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            segn = batch.column("c_mktsegment").to_numpy(
+                zero_copy_only=False)
+            spent_c = np.asarray(batch.column("spent_c"), np.int64)
+            import pandas as pd
+
+            codes, uniq = pd.factorize(segn)
+            ssum = np.array([self.seg[s][0] for s in uniq], np.int64)
+            sn = np.array([self.seg[s][1] for s in uniq], np.int64)
+            # loud int64 overflow guard on the cross-multiplication
+            assert spent_c.size == 0 or (
+                spent_c.max() < (1 << 62) // (den * max(1, sn.max()))
+                and ssum.max() < (1 << 62) // num), \
+                "cross-multiplication would overflow int64: use HUGEINT"
+            keep = spent_c * den * sn[codes] > num * ssum[codes]
+            t = batch.filter(pa.array(keep))
+            return pa.table({
+                "c_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+                "c_mktsegment": pc.cast(t.column("c_mktsegment"),
+                                        pa.string()),
+                "spent_c": pc.cast(t.column("spent_c"), pa.int64()),
+            })
+
+    return j.map_batches(_Filter, fn_constructor_args=(seg_ref,),
+                         concurrency=(1, 8), batch_format="pyarrow")

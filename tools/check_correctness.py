@@ -53,8 +53,11 @@ def vhash(df: pd.DataFrame) -> str:
 
 
 oracles = entry.oracle_sql()
+only = set(sys.argv[2:])  # optional: check just these query names
 fails = []
 for name, fn in entry.queries().items():
+    if only and name not in only:
+        continue
     t0 = time.time()
     try:
         res = fn(SF)
