@@ -102,6 +102,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_surprisal(sf_dir):
         return text.doc_surprisal(_docs(sf_dir))
 
+    def q_doc_entropy(sf_dir):
+        return text.doc_entropy(_docs(sf_dir))
+
+    def q_embedding_centroids(sf_dir):
+        return similarity.embedding_centroids(_emb(sf_dir))
+
     def q_docs_global_rank(sf_dir):
         # distributed TOTAL-ORDER rank: Ray's range-partitioned sort
         # orders the blocks, zip_with_index assigns dense global ranks
@@ -468,6 +474,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "doc_repetition": q_doc_repetition,
         "doc_surprisal": q_doc_surprisal,
+        "doc_entropy": q_doc_entropy,
+        "embedding_centroids": q_embedding_centroids,
         "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
@@ -1928,6 +1936,47 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
                      AS rnk
             FROM documents""",
+        "doc_entropy": """
+            -- per-doc token Shannon entropy, quantized exact-int
+            -- protocol: ent_q = Σ c·FLOOR(LN(c)·2^20) over per-doc
+            -- distinct-token counts; entropy = LN(n) − ent_q/2^20/n
+            -- in the identical IEEE chain
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+'))
+                       AS tok
+              FROM documents),
+            cnt AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS c
+                    FROM toks GROUP BY doc_id, tok),
+            per AS (SELECT doc_id,
+                      CAST(SUM(c) AS BIGINT) AS n_tokens,
+                      CAST(SUM(c * CAST(FLOOR(LN(CAST(c AS DOUBLE))
+                                              * 1048576.0) AS BIGINT))
+                           AS BIGINT) AS ent_q
+                    FROM cnt GROUP BY doc_id)
+            SELECT d.doc_id,
+                   COALESCE(p.n_tokens, 0) AS n_tokens,
+                   COALESCE(p.ent_q, 0) AS ent_q,
+                   CASE WHEN COALESCE(p.n_tokens, 0) > 0
+                        THEN LN(CAST(p.n_tokens AS DOUBLE))
+                             - CAST(p.ent_q AS DOUBLE) / 1048576.0
+                               / CAST(p.n_tokens AS DOUBLE)
+                        ELSE 0.0 END AS entropy
+            FROM documents d LEFT JOIN per p ON d.doc_id = p.doc_id""",
+        "embedding_centroids": """
+            -- per-label quantized centroid sums: FLOOR(x·2^20) per
+            -- element (float32→double exact, power-of-two scale), exact
+            -- BIGINT dimension sums; parallel UNNEST pairs element with
+            -- its 1-based ordinal
+            WITH u AS (SELECT label,
+                              UNNEST(embedding) AS e,
+                              UNNEST(range(1, len(embedding) + 1)) AS dim
+                       FROM embeddings)
+            SELECT CAST(label AS BIGINT) AS label,
+                   CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(FLOOR(CAST(e AS DOUBLE) * 1048576.0)
+                                 AS BIGINT)) AS BIGINT) AS sum_q,
+                   CAST(COUNT(*) AS BIGINT) AS n_vecs
+            FROM u GROUP BY 1, 2""",
         "doc_surprisal": """
             -- unigram-LM surprisal with the quantized exact-int
             -- protocol: q(t) = FLOOR(LN(N/c) * 2^20) computed once per

@@ -224,3 +224,65 @@ def knn_ivf(emb_ds, queries: np.ndarray, k: int = 5, n_centroids: int = 8,
     scored = emb_ds.select_columns([id_col, vec_col]).map_batches(
         Scorer, batch_format="pyarrow", concurrency=2)
     return _merge_topk(scored, k)
+
+
+def embedding_centroids(ds, scale: int = 1 << 20):
+    """Per-label quantized centroid sums: (label, dim, sum_q, n_vecs)
+    with sum_q = Σ FLOOR(x·2^20) as exact int64 (float32 → float64 is
+    exact and ×2^20 is a power-of-two scale, so both engines quantize
+    identical doubles). The centroid itself is sum_q / (n_vecs·2^20).
+
+    Scale shape: each block reduces to a (labels × dims) int64 partial
+    via one zero-copy matrix view + np.add.at — the merge input is
+    O(labels · dims · blocks) rows regardless of vector count, and the
+    final fold is one bincount task."""
+    import pandas as pd
+
+    def partial(batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch.column("embedding"), np.float64)
+        lab = np.asarray(batch.column("label"), np.int64)
+        n, d = M.shape if M.size else (0, 0)
+        if n == 0:
+            return pa.table({"label": pa.array([], pa.int64()),
+                             "dim": pa.array([], pa.int64()),
+                             "sum_q": pa.array([], pa.int64()),
+                             "n_vecs": pa.array([], pa.int64())})
+        q = np.floor(M * float(scale)).astype(np.int64)
+        codes, uniq = pd.factorize(lab)
+        k = len(uniq)
+        acc = np.zeros((k, d), np.int64)
+        np.add.at(acc, codes, q)
+        cnt = np.bincount(codes, minlength=k).astype(np.int64)
+        return pa.table({
+            "label": pa.array(np.repeat(uniq, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    k), pa.int64()),
+            "sum_q": pa.array(acc.ravel(), pa.int64()),
+            "n_vecs": pa.array(np.repeat(cnt, d), pa.int64()),
+        })
+
+    def fold(batch: pa.Table) -> pa.Table:
+        lab = np.asarray(batch.column("label"), np.int64)
+        dim = np.asarray(batch.column("dim"), np.int64)
+        sq = np.asarray(batch.column("sum_q"), np.int64)
+        nv = np.asarray(batch.column("n_vecs"), np.int64)
+        dmax = int(dim.max()) + 1
+        key = lab * dmax + dim
+        ukey, inv = np.unique(key, return_inverse=True)
+        # int64 np.add.at, not float-weighted bincount: partial sums can
+        # exceed 2^53 at billion-vector scale and must stay exact
+        ssum = np.zeros(len(ukey), np.int64)
+        np.add.at(ssum, inv, sq)
+        nsum = np.zeros(len(ukey), np.int64)
+        np.add.at(nsum, inv, nv)
+        return pa.table({
+            "label": pa.array(ukey // dmax, pa.int64()),
+            "dim": pa.array(ukey % dmax, pa.int64()),
+            "sum_q": pa.array(ssum, pa.int64()),
+            "n_vecs": pa.array(nsum, pa.int64()),
+        })
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1).map_batches(fold, batch_format="pyarrow",
+                                        batch_size=None))

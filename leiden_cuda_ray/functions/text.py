@@ -968,3 +968,55 @@ def quality_threshold_filter(ds, k: int = 50):
 
     return scored.map_batches(filt, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def _entropy_batch(batch: pa.Table) -> pa.Table:
+    """One batch → per-doc token Shannon entropy under the quantized
+    exact-int protocol: ent_q = Σ_{distinct t} c_t · FLOOR(LN(c_t)·2^20)
+    (int64, order-independent), entropy = LN(n) − ent_q/2^20/n in the
+    identical IEEE chain the DuckDB oracle replays. Docs are whole rows,
+    so every count is batch-local — NO shuffle. Accumulation uses
+    np.add.at on int64 (exact at any doc length, unlike float-weighted
+    bincount past 2^53)."""
+    import pandas as pd
+
+    text = batch.column("text")
+    nrows = len(text)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    par_arr = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    par = np.asarray(par_arr.filter(mask), np.int64)
+
+    codes, uniq = pd.factorize(flat.to_numpy(zero_copy_only=False))
+    U = max(len(uniq), 1)
+    n_tokens = np.bincount(par, minlength=nrows).astype(np.int64)
+
+    ukey, ucnt = np.unique(par * U + codes.astype(np.int64),
+                           return_counts=True)
+    doc_idx = (ukey // U).astype(np.int64)
+    qln = np.floor(np.log(ucnt.astype(np.float64))
+                   * 1048576.0).astype(np.int64)
+    ent_q = np.zeros(nrows, np.int64)
+    np.add.at(ent_q, doc_idx, ucnt.astype(np.int64) * qln)
+
+    entropy = np.zeros(nrows, np.float64)
+    nz = n_tokens > 0
+    entropy[nz] = (np.log(n_tokens[nz].astype(np.float64))
+                   - ent_q[nz].astype(np.float64) / 1048576.0
+                   / n_tokens[nz].astype(np.float64))
+    return pa.table({
+        "doc_id": batch.column("doc_id"),
+        "n_tokens": pa.array(n_tokens, pa.int64()),
+        "ent_q": pa.array(ent_q, pa.int64()),
+        "entropy": pa.array(entropy, pa.float64()),
+    })
+
+
+def doc_entropy(ds):
+    """Per-doc token-distribution Shannon entropy (quality signal: low
+    entropy = repetitive/templated text). Embarrassingly parallel; the
+    quantized integer rides next to the float for bit-exact checking."""
+    return ds.map_batches(_entropy_batch, batch_format="pyarrow",
+                          zero_copy_batch=True)

@@ -733,3 +733,80 @@ def test_quality_filter_threshold_semantics():
         drop=True)
     pd.testing.assert_frame_equal(got1, want)
     assert len(got1) >= 50          # ties included
+
+
+def test_doc_entropy_brute_force_and_blocking_invariant():
+    """doc_entropy must equal a direct per-doc computation (counts →
+    Σ c·floor(ln(c)·2^20)) and be invariant to block splits (the op is
+    per-row, so any blocking must give identical rows)."""
+    import math
+
+    from leiden_cuda_ray.functions.text import doc_entropy
+
+    rng = np.random.RandomState(11)
+    words = ["a", "bb", "ccc", "dd", "e"]
+    rows = [{"doc_id": i,
+             "text": " ".join(rng.choice(words, rng.randint(0, 30)))}
+            for i in range(40)]
+    rows.append({"doc_id": 40, "text": "   "})  # zero tokens
+    t = pa.Table.from_pylist(rows)
+
+    def brute(text):
+        toks = [w for w in text.split() if w]
+        if not toks:
+            return 0, 0, 0.0
+        cnt = {}
+        for w in toks:
+            cnt[w] = cnt.get(w, 0) + 1
+        n = len(toks)
+        ent_q = sum(c * math.floor(math.log(c) * 1048576.0)
+                    for c in cnt.values())
+        return n, ent_q, math.log(n) - ent_q / 1048576.0 / n
+
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = (doc_entropy(ds).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    for r in rows:
+        n, eq, ent = brute(r["text"])
+        got = df[df.doc_id == r["doc_id"]].iloc[0]
+        assert int(got.n_tokens) == n and int(got.ent_q) == eq
+        # the exact contract is the int column; the float rides along
+        # (np.log vs math.log may differ by 1 ulp)
+        assert abs(got.entropy - ent) < 1e-9
+
+
+def test_embedding_centroids_exact_and_blocking_invariant():
+    """embedding_centroids must equal direct quantized dimension sums
+    at any blocking (int64 partials combine exactly)."""
+    from leiden_cuda_ray.functions.similarity import embedding_centroids
+
+    rng = np.random.RandomState(3)
+    n, d = 50, 8
+    M = rng.randn(n, d).astype(np.float32)
+    lab = rng.randint(0, 3, n)
+    t = pa.table({
+        "vec_id": pa.array(np.arange(n), pa.int64()),
+        "embedding": pa.array([row for row in M.tolist()],
+                              pa.list_(pa.float32())),
+        "label": pa.array(lab, pa.int32()),
+    })
+    q = np.floor(M.astype(np.float64) * 1048576.0).astype(np.int64)
+    outs = []
+    for blocks in (1, 9):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = (embedding_centroids(ds).to_pandas()
+              .sort_values(["label", "dim"]).reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    for L in np.unique(lab):
+        sel = q[lab == L]
+        for dim in range(d):
+            row = df[(df.label == L) & (df.dim == dim + 1)].iloc[0]
+            assert int(row.sum_q) == int(sel[:, dim].sum())
+            assert int(row.n_vecs) == int((lab == L).sum())

@@ -3,6 +3,7 @@ invariance to how the input is blocked (the partial top-k must be a
 lossless combiner)."""
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def _oracle(df: pd.DataFrame, k: int = 3) -> pd.DataFrame:
@@ -66,3 +67,38 @@ def test_partial_topk_blocking_invariance(tmp_path):
            .sort_values(["lang", "source", "rnk"]).reset_index(drop=True))
     want = _oracle(df.drop(columns=["text"]), k=3)[got.columns]
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_pareto_parts_brute_force_and_blocking_invariant(tmp_path):
+    """The partial-skyline combiner must produce exactly the brute-force
+    dominance skyline at any blocking."""
+    import pyarrow.parquet as pq
+
+    from leiden_cuda_ray.pipelines.relational import pareto_parts
+
+    rng = np.random.RandomState(7)
+    n = 300
+    price = rng.randint(100, 5000, n) / 100.0
+    size = rng.randint(1, 50, n)
+    t = pa.table({
+        "p_partkey": pa.array(np.arange(n), pa.int64()),
+        "p_name": pa.array([f"p{i}" for i in range(n)], pa.string()),
+        "p_brand": pa.array(["b"] * n, pa.string()),
+        "p_type": pa.array(["t"] * n, pa.string()),
+        "p_size": pa.array(size.astype(np.int32), pa.int32()),
+        "p_retailprice": pa.array(price, pa.float64()),
+    })
+    pq.write_table(t, str(tmp_path / "part.parquet"))
+
+    pc_ = np.rint(price * 100).astype(np.int64)
+    keep = []
+    for i in range(n):
+        dominated = np.any(
+            (pc_ <= pc_[i]) & (size >= size[i])
+            & ((pc_ < pc_[i]) | (size > size[i])))
+        if not dominated:
+            keep.append(i)
+    df = (pareto_parts(str(tmp_path)).to_pandas()
+          .sort_values("p_partkey").reset_index(drop=True))
+    assert list(df.p_partkey) == keep
+    assert list(df.price_c) == [int(pc_[i]) for i in keep]
