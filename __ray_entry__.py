@@ -397,6 +397,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                     ["media_id", "height", "width",
                                      "channels"])
 
+    def q_audio_energy(sf_dir):
+        # Written-artifact recompute oracle (the minhash_consistency
+        # pattern): the actor-pool WAV decode emits the EXACT stored PCM
+        # integers to parquet; the engine returns per-media integer
+        # energy sums and DuckDB recomputes the identical BIGINTs from
+        # the written samples.
+        from leiden_cuda_ray.functions import multimodal as mm
+        from leiden_cuda_ray.pipelines.corpus_queries import (
+            _write_partition)
+
+        ds = mm.make_real_media_dataset(n=64, media_type="audio")
+        samples = ds.map_batches(mm.AudioToSamples(), concurrency=2,
+                                 batch_size=16,
+                                 batch_format="pyarrow").materialize()
+        _write_partition(sf_dir, samples, "audio_samples")
+        return mm.audio_energy_stats(samples)
+
     def q_knn_ivf(sf_dir):
         Q = _first10_queries(sf_dir)
         res = similarity.knn_ivf(_emb(sf_dir), Q, k=5, n_centroids=8,
@@ -503,6 +520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf": q_knn_ivf,
         "knn_ivf_recall": q_knn_ivf_recall,
         "media_decode": q_media_decode,
+        "audio_energy": q_audio_energy,
         # corpus pipeline + graph algorithms
         "corpus_sha256": cq.corpus_sha256,
         "cocommit_pairs": cq.cocommit_pairs,
@@ -527,6 +545,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_spcount": cq.graph_spcount,
         "graph_betweenness": cq.graph_betweenness,
         "graph_harmonic": cq.graph_harmonic,
+        "graph_eccentricity": cq.graph_eccentricity,
         "graph_degree_hist": cq.graph_degree_hist,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
@@ -2345,6 +2364,28 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "audio_energy": """
+            -- written-artifact recompute: exact integer energy sums
+            -- from the engine-written decoded PCM samples
+            SELECT media_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_samples,
+                   CAST(SUM(sample * sample) AS BIGINT) AS sum_sq,
+                   CAST(SUM(ABS(sample)) AS BIGINT) AS sum_abs
+            FROM read_parquet(
+              '/tmp/graft_oracle/sf0.01/audio_samples/*.parquet')
+            GROUP BY media_id""",
+        "graph_eccentricity": f"""
+            -- seeded eccentricity over the identical unrolled BFS
+            -- levels the spcount oracle pins: MAX dist, reached count
+            -- (self included; unreachable rows carry dist = -1), Σ dist
+            SELECT seed,
+                   CAST(MAX(dist) AS BIGINT) AS ecc,
+                   CAST(SUM(CASE WHEN dist >= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_reached,
+                   CAST(SUM(CASE WHEN dist > 0 THEN dist ELSE 0 END)
+                        AS BIGINT) AS sum_dist
+            FROM ({_spcount_sql()}) sp
+            GROUP BY seed""",
         "graph_harmonic": f"""
             -- quantized harmonic centrality over the spcount seed set:
             -- exact integer floor-div of the same unrolled BFS levels

@@ -108,8 +108,10 @@ def encode_wav(samples: np.ndarray, sample_rate: int = 8000) -> bytes:
     return buf.getvalue()
 
 
-def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
-    """PCM WAV bytes -> (float64 mono samples in [-1, 1], sample_rate)."""
+def decode_wav_raw(payload: bytes) -> tuple[np.ndarray, int, int]:
+    """PCM WAV bytes -> (raw integer samples (n,) or (n, ch), sample
+    width in bytes, sample_rate) — the exact stored integers, no float
+    normalization (audio_energy's exact-int protocol needs them)."""
     if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
         raise ValueError(f"not a WAV payload (magic {payload[:4]!r})")
     with wave.open(io.BytesIO(payload), "rb") as wf:
@@ -117,14 +119,26 @@ def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
                         wf.getframerate())
         raw = wf.readframes(wf.getnframes())
     if sw == 2:
-        arr = np.frombuffer(raw, np.int16).astype(np.float64) / 32768.0
+        arr = np.frombuffer(raw, np.int16)
     elif sw == 1:  # 8-bit WAV is unsigned per the spec
-        arr = (np.frombuffer(raw, np.uint8).astype(np.float64) - 128.0) / 128.0
+        arr = np.frombuffer(raw, np.uint8)
     else:
         raise NotImplementedError(f"{8 * sw}-bit PCM not supported")
     if ch > 1:
-        arr = arr.reshape(-1, ch).mean(axis=1)
-    return arr, rate
+        arr = arr.reshape(-1, ch)
+    return arr, sw, rate
+
+
+def decode_wav(payload: bytes) -> tuple[np.ndarray, int]:
+    """PCM WAV bytes -> (float64 mono samples in [-1, 1], sample_rate)."""
+    arr, sw, rate = decode_wav_raw(payload)
+    if sw == 2:
+        out = arr.astype(np.float64) / 32768.0
+    else:
+        out = (arr.astype(np.float64) - 128.0) / 128.0
+    if out.ndim > 1:
+        out = out.mean(axis=1)
+    return out, rate
 
 
 _Y4M_FRAME_SIZES = {
@@ -491,3 +505,74 @@ def decode_images(media_ds, concurrency: int = 2, batch_size: int = 16,
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class AudioToSamples:
+    """Actor-pool stage: WAV payload → flattened (media_id, idx, sample)
+    rows with the EXACT stored PCM integers (decode_wav_raw — no float
+    normalization). Multi-channel is averaged to mono in integer
+    floor-div so downstream integer protocols stay exact. One vectorized
+    emit per batch; per-media row counts stay bounded by the payload
+    size, so batch_size controls heap."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, idxs, vals = [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            arr, sw, rate = decode_wav_raw(payload)
+            mono = (arr.astype(np.int64) if arr.ndim == 1
+                    else arr.astype(np.int64).sum(axis=1)
+                    // arr.shape[1])
+            ids.append(np.full(len(mono), mid, np.int64))
+            idxs.append(np.arange(len(mono), dtype=np.int64))
+            vals.append(mono)
+        cat = (np.concatenate(ids), np.concatenate(idxs),
+               np.concatenate(vals)) if ids else (
+            np.empty(0, np.int64),) * 3
+        return pa.table({"media_id": pa.array(cat[0], pa.int64()),
+                         "idx": pa.array(cat[1], pa.int64()),
+                         "sample": pa.array(cat[2], pa.int64())})
+
+
+def audio_energy_stats(samples_ds):
+    """(media_id, idx, sample) rows → per-media exact integer energy:
+    n_samples, sum_sq = Σ sample², sum_abs = Σ |sample|. Per-batch
+    int64 partials (np.add.at — exact at any length) then one grouped
+    merge; 16-bit samples keep sum_sq under int64 to ~8.6e9 samples per
+    media (loud assert)."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        mid = np.asarray(batch.column("media_id"), np.int64)
+        s = np.asarray(batch.column("sample"), np.int64)
+        um, inv = np.unique(mid, return_inverse=True)
+        n = np.bincount(inv, minlength=len(um)).astype(np.int64)
+        ssq = np.zeros(len(um), np.int64)
+        np.add.at(ssq, inv, s * s)
+        sab = np.zeros(len(um), np.int64)
+        np.add.at(sab, inv, np.abs(s))
+        return pa.table({"media_id": pa.array(um, pa.int64()),
+                         "n_samples": pa.array(n, pa.int64()),
+                         "sum_sq": pa.array(ssq, pa.int64()),
+                         "sum_abs": pa.array(sab, pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        mid = np.asarray(batch.column("media_id"), np.int64)
+        um, inv = np.unique(mid, return_inverse=True)
+        out = {}
+        for c in ("n_samples", "sum_sq", "sum_abs"):
+            acc = np.zeros(len(um), np.int64)
+            np.add.at(acc, inv, np.asarray(batch.column(c), np.int64))
+            out[c] = acc
+        assert out["n_samples"].size == 0 or out["sum_sq"].max() >= 0, \
+            "sum_sq overflowed int64"
+        return pa.table({"media_id": pa.array(um, pa.int64()),
+                         "n_samples": pa.array(out["n_samples"],
+                                               pa.int64()),
+                         "sum_sq": pa.array(out["sum_sq"], pa.int64()),
+                         "sum_abs": pa.array(out["sum_abs"],
+                                             pa.int64())})
+
+    return (samples_ds.map_batches(partial, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))

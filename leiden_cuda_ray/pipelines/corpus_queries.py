@@ -1026,3 +1026,57 @@ def sf_of(sf_dir: str) -> float:
         return float(tier.replace("sf", ""))
     except ValueError:
         return 0.001
+
+
+def graph_eccentricity(sf_dir: str, max_oracle_levels: int = 16):
+    """Seeded eccentricity: for each spcount seed, the exact BFS
+    eccentricity over its reachable set, plus n_reached (self included)
+    and Σ dist — all BIGINTs. Rides the spcount forward state (no new
+    exchange): each emit block reduces to ≤ |seeds| partial rows
+    (max / count / sum per seed), so the merge input is
+    O(seeds · blocks) whatever V is."""
+    from leiden_cuda_ray.algorithms.spcount import shortest_path_counts
+
+    graph, _ = _build_graph(sf_dir)
+    ds, depth = shortest_path_counts(graph, seed_mod=97, max_seeds=4)
+    if graph.V <= 10_000 and depth > max_oracle_levels:
+        raise ValueError(
+            f"BFS depth {depth} exceeds the oracle's level unroll "
+            f"{max_oracle_levels}; deepen _spcount_sql")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("seed"), np.int64)
+        d = np.asarray(batch.column("dist"), np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        ecc = np.full(len(us), -1, np.int64)
+        np.maximum.at(ecc, inv, d)
+        reached = np.bincount(inv, weights=(d >= 0).astype(np.int64),
+                              minlength=len(us)).astype(np.int64)
+        sumd = np.zeros(len(us), np.int64)
+        np.add.at(sumd, inv, np.where(d > 0, d, 0))
+        return pa.table({"seed": pa.array(us, pa.int64()),
+                         "ecc": pa.array(ecc, pa.int64()),
+                         "n_reached": pa.array(reached, pa.int64()),
+                         "sum_dist": pa.array(sumd, pa.int64())})
+
+    def merge(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch.column("seed"), np.int64)
+        us, inv = np.unique(s, return_inverse=True)
+        ecc = np.full(len(us), -1, np.int64)
+        np.maximum.at(ecc, inv, np.asarray(batch.column("ecc"), np.int64))
+        out = {"ecc": ecc}
+        for c in ("n_reached", "sum_dist"):
+            acc = np.zeros(len(us), np.int64)
+            np.add.at(acc, inv, np.asarray(batch.column(c), np.int64))
+            out[c] = acc
+        return pa.table({"seed": pa.array(us, pa.int64()),
+                         "ecc": pa.array(out["ecc"], pa.int64()),
+                         "n_reached": pa.array(out["n_reached"],
+                                               pa.int64()),
+                         "sum_dist": pa.array(out["sum_dist"],
+                                              pa.int64())})
+
+    return (ds.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))

@@ -810,3 +810,34 @@ def test_embedding_centroids_exact_and_blocking_invariant():
             row = df[(df.label == L) & (df.dim == dim + 1)].iloc[0]
             assert int(row.sum_q) == int(sel[:, dim].sum())
             assert int(row.n_vecs) == int((lab == L).sum())
+
+
+def test_audio_to_samples_exact_roundtrip():
+    """AudioToSamples must emit the exact PCM integers that were
+    encoded, in order, and audio_energy_stats must equal direct int
+    sums (any blocking)."""
+    from leiden_cuda_ray.functions.multimodal import (
+        AudioToSamples, audio_energy_stats, encode_wav)
+
+    rng = np.random.RandomState(9)
+    rows, expect = [], {}
+    for i in range(5):
+        sig = rng.randint(-32768, 32768, 50 + 30 * i).astype(np.int16)
+        rows.append({"media_id": i, "media_type": "audio",
+                     "payload": encode_wav(sig, 8000), "meta": "{}"})
+        expect[i] = sig.astype(np.int64)
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows))
+    samples = ds.map_batches(AudioToSamples(), batch_format="pyarrow",
+                             concurrency=1).to_pandas()
+    for i, sig in expect.items():
+        got = (samples[samples.media_id == i]
+               .sort_values("idx")["sample"].to_numpy())
+        assert np.array_equal(got, sig)
+    stats = (audio_energy_stats(
+        ray.data.from_pandas(samples).repartition(4))
+        .to_pandas().sort_values("media_id").reset_index(drop=True))
+    for i, sig in expect.items():
+        r = stats.iloc[i]
+        assert int(r.n_samples) == len(sig)
+        assert int(r.sum_sq) == int((sig * sig).sum())
+        assert int(r.sum_abs) == int(np.abs(sig).sum())
