@@ -105,6 +105,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_entropy(sf_dir):
         return text.doc_entropy(_docs(sf_dir))
 
+    def q_pack_sequences(sf_dir):
+        from leiden_cuda_ray.functions.packing import pack_sequences
+
+        return pack_sequences(_docs(sf_dir), budget=2048)
+
     def q_embedding_centroids(sf_dir):
         return similarity.embedding_centroids(_emb(sf_dir))
 
@@ -493,6 +498,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": q_doc_surprisal,
         "doc_entropy": q_doc_entropy,
         "embedding_centroids": q_embedding_centroids,
+        "pack_sequences": q_pack_sequences,
+        "events_hopping": rel.events_hopping,
         "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
@@ -1955,6 +1962,41 @@ def oracle_sql() -> dict[str, str]:
                    ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
                      AS rnk
             FROM documents""",
+        "pack_sequences": """
+            -- contiguous sequence packing: bin = global token prefix
+            -- (ascending doc_id) // 2048, offset = prefix % 2048
+            WITH t AS (
+              SELECT doc_id,
+                     CAST(len(regexp_extract_all(text, '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS start
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start // 2048 AS BIGINT) AS bin,
+                   CAST(start % 2048 AS BIGINT) AS bin_offset
+            FROM p""",
+        "events_hopping": """
+            -- hopping windows (1h size, 30min hop): every event lands
+            -- in two windows; window starts floored in exact µs
+            WITH w AS (
+              SELECT event_type,
+                     make_timestamp(epoch_us(ts) // 1800000000
+                                    * 1800000000) AS window_start
+              FROM events
+              UNION ALL
+              SELECT event_type,
+                     make_timestamp(epoch_us(ts) // 1800000000
+                                    * 1800000000 - 1800000000)
+              FROM events)
+            SELECT event_type, window_start,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM w GROUP BY 1, 2""",
         "doc_entropy": """
             -- per-doc token Shannon entropy, quantized exact-int
             -- protocol: ent_q = Σ c·FLOOR(LN(c)·2^20) over per-doc

@@ -134,11 +134,64 @@ def _doc_fingerprint(text: str) -> int:
 
 
 def _fp_batch(batch: pa.Table) -> pa.Table:
-    fps = [_doc_fingerprint(t) for t in batch.column("text").to_pylist()]
+    """Vectorized winnowing fingerprint, bit-identical to
+    _doc_fingerprint: one pyarrow tokenize per batch, blake2b once per
+    DISTINCT token (the simhash dictionary-hash pattern), then modular
+    uint64 window hashes over the flat token stream with doc-boundary
+    masking — no per-doc or per-token Python loop."""
+    text = batch.column("text")
+    nrows = len(text)
+    toks = pc.split_pattern_regex(text, r"\s+")
+    flat = pc.list_flatten(toks)
+    par_arr = pc.list_parent_indices(toks)
+    mask = pc.not_equal(flat, "")
+    flat = flat.filter(mask)
+    par = np.asarray(par_arr.filter(mask), np.int64)
+
+    denc = flat.combine_chunks().dictionary_encode() \
+        if isinstance(flat, pa.ChunkedArray) else flat.dictionary_encode()
+    vocab_h = np.fromiter(
+        (int.from_bytes(hashlib.blake2b(w.encode(),
+                                        digest_size=8).digest(), "big")
+         for w in denc.dictionary.to_pylist()),
+        dtype=np.uint64, count=len(denc.dictionary))
+    h = vocab_h[np.asarray(denc.indices, np.int64)] if len(vocab_h) \
+        else np.empty(0, np.uint64)
+
+    n = np.bincount(par, minlength=nrows).astype(np.int64)
+    ends = np.cumsum(n)
+    fp = np.zeros(nrows, np.uint64)
+
+    # short docs (0 < n < W): Horner poly hash Σ h_j · B^(n-1-j)
+    W = _FP_WINDOW
+    # array op: uint64 wraparound is the intended modular arithmetic
+    # (scalar numpy ops would warn on overflow)
+    powers = _FP_BASE ** np.arange(W, dtype=np.uint64)
+    short = (n > 0) & (n < W)
+    if short.any():
+        pos_in_doc = np.arange(len(h), dtype=np.int64) - (ends - n)[par]
+        sel = short[par]
+        exp = (n[par] - 1 - pos_in_doc)[sel]
+        acc = np.zeros(nrows, np.uint64)
+        np.add.at(acc, par[sel], h[sel] * powers[exp])
+        fp[short] = acc[short]
+
+    # long docs (n ≥ W): min over window hashes Σ_j h[p+j]·B^j,
+    # windows masked to stay inside one doc
+    if len(h) >= W and (n >= W).any():
+        wexp = powers[:W]
+        windows = np.lib.stride_tricks.sliding_window_view(h, W)
+        wh = (windows * wexp).sum(axis=1, dtype=np.uint64)
+        owner = par[:len(wh)]
+        valid = owner == par[W - 1:]
+        best = np.full(nrows, np.uint64(0xFFFFFFFFFFFFFFFF))
+        np.minimum.at(best, owner[valid], wh[valid])
+        long = n >= W
+        fp[long] = best[long]
+
     return pa.table({
         "doc_id": batch.column("doc_id"),
-        "fingerprint": pa.array(np.array(fps, np.uint64).astype(np.int64),
-                                pa.int64()),
+        "fingerprint": pa.array(fp.astype(np.int64), pa.int64()),
     })
 
 

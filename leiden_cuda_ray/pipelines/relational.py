@@ -987,3 +987,41 @@ def above_segment_avg(sf_dir: str, num: int = 15, den: int = 10):
 
     return j.map_batches(_Filter, fn_constructor_args=(seg_ref,),
                          concurrency=(1, 8), batch_format="pyarrow")
+
+
+def events_hopping(sf_dir: str, size_us: int = 3_600_000_000,
+                   hop_us: int = 1_800_000_000):
+    """Hopping (overlapping) windows: event counts per type per 1-hour
+    window sliding by 30 minutes — each event lands in size/hop = 2
+    windows. The expansion is a vectorized per-batch flat emit (no
+    per-window pass over the fact table), then one grouped count; the
+    output is O(types · windows) however large the event stream is."""
+    ev = _read(sf_dir, "events", ["event_type", "ts"])
+    k = size_us // hop_us
+
+    def expand(batch: pa.Table) -> pa.Table:
+        us = batch.column("ts").to_numpy().astype("datetime64[us]") \
+            .astype(np.int64)
+        base = us // hop_us * hop_us  # newest window containing t
+        starts = np.concatenate([base - j * hop_us for j in range(k)])
+        et = pa.concat_arrays(
+            [batch.column("event_type").combine_chunks()] * k)
+        return pa.table({
+            "event_type": et,
+            "window_start": pa.array(starts.astype("datetime64[us]"),
+                                     pa.timestamp("us")),
+        })
+
+    from ray.data.aggregate import Count
+
+    agg = (ev.map_batches(expand, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby(["event_type", "window_start"])
+           .aggregate(Count(alias_name="n_events")))
+
+    def fix_unit(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.column_names.index("window_start"), "window_start",
+            pc.cast(batch.column("window_start"), pa.timestamp("us")))
+
+    return agg.map_batches(fix_unit, batch_format="pyarrow")

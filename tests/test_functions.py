@@ -841,3 +841,54 @@ def test_audio_to_samples_exact_roundtrip():
         assert int(r.n_samples) == len(sig)
         assert int(r.sum_sq) == int((sig * sig).sum())
         assert int(r.sum_abs) == int(np.abs(sig).sum())
+
+
+def test_fingerprints_vectorized_matches_scalar_reference():
+    """The vectorized batch kernel must be bit-identical to the scalar
+    winnowing reference (_doc_fingerprint) across short (< window),
+    exactly-window, long and empty docs."""
+    from leiden_cuda_ray.functions.text import _doc_fingerprint, fingerprints
+
+    rng = np.random.RandomState(21)
+    words = ["alpha", "beta", "gamma", "delta", "x", "yy", "zzz"]
+    rows = []
+    for i in range(60):
+        k = [0, 1, 3, 7, 8, 9, 40][i % 7]
+        rows.append({"doc_id": i,
+                     "text": " ".join(rng.choice(words, k))})
+    ds = ray.data.from_arrow(pa.Table.from_pylist(rows)).repartition(5)
+    got = {r["doc_id"]: r["fingerprint"]
+           for r in fingerprints(ds).take_all()}
+    for r in rows:
+        want = np.uint64(_doc_fingerprint(r["text"])).astype(np.int64)
+        assert got[r["doc_id"]] == want, r
+
+
+def test_pack_sequences_brute_force_and_blocking_invariant():
+    """Bin assignment must equal the sequential prefix-sum packing and
+    be independent of input blocking (per-block sums + offsets must
+    reconstruct the exact global prefix)."""
+    from leiden_cuda_ray.functions.packing import pack_sequences
+
+    rng = np.random.RandomState(13)
+    rows = [{"doc_id": i,
+             "text": " ".join(["w"] * rng.randint(0, 40))}
+            for i in range(80)]
+    t = pa.Table.from_pylist(rows)
+    budget = 64
+    outs = []
+    for blocks in (1, 7):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        df = (pack_sequences(ds, budget=budget).to_pandas()
+              .sort_values("doc_id").reset_index(drop=True))
+        outs.append(df)
+    assert outs[0].equals(outs[1])
+    df = outs[0]
+    start = 0
+    for r in rows:
+        n = len(r["text"].split())
+        got = df[df.doc_id == r["doc_id"]].iloc[0]
+        assert int(got.n_tokens) == n
+        assert int(got.bin) == start // budget
+        assert int(got.bin_offset) == start % budget
+        start += n
