@@ -105,6 +105,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_entropy(sf_dir):
         return text.doc_entropy(_docs(sf_dir))
 
+    def q_zipf_sums(sf_dir):
+        return text.zipf_sums(_docs(sf_dir), k=100)
+
     def q_pack_sequences(sf_dir):
         from leiden_cuda_ray.functions.packing import pack_sequences
 
@@ -500,6 +503,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
         "events_hopping": rel.events_hopping,
+        "distinct_users_by_type": rel.distinct_users_by_type,
+        "zipf_sums": q_zipf_sums,
         "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
@@ -1981,6 +1986,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 2048 AS BIGINT) AS bin,
                    CAST(start % 2048 AS BIGINT) AS bin_offset
             FROM p""",
+        "zipf_sums": """
+            -- per-lang Zipf log-log regression sums over the top-100
+            -- terms: x = FLOOR(LN(rank)·2^20), y = FLOOR(LN(tf)·2^20),
+            -- exact BIGINT sums (slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²))
+            WITH tok AS (
+              SELECT lang, unnest(regexp_extract_all(text, '\\S+'))
+                       AS term
+              FROM documents),
+            agg AS (SELECT lang, term, CAST(COUNT(*) AS BIGINT) AS tf
+                    FROM tok GROUP BY 1, 2),
+            rnk AS (SELECT lang, tf,
+                           ROW_NUMBER() OVER (PARTITION BY lang
+                               ORDER BY tf DESC, term ASC) AS rn
+                    FROM agg),
+            q AS (SELECT lang,
+                    CAST(FLOOR(LN(CAST(rn AS DOUBLE)) * 1048576.0)
+                         AS BIGINT) AS x,
+                    CAST(FLOOR(LN(CAST(tf AS DOUBLE)) * 1048576.0)
+                         AS BIGINT) AS y
+                  FROM rnk WHERE rn <= 100)
+            SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_terms,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy
+            FROM q GROUP BY lang""",
+        "distinct_users_by_type": """
+            -- exact grouped COUNT(DISTINCT)
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM events GROUP BY event_type""",
         "events_hopping": """
             -- hopping windows (1h size, 30min hop): every event lands
             -- in two windows; window starts floored in exact µs

@@ -263,6 +263,20 @@ def run_single(graph_only: bool = False) -> dict:
         text.quality_score(ray.data.read_parquet(docs_path)).count()
         queries["langid_quality"] = time.perf_counter() - t0
 
+        t_fp = float("inf")
+        for _rep in range(2):  # min-of-2: first rep pays warm-up
+            t0 = time.perf_counter()
+            text.fingerprints(ray.data.read_parquet(docs_path)).count()
+            t_fp = min(t_fp, time.perf_counter() - t0)
+        queries["fingerprints"] = t_fp
+
+        t_ent = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            text.doc_entropy(ray.data.read_parquet(docs_path)).count()
+            t_ent = min(t_ent, time.perf_counter() - t0)
+        queries["doc_entropy"] = t_ent
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if not graph_only and os.path.exists(emb_path):
         import numpy as np

@@ -1073,3 +1073,44 @@ def doc_entropy(ds):
     quantized integer rides next to the float for bit-exact checking."""
     return ds.map_batches(_entropy_batch, batch_format="pyarrow",
                           zero_copy_batch=True)
+
+
+def zipf_sums(ds, k: int = 100):
+    """Per-lang Zipf rank-frequency regression sums over the top-k
+    terms: x_r = floor(ln(rank)·2^20), y_r = floor(ln(tf)·2^20), and the
+    exact BIGINT sums (n, Σx, Σy, Σx², Σxy) from which the log-log
+    slope is (nΣxy − ΣxΣy)/(nΣx² − (Σx)²). Both engines floor the
+    identical double products, so the sums are bit-exact — float
+    summation order never appears. Rides vocab_topk's bounded merge;
+    the fold is one in-block pass over ≤ langs·k rows."""
+    ranked = vocab_topk(ds, k=k)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        tf = np.asarray(batch.column("tf"), np.int64)
+        rnk = np.asarray(batch.column("rnk"), np.int64)
+        x = np.floor(np.log(rnk.astype(np.float64))
+                     * 1048576.0).astype(np.int64)
+        y = np.floor(np.log(tf.astype(np.float64))
+                     * 1048576.0).astype(np.int64)
+        codes, uniq = pd.factorize(lang)
+        m = len(uniq)
+        out = {"n_terms": np.bincount(codes, minlength=m).astype(np.int64)}
+        for name, v in (("sum_x", x), ("sum_y", y),
+                        ("sum_xx", x * x), ("sum_xy", x * y)):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, codes, v)
+            out[name] = acc
+        return pa.table({
+            "lang": pa.array(np.asarray(uniq, object), pa.string()),
+            "n_terms": pa.array(out["n_terms"], pa.int64()),
+            "sum_x": pa.array(out["sum_x"], pa.int64()),
+            "sum_y": pa.array(out["sum_y"], pa.int64()),
+            "sum_xx": pa.array(out["sum_xx"], pa.int64()),
+            "sum_xy": pa.array(out["sum_xy"], pa.int64()),
+        })
+
+    return ranked.map_batches(fold, batch_format="pyarrow",
+                              batch_size=None)

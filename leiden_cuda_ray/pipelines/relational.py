@@ -1025,3 +1025,31 @@ def events_hopping(sf_dir: str, size_us: int = 3_600_000_000,
             pc.cast(batch.column("window_start"), pa.timestamp("us")))
 
     return agg.map_batches(fix_unit, batch_format="pyarrow")
+
+
+def distinct_users_by_type(sf_dir: str):
+    """Exact grouped COUNT(DISTINCT): distinct users per event type.
+    Per-batch pair pre-distinct (factorize + unique) shrinks every block
+    BEFORE the shuffle; the pair groupby finishes the global distinct
+    and a second tiny aggregation counts per type. The canonical
+    two-phase distinct-count shape (the approximate sibling is
+    distinct_kmv)."""
+    import pandas as pd
+
+    ev = _read(sf_dir, "events", ["event_type", "user_id"])
+
+    def pre_distinct(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        codes, uniq = pd.factorize(et)
+        key = codes.astype(np.int64) * (uid.max() + 1 if len(uid) else 1) \
+            + uid
+        _, idx = np.unique(key, return_index=True)
+        return batch.take(pa.array(np.sort(idx)))
+
+    pairs = (ev.map_batches(pre_distinct, batch_format="pyarrow",
+                            zero_copy_batch=True)
+             .groupby(["event_type", "user_id"])
+             .aggregate(Count(alias_name="n_")))
+    return (pairs.groupby("event_type")
+            .aggregate(Count(alias_name="n_users")))
