@@ -558,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_betweenness": cq.graph_betweenness,
         "graph_harmonic": cq.graph_harmonic,
         "graph_eccentricity": cq.graph_eccentricity,
+        "graph_weight_hist": cq.graph_weight_hist,
         "graph_degree_hist": cq.graph_degree_hist,
         "graph_ktruss": cq.graph_ktruss,
         "graph_ppr": cq.graph_ppr,
@@ -2442,6 +2443,23 @@ def oracle_sql() -> dict[str, str]:
         "graph_matching": _matching_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
+        "graph_weight_hist": f"""
+            -- exact canonical-edge weight histogram (weights are
+            -- integer co-occurrence counts; imports weigh 1)
+            WITH {_CORPUS_CTE},
+            wpair AS (
+              SELECT src_repo||'|'||src_path AS ks,
+                     dst_repo||'|'||dst_path AS kd,
+                     CAST(1 AS BIGINT) AS w FROM import_edges
+              UNION ALL
+              SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+                     CAST(weight AS BIGINT) FROM cocommit_edges),
+            wedge AS (
+              SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb,
+                     CAST(SUM(w) AS BIGINT) AS w
+              FROM wpair GROUP BY 1, 2)
+            SELECT w AS weight, CAST(COUNT(*) AS BIGINT) AS n_edges
+            FROM wedge GROUP BY 1""",
         "audio_energy": """
             -- written-artifact recompute: exact integer energy sums
             -- from the engine-written decoded PCM samples

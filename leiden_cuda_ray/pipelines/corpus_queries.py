@@ -1080,3 +1080,45 @@ def graph_eccentricity(sf_dir: str, max_oracle_levels: int = 16):
                            zero_copy_batch=True)
             .repartition(1).map_batches(merge, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def graph_weight_hist(sf_dir: str):
+    """Exact edge-weight histogram (weight, n_edges) over the canonical
+    undirected graph — the weight-granularity skew probe next to
+    graph_degree_hist (a handful of giant co-commit weights is the skew
+    signature the cocommit cap guards against). Rides the CSR
+    partitions: each undirected edge lives twice in CSR, so a partition
+    counts only its src < dst slots (the derived graph is self-loop-
+    free); one bincount per partition, distinct-weight merge."""
+    import ray.data
+
+    graph, _ = _build_graph(sf_dir)
+
+    @ray.remote
+    def _part_whist(part) -> pa.Table:
+        vlo, vhi = part["vlo"], part["vhi"]
+        src = np.repeat(np.arange(vlo, vhi, dtype=np.int64),
+                        np.diff(part["offsets"]))
+        keep = src < part["indices"]
+        wi = np.rint(np.asarray(part["weights"],
+                                np.float64)[keep]).astype(np.int64)
+        uw, cnt = np.unique(wi, return_counts=True)
+        return pa.table({"weight": pa.array(uw, pa.int64()),
+                         "n_edges": pa.array(cnt.astype(np.int64),
+                                             pa.int64())})
+
+    partials = ray.data.from_arrow_refs(
+        [_part_whist.remote(p) for p in graph.parts])
+
+    def merge(batch: pa.Table) -> pa.Table:
+        w = np.asarray(batch.column("weight"), np.int64)
+        c = np.asarray(batch.column("n_edges"), np.int64)
+        uw, inv = np.unique(w, return_inverse=True)
+        s = np.zeros(len(uw), np.int64)
+        np.add.at(s, inv, c)
+        return pa.table({"weight": pa.array(uw, pa.int64()),
+                         "n_edges": pa.array(s, pa.int64())})
+
+    return partials.repartition(1).map_batches(merge,
+                                               batch_format="pyarrow",
+                                               batch_size=None)
