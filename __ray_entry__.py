@@ -505,6 +505,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": rel.events_hopping,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "zipf_sums": q_zipf_sums,
+        "lineitem_ols": rel.lineitem_ols,
+        "orders_status_pivot": rel.orders_status_pivot,
+        "retention_cohorts": rel.retention_cohorts,
         "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
@@ -1987,6 +1990,57 @@ def oracle_sql() -> dict[str, str]:
                    CAST(start // 2048 AS BIGINT) AS bin,
                    CAST(start % 2048 AS BIGINT) AS bin_offset
             FROM p""",
+        "lineitem_ols": """
+            -- exact distributed OLS sufficient statistics per flag:
+            -- 2-decimal inputs ⟹ integer products, no quantization
+            WITH t AS (SELECT l_returnflag,
+                              CAST(ROUND(l_quantity * 100) AS BIGINT)
+                                AS x,
+                              CAST(ROUND(l_extendedprice * 100) AS BIGINT)
+                                AS y
+                       FROM lineitem)
+            SELECT l_returnflag,
+                   CAST(COUNT(*) AS BIGINT) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sum_x,
+                   CAST(SUM(y) AS BIGINT) AS sum_y,
+                   CAST(SUM(x * y) AS BIGINT) AS sum_xy,
+                   CAST(SUM(x * x) AS BIGINT) AS sum_xx
+            FROM t GROUP BY 1""",
+        "orders_status_pivot": """
+            -- conditional aggregates (PIVOT): per year, count + exact
+            -- revenue cents per status column
+            SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT)
+                     AS o_year,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_O,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS rev_O_c,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_F,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS rev_F_c,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_P,
+                   CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                            THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                            ELSE 0 END) AS BIGINT) AS rev_P_c
+            FROM orders GROUP BY 1""",
+        "retention_cohorts": """
+            -- cohort retention: users by first-event week (Monday-
+            -- aligned, date_trunc('week')), counted once per active week
+            WITH f AS (SELECT user_id,
+                              CAST(date_trunc('week', MIN(ts))
+                                   AS TIMESTAMP) AS cohort_week
+                       FROM events GROUP BY 1),
+            a AS (SELECT DISTINCT user_id,
+                         CAST(date_trunc('week', ts) AS TIMESTAMP)
+                           AS week
+                  FROM events)
+            SELECT f.cohort_week, a.week,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id) GROUP BY 1, 2""",
         "zipf_sums": """
             -- per-lang Zipf log-log regression sums over the top-100
             -- terms: x = FLOOR(LN(rank)·2^20), y = FLOOR(LN(tf)·2^20),

@@ -1053,3 +1053,172 @@ def distinct_users_by_type(sf_dir: str):
              .aggregate(Count(alias_name="n_")))
     return (pairs.groupby("event_type")
             .aggregate(Count(alias_name="n_users")))
+
+
+def lineitem_ols(sf_dir: str):
+    """Distributed exact OLS sums: per returnflag, the linear-regression
+    sufficient statistics of extended price (cents) on quantity
+    (hundredths) — n, Σx, Σy, Σxy, Σxx, all exact BIGINTs (inputs carry
+    2 decimals, so the products are exact integers — no quantization
+    step needed). slope = (nΣxy − ΣxΣy)/(nΣxx − (Σx)²) is derivable on
+    either side. One streaming pass of per-batch bincount partials."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        x = np.rint(np.asarray(batch.column("l_quantity"),
+                               np.float64) * 100.0).astype(np.int64)
+        y = np.rint(np.asarray(batch.column("l_extendedprice"),
+                               np.float64) * 100.0).astype(np.int64)
+        codes, uniq = pd.factorize(rf)
+        m = len(uniq)
+        out = {"n": np.bincount(codes, minlength=m).astype(np.int64)}
+        for name, v in (("sum_x", x), ("sum_y", y),
+                        ("sum_xy", x * y), ("sum_xx", x * x)):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, codes, v)
+            out[name] = acc
+        cols = {"l_returnflag": pa.array(np.asarray(uniq, object),
+                                         pa.string())}
+        cols.update({k: pa.array(v, pa.int64()) for k, v in out.items()})
+        return pa.table(cols)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        codes, uniq = pd.factorize(rf)
+        m = len(uniq)
+        cols = {"l_returnflag": pa.array(np.asarray(uniq, object),
+                                         pa.string())}
+        for c in ("n", "sum_x", "sum_y", "sum_xy", "sum_xx"):
+            acc = np.zeros(m, np.int64)
+            np.add.at(acc, codes, np.asarray(batch.column(c), np.int64))
+            cols[c] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    return (li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))
+
+
+def orders_status_pivot(sf_dir: str):
+    """Conditional aggregates (PIVOT shape): per order year, the order
+    count and exact revenue cents per status code as columns. Per-batch
+    masked bincount partials keyed by year; the status vocabulary is
+    fixed (O/F/P), so the pivot costs one pass and the merge input is
+    O(years · blocks)."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_totalprice", "o_orderdate"])
+    statuses = ("O", "F", "P")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        yr = np.asarray(pc.year(batch.column("o_orderdate")), np.int64)
+        st = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        uy, inv = np.unique(yr, return_inverse=True)
+        cols = {"o_year": pa.array(uy, pa.int64())}
+        for s in statuses:
+            mask = st == s
+            n = np.bincount(inv[mask], minlength=len(uy)).astype(np.int64)
+            r = np.zeros(len(uy), np.int64)
+            np.add.at(r, inv[mask], price_c[mask])
+            cols[f"n_{s}"] = pa.array(n, pa.int64())
+            cols[f"rev_{s}_c"] = pa.array(r, pa.int64())
+        return pa.table(cols)
+
+    def merge(batch: pa.Table) -> pa.Table:
+        yr = np.asarray(batch.column("o_year"), np.int64)
+        uy, inv = np.unique(yr, return_inverse=True)
+        cols = {"o_year": pa.array(uy, pa.int64())}
+        for c in batch.column_names:
+            if c == "o_year":
+                continue
+            acc = np.zeros(len(uy), np.int64)
+            np.add.at(acc, inv, np.asarray(batch.column(c), np.int64))
+            cols[c] = pa.array(acc, pa.int64())
+        return pa.table(cols)
+
+    return (orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .repartition(1).map_batches(merge, batch_format="pyarrow",
+                                        batch_size=None))
+
+
+def _week_floor_us(ts: np.ndarray) -> np.ndarray:
+    """datetime64 → Monday-aligned week start as datetime64[us]
+    (DuckDB's date_trunc('week') convention; numpy's 'W' unit aligns to
+    Thursday and would diverge)."""
+    dse = ts.astype("datetime64[D]").astype(np.int64)
+    monday = dse - ((dse - 4) % 7)  # 1970-01-05 (dse=4) was a Monday
+    return monday.astype("datetime64[D]").astype("datetime64[us]")
+
+
+def retention_cohorts(sf_dir: str, num_partitions: int = 64):
+    """Cohort retention matrix: users grouped by their FIRST event week
+    (cohort), counted once per (cohort, activity week) they were active
+    in. One user-hash bucket shuffle (the sessionize pattern)
+    co-locates each user; the per-partition pass computes first-week
+    and distinct activity weeks vectorized, emitting bounded
+    (cohort, week, n) partials."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        part = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(num_partitions)
+        week = _week_floor_us(batch.column("ts").to_numpy())
+        return pa.table({
+            "user_id": pa.array(uid, pa.int64()),
+            "month": pa.array(week, pa.timestamp("us")),
+            "part": pa.array(part.astype(np.int64), pa.int64()),
+        })
+
+    def emit(group: pa.Table) -> pa.Table:
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        mo = group.column("month").to_numpy()
+        users, inv = np.unique(uid, return_inverse=True)
+        first = np.full(len(users), np.datetime64("2200-01", "us"))
+        np.minimum.at(first, inv, mo)
+        # distinct (user, month) pairs, then count per (cohort, month)
+        order = np.lexsort((mo.view(np.int64), inv))
+        iu, im = inv[order], mo[order]
+        keep = np.ones(len(iu), bool)
+        keep[1:] = (iu[1:] != iu[:-1]) | (im[1:] != im[:-1])
+        cu, cm = iu[keep], im[keep]
+        key = np.stack([first[cu].view(np.int64), cm.view(np.int64)])
+        uk, cnt = np.unique(key, axis=1, return_counts=True)
+        return pa.table({
+            "cohort_week": pa.array(uk[0].view("datetime64[us]"),
+                                     pa.timestamp("us")),
+            "week": pa.array(uk[1].view("datetime64[us]"),
+                              pa.timestamp("us")),
+            "n_users": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    partials = (ev.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        ch = batch.column("cohort_week").to_numpy().astype(np.int64)
+        mo = batch.column("week").to_numpy().astype(np.int64)
+        n = np.asarray(batch.column("n_users"), np.int64)
+        key = np.stack([ch, mo])
+        uk, inv = np.unique(key, axis=1, return_inverse=True)
+        s = np.zeros(uk.shape[1], np.int64)
+        np.add.at(s, inv, n)
+        return pa.table({
+            "cohort_week": pa.array(uk[0].view("datetime64[us]"),
+                                     pa.timestamp("us")),
+            "week": pa.array(uk[1].view("datetime64[us]"),
+                              pa.timestamp("us")),
+            "n_users": pa.array(s, pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(merge,
+                                               batch_format="pyarrow",
+                                               batch_size=None)
