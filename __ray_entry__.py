@@ -422,6 +422,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         _write_partition(sf_dir, samples, "audio_samples")
         return mm.audio_energy_stats(samples)
 
+    def q_video_frame_stats(sf_dir):
+        # Third-modality oracle: decode REAL y4m video through the
+        # actor pool and emit per-frame exact byte sums; the oracle
+        # recomputes them from the generator's closed form
+        # ((r·3 + c + 11·f) mod 256) without running the decoder.
+        from leiden_cuda_ray.functions import multimodal as mm
+
+        ds = mm.make_real_media_dataset(n=64, media_type="video")
+        return ds.map_batches(mm.FrameByteStats(), concurrency=2,
+                              batch_size=16, batch_format="pyarrow")
+
     def q_knn_ivf(sf_dir):
         Q = _first10_queries(sf_dir)
         res = similarity.knn_ivf(_emb(sf_dir), Q, k=5, n_centroids=8,
@@ -536,6 +547,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_ivf_recall": q_knn_ivf_recall,
         "media_decode": q_media_decode,
         "audio_energy": q_audio_energy,
+        "video_frame_stats": q_video_frame_stats,
         # corpus pipeline + graph algorithms
         "corpus_sha256": cq.corpus_sha256,
         "cocommit_pairs": cq.cocommit_pairs,
@@ -2514,6 +2526,24 @@ def oracle_sql() -> dict[str, str]:
               FROM wpair GROUP BY 1, 2)
             SELECT w AS weight, CAST(COUNT(*) AS BIGINT) AS n_edges
             FROM wedge GROUP BY 1""",
+        "video_frame_stats": """
+            -- closed-form recompute of the decoded y4m frame content:
+            -- media i has h = 16 + (i%3)·8, w = 16, nf = 4 + i%3 Cmono
+            -- frames with pixel (r,c) of frame f = (r·3 + c + 11·f)%256
+            WITH m AS (SELECT CAST(i AS BIGINT) AS media_id,
+                              CAST(16 + (i % 3) * 8 AS BIGINT) AS h,
+                              CAST(16 AS BIGINT) AS w,
+                              CAST(4 + i % 3 AS BIGINT) AS nf
+                       FROM range(0, 64) t(i)),
+            f AS (SELECT m.*, CAST(j AS BIGINT) AS frame_index
+                  FROM m, range(0, 6) s(j) WHERE j < m.nf)
+            SELECT f.media_id, f.frame_index,
+                   CAST(f.h * f.w AS BIGINT) AS n_bytes,
+                   CAST(SUM((r.r * 3 + c.c + 11 * f.frame_index) % 256)
+                        AS BIGINT) AS sum_bytes
+            FROM f, range(0, 32) r(r), range(0, 16) c(c)
+            WHERE r.r < f.h AND c.c < f.w
+            GROUP BY 1, 2, 3""",
         "audio_energy": """
             -- written-artifact recompute: exact integer energy sums
             -- from the engine-written decoded PCM samples

@@ -576,3 +576,30 @@ def audio_energy_stats(samples_ds):
                                    zero_copy_batch=True)
             .repartition(1).map_batches(merge, batch_format="pyarrow",
                                         batch_size=None))
+
+
+class FrameByteStats:
+    """Actor-pool stage: y4m payload → per-frame exact byte statistics
+    (media_id, frame_index, n_bytes, sum_bytes). The per-frame sum is
+    one vectorized uint8→int64 reduction; with the deterministic video
+    generator the sums have a closed form an independent oracle can
+    recompute WITHOUT running the decoder (the media_decode geometry
+    pattern extended to pixel content)."""
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, fidx, nb, sb = [], [], [], []
+        for mid, payload in zip(batch.column("media_id").to_pylist(),
+                                batch.column("payload").to_pylist()):
+            w, h, cspace, frames = decode_y4m(payload)
+            for f, fb in enumerate(frames):
+                arr = np.frombuffer(fb, np.uint8)
+                ids.append(mid)
+                fidx.append(f)
+                nb.append(len(arr))
+                sb.append(int(arr.sum(dtype=np.int64)))
+        return pa.table({
+            "media_id": pa.array(ids, pa.int64()),
+            "frame_index": pa.array(fidx, pa.int64()),
+            "n_bytes": pa.array(nb, pa.int64()),
+            "sum_bytes": pa.array(sb, pa.int64()),
+        })
