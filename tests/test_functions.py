@@ -892,3 +892,24 @@ def test_pack_sequences_brute_force_and_blocking_invariant():
         assert int(got.bin) == start // budget
         assert int(got.bin_offset) == start % budget
         start += n
+
+
+def test_video_frame_stats_closed_form():
+    """FrameByteStats must reproduce the generator's closed form:
+    pixel (r, c) of frame f in video i is (r*3 + c + 11*f) % 256."""
+    from leiden_cuda_ray.functions.multimodal import (
+        FrameByteStats, make_real_media_dataset)
+
+    ds = make_real_media_dataset(n=6, media_type="video")
+    df = ds.map_batches(FrameByteStats(), batch_format="pyarrow",
+                        concurrency=1).to_pandas()
+    for i in range(6):
+        h, w, nf = 16 + (i % 3) * 8, 16, 4 + i % 3
+        sel = df[df.media_id == i]
+        assert len(sel) == nf
+        for f in range(nf):
+            grid = (np.arange(h)[:, None] * 3 + np.arange(w)[None, :]
+                    + 11 * f) % 256
+            row = sel[sel.frame_index == f].iloc[0]
+            assert int(row.n_bytes) == h * w
+            assert int(row.sum_bytes) == int(grid.sum())
