@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_ols": rel.lineitem_ols,
         "orders_status_pivot": rel.orders_status_pivot,
         "retention_cohorts": rel.retention_cohorts,
+        "event_type_pairs": rel.event_type_pairs,
         "docs_global_rank": q_docs_global_rank,
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
@@ -2039,6 +2040,15 @@ def oracle_sql() -> dict[str, str]:
                             THEN CAST(ROUND(o_totalprice * 100) AS BIGINT)
                             ELSE 0 END) AS BIGINT) AS rev_P_c
             FROM orders GROUP BY 1""",
+        "event_type_pairs": """
+            -- market-basket support: users performing BOTH types of
+            -- each unordered pair
+            WITH d AS (SELECT DISTINCT user_id, event_type FROM events)
+            SELECT a.event_type AS type_a, b.event_type AS type_b,
+                   CAST(COUNT(*) AS BIGINT) AS n_users
+            FROM d a JOIN d b ON a.user_id = b.user_id
+                             AND a.event_type < b.event_type
+            GROUP BY 1, 2""",
         "retention_cohorts": """
             -- cohort retention: users by first-event week (Monday-
             -- aligned, date_trunc('week')), counted once per active week

@@ -1222,3 +1222,74 @@ def retention_cohorts(sf_dir: str, num_partitions: int = 64):
     return partials.repartition(1).map_batches(merge,
                                                batch_format="pyarrow",
                                                batch_size=None)
+
+
+def event_type_pairs(sf_dir: str, num_partitions: int = 64):
+    """Market-basket pair support: for every unordered pair of event
+    types, how many users performed BOTH. One user-bucket shuffle
+    co-locates each user; the per-partition pass builds a per-user type
+    BITMASK (bitwise-or scatter — idempotent, so no distinct pass) and
+    counts each pair with two shifts and an AND. Partials are
+    O(type², partitions) rows — the type vocabulary is tiny, the user
+    dimension never leaves the partitions."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        part = ((uid.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                >> np.uint64(33)) % np.uint64(num_partitions)
+        return batch.append_column(
+            "part", pa.array(part.astype(np.int64), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        uid = group.column("user_id").to_numpy().astype(np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        tcodes, types = pd.factorize(et)
+        assert len(types) <= 62, "type vocabulary exceeds the bitmask"
+        users, uinv = np.unique(uid, return_inverse=True)
+        mask = np.zeros(len(users), np.int64)
+        np.bitwise_or.at(mask, uinv, np.int64(1) << tcodes.astype(np.int64))
+        ta, tb, n = [], [], []
+        order = np.argsort(np.asarray(types, object))
+        for i in range(len(order)):
+            for j in range(i + 1, len(order)):
+                a, b = order[i], order[j]
+                both = ((mask >> np.int64(a)) & 1) \
+                    & ((mask >> np.int64(b)) & 1)
+                ta.append(types[a])
+                tb.append(types[b])
+                n.append(int(both.sum()))
+        return pa.table({
+            "type_a": pa.array(ta, pa.string()),
+            "type_b": pa.array(tb, pa.string()),
+            "n_users": pa.array(np.array(n, np.int64), pa.int64()),
+        })
+
+    partials = (ev.map_batches(add_part, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+    def merge(batch: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        key = pd.Series(
+            batch.column("type_a").to_numpy(zero_copy_only=False)
+        ).str.cat(pd.Series(
+            batch.column("type_b").to_numpy(zero_copy_only=False)),
+            sep=" ")
+        codes, uniq = pd.factorize(key.to_numpy())
+        s = np.zeros(len(uniq), np.int64)
+        np.add.at(s, codes, np.asarray(batch.column("n_users"), np.int64))
+        parts = pd.Series(uniq).str.partition(" ")
+        keep = s > 0
+        return pa.table({
+            "type_a": pa.array(parts[0].to_numpy()[keep], pa.string()),
+            "type_b": pa.array(parts[2].to_numpy()[keep], pa.string()),
+            "n_users": pa.array(s[keep], pa.int64()),
+        })
+
+    return partials.repartition(1).map_batches(merge,
+                                               batch_format="pyarrow",
+                                               batch_size=None)
