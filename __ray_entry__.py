@@ -504,6 +504,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": tmp.events_rolling,
         "events_interarrival": tmp.events_interarrival,
         "segment_order_percentiles": tmp.segment_order_percentiles,
+        "asof_price_index": tmp.asof_price_index,
+        "sliding_median3": tmp.sliding_median3,
+        "ship_window_counts": rel.ship_window_counts,
+        "customer_event_outer": rel.customer_event_outer,
+        "order_deciles": rel.order_deciles,
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -590,6 +595,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_leiden_objective": cq.graph_leiden_objective,
         "graph_leiden_conductance": cq.graph_leiden_conductance,
         "graph_louvain_objective": cq.graph_louvain_objective,
+        "partition_rand_index": cq.partition_rand_index,
     }
 
 
@@ -1774,6 +1780,76 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "asof_price_index": """
+            -- broadcast as-of join: latest daily order-price index row
+            -- at-or-before each lineitem's shipdate; index values are
+            -- exact cent sums so the match is bit-stable
+            WITH idx AS (
+              SELECT o_orderdate AS day,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS idx_sum_c,
+                     CAST(COUNT(*) AS BIGINT) AS idx_n
+              FROM orders GROUP BY 1)
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)
+                     AS l_linenumber,
+                   i.day AS idx_day, i.idx_sum_c, i.idx_n
+            FROM lineitem l ASOF JOIN idx i ON l.l_shipdate >= i.day""",
+        "sliding_median3": """
+            -- trailing 3-row window median per user in doubled cents:
+            -- values are 2-decimal, so 200*median is an exact integer on
+            -- both sides (no quantile-interpolation float hazard)
+            SELECT event_id, user_id,
+                   CAST(ROUND(200 * median(value) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW))
+                        AS BIGINT) AS med3_c2
+            FROM events""",
+        "ship_window_counts": """
+            -- band join: lineitems (any order) shipped within 7 days of
+            -- each order's date; dates are day-granular so the prefix
+            -- histogram the engine broadcasts is exact
+            SELECT o.o_orderkey,
+                   CAST(COUNT(l.l_shipdate) AS BIGINT) AS n_shipped_7d
+            FROM orders o LEFT JOIN lineitem l
+              ON l.l_shipdate >= o.o_orderdate
+             AND l.l_shipdate < o.o_orderdate + INTERVAL 7 DAY
+            GROUP BY 1""",
+        "customer_event_outer": """
+            -- FULL OUTER reconciliation of two aggregates; absent sides
+            -- are 0-coalesced with indicator bits, so no NULL reaches
+            -- the hash compare
+            WITH hv AS (
+              SELECT o_custkey,
+                     CAST(COUNT(*) AS BIGINT) AS hv_n,
+                     CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                          AS BIGINT) AS hv_sum_c
+              FROM orders WHERE o_totalprice > 300000 GROUP BY 1),
+            ev AS (
+              SELECT user_id,
+                     CAST(COUNT(*) AS BIGINT) AS ev_n,
+                     CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                          AS BIGINT) AS ev_value_c
+              FROM events GROUP BY 1)
+            SELECT COALESCE(hv.o_custkey, ev.user_id) AS custkey,
+                   COALESCE(hv.hv_n, 0) AS hv_n,
+                   COALESCE(hv.hv_sum_c, 0) AS hv_sum_c,
+                   COALESCE(ev.ev_n, 0) AS ev_n,
+                   COALESCE(ev.ev_value_c, 0) AS ev_value_c,
+                   CAST(hv.o_custkey IS NOT NULL AS BIGINT) AS has_hv,
+                   CAST(ev.user_id IS NOT NULL AS BIGINT) AS has_ev
+            FROM hv FULL OUTER JOIN ev ON hv.o_custkey = ev.user_id""",
+        "order_deciles": """
+            -- exact global NTILE(10) by (o_totalprice, o_orderkey),
+            -- aggregated per tile in exact cents
+            WITH t AS (
+              SELECT ntile(10) OVER (ORDER BY o_totalprice, o_orderkey)
+                       AS tile,
+                     CAST(ROUND(o_totalprice * 100) AS BIGINT) AS p
+              FROM orders)
+            SELECT CAST(tile AS BIGINT) AS tile,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(p) AS BIGINT) AS sum_price_c
+            FROM t GROUP BY 1""",
         "top_docs_per_group": """
             SELECT doc_id, lang, source, n_chars, rnk FROM (
               SELECT doc_id, lang, source, n_chars,
@@ -2589,6 +2665,33 @@ def oracle_sql() -> dict[str, str]:
         "graph_leiden_objective": _leiden_objective_sql(),
         "graph_leiden_conductance": _leiden_conductance_sql(),
         "graph_louvain_objective": _louvain_objective_sql(),
+        "partition_rand_index": """
+            -- pair-counting Rand-index sums recomputed from the two
+            -- written (vertex, community) partitions joined on vertex —
+            -- the written-partition external-check pattern
+            WITH p1 AS (SELECT vertex, community AS c1 FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/ri_leiden_comm/*.parquet')),
+            p2 AS (SELECT vertex, community AS c2 FROM read_parquet(
+                   '/tmp/graft_oracle/sf0.01/ri_louvain_comm/*.parquet')),
+            cont AS (SELECT c1, c2, CAST(COUNT(*) AS BIGINT) AS n
+                     FROM p1 JOIN p2 USING (vertex) GROUP BY 1, 2),
+            ma AS (SELECT c1, CAST(SUM(n) AS BIGINT) AS m
+                   FROM cont GROUP BY 1),
+            mb AS (SELECT c2, CAST(SUM(n) AS BIGINT) AS m
+                   FROM cont GROUP BY 1),
+            nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM p1)
+            SELECT (SELECT nv FROM nn) AS n_vertices,
+                   CAST((SELECT SUM(n * (n - 1)) FROM cont) AS BIGINT)
+                     AS s_nij,
+                   CAST((SELECT SUM(m * (m - 1)) FROM ma) AS BIGINT)
+                     AS s_a,
+                   CAST((SELECT SUM(m * (m - 1)) FROM mb) AS BIGINT)
+                     AS s_b,
+                   CAST((SELECT nv * (nv - 1) FROM nn)
+                        - (SELECT SUM(m * (m - 1)) FROM ma)
+                        - (SELECT SUM(m * (m - 1)) FROM mb)
+                        + 2 * (SELECT SUM(n * (n - 1)) FROM cont)
+                        AS BIGINT) AS agree2""",
         # written-artifact recompute oracles (VERDICT r3 item 4): the Ray
         # query writes its approximate result + inputs to parquet and
         # returns exact integers; DuckDB recomputes them from the files

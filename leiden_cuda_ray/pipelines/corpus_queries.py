@@ -1122,3 +1122,80 @@ def graph_weight_hist(sf_dir: str):
     return partials.repartition(1).map_batches(merge,
                                                batch_format="pyarrow",
                                                batch_size=None)
+
+
+def partition_rand_index(sf_dir: str):
+    """Pair-counting agreement between the engine's Leiden and Louvain
+    partitions, in EXACT integer form — the clustering-comparison op
+    (Rand index) a community-detection engine owes its users.
+
+    Both optimizers run over the SAME cached graph, so their
+    per-partition community arrays are vertex-aligned block-for-block:
+    one remote task per partition folds its aligned (c_leiden,
+    c_louvain) pair into a local contingency table (np.unique over a
+    fused int64 key — no shuffle touches a vertex row), and only the
+    contingency rows (≤ #communities², in practice ≈ #communities)
+    enter the groupby. The three pair sums are then folded with
+    object-dtype (Python-int) products so a 100-TB community's n(n−1)
+    cannot wrap int64 (the objectives.py overflow contract).
+
+    Exact-integer protocol: with N vertices, contingency n_ij and
+    marginals a_i (Leiden), b_j (Louvain),
+      s_nij = Σ n_ij(n_ij−1), s_a = Σ a_i(a_i−1), s_b = Σ b_j(b_j−1),
+      agree2 = N(N−1) − s_a − s_b + 2·s_nij  (twice the agreeing pairs;
+      RI = agree2 / N(N−1)).
+    The DuckDB oracle recomputes every sum as HUGEINT from the two
+    written (vertex, community) partitions joined on vertex — the
+    written-partition external-check pattern of graph_*_objective."""
+    from leiden_cuda_ray.algorithms.leiden import leiden
+    from leiden_cuda_ray.algorithms.louvain import louvain
+
+    graph, _ = _build_graph(sf_dir)
+    refs_le, _ = leiden(graph, LeidenConfig(gamma=0.05))
+    refs_lo, _ = louvain(graph, LouvainConfig())
+    _write_partition(sf_dir, state_to_dataset(graph, refs_le, "community"),
+                     "ri_leiden_comm")
+    _write_partition(sf_dir, state_to_dataset(graph, refs_lo, "community"),
+                     "ri_louvain_comm")
+
+    @ray.remote
+    def _contingency(le, lo):
+        c1 = np.asarray(le, np.int64)
+        c2 = np.asarray(lo, np.int64)
+        lim = np.int64(1) << np.int64(31)
+        assert c1.max(initial=0) < lim and c2.max(initial=0) < lim, \
+            "community ids exceed 31 bits; widen the fused key"
+        key = (c1 << np.int64(31)) | c2
+        u, cnt = np.unique(key, return_counts=True)
+        return pa.table({
+            "c1": pa.array(u >> np.int64(31), pa.int64()),
+            "c2": pa.array(u & (lim - np.int64(1)), pa.int64()),
+            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    from ray.data.aggregate import Sum
+
+    blocks = [_contingency.remote(a, b) for a, b in zip(refs_le, refs_lo)]
+    cont = (ray.data.from_arrow_refs(blocks)
+            .groupby(["c1", "c2"]).aggregate(Sum("cnt", alias_name="cnt"))
+            .materialize())
+
+    def _pair_sum(ds, group_col):
+        rows = (ds.groupby(group_col).aggregate(
+            Sum("cnt", alias_name="m")).take_all())
+        return sum(int(r["m"]) * (int(r["m"]) - 1) for r in rows)
+
+    s_nij = sum(int(r["cnt"]) * (int(r["cnt"]) - 1)
+                for r in cont.take_all())
+    s_a = _pair_sum(cont, "c1")
+    s_b = _pair_sum(cont, "c2")
+    N = int(graph.V)
+    agree2 = N * (N - 1) - s_a - s_b + 2 * s_nij
+    assert 0 <= agree2 <= N * (N - 1)
+    return ray.data.from_arrow(pa.table({
+        "n_vertices": pa.array([N], pa.int64()),
+        "s_nij": pa.array([s_nij], pa.int64()),
+        "s_a": pa.array([s_a], pa.int64()),
+        "s_b": pa.array([s_b], pa.int64()),
+        "agree2": pa.array([agree2], pa.int64()),
+    }))

@@ -1293,3 +1293,286 @@ def event_type_pairs(sf_dir: str, num_partitions: int = 64):
     return partials.repartition(1).map_batches(merge,
                                                batch_format="pyarrow",
                                                batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# band (time-range) join via broadcast prefix histogram
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def ship_window_counts(sf_dir: str, window_days: int = 7):
+    """Band join: for every order, the number of lineitems (across ALL
+    orders) shipped in [o_orderdate, o_orderdate + window_days). A naive
+    plan is an inequality join (orders × lineitem) — quadratic blow-up
+    under skewed date ranges. Dates are day-granular (checked in the
+    generator contract), so the 1-D range count collapses to a prefix
+    histogram: one streaming pass pre-aggregates lineitem shipdates to
+    per-day counts (calendar-bounded — thousands of rows at ANY data
+    scale), the driver folds them into a cumulative array, broadcasts it
+    once via ray.put, and every orders batch answers its band counts
+    with two vectorized searchsorteds. No fact-table row is ever
+    replicated; wire volume is O(days), not O(rows)."""
+    import ray
+
+    li = _read(sf_dir, "lineitem", ["l_shipdate"])
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        day = (np.asarray(batch.column("l_shipdate"), "datetime64[us]")
+               .view(np.int64) // _DAY_US)
+        u, c = np.unique(day, return_counts=True)
+        return pa.table({"day": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = (li.map_batches(day_counts, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("day").aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())
+    days = np.array([r["day"] for r in hist], np.int64)
+    order = np.argsort(days)
+    days = days[order]
+    counts = np.array([r["cnt"] for r in hist], np.int64)[order]
+    cum = np.zeros(len(days) + 1, np.int64)
+    np.cumsum(counts, out=cum[1:])
+    ref = ray.put((days, cum))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+    class _BandCount:
+        def __init__(self, r):
+            self.days, self.cum = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            d0 = (np.asarray(batch.column("o_orderdate"),
+                             "datetime64[us]").view(np.int64) // _DAY_US)
+            lo = np.searchsorted(self.days, d0, side="left")
+            hi = np.searchsorted(self.days, d0 + window_days, side="left")
+            n = self.cum[hi] - self.cum[lo]
+            return pa.table({
+                "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                      pa.int64()),
+                "n_shipped_7d": pa.array(n, pa.int64()),
+            })
+
+    return orders.map_batches(_BandCount, fn_constructor_args=(ref,),
+                              concurrency=(1, 8), batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# full outer join (reconciliation shape)
+# ---------------------------------------------------------------------------
+
+def customer_event_outer(sf_dir: str, min_price: float = 300_000.0):
+    """FULL OUTER reconciliation of two independently-keyed aggregates:
+    high-value order spend per customer vs event activity per user (the
+    two id spaces overlap but neither contains the other once the order
+    side is threshold-filtered). Both sides pre-aggregate to one row per
+    key INSIDE the engine before the join, so the outer exchange carries
+    |keys|, not |facts|. Null-free output contract: absent sides surface
+    as 0-filled columns plus has_hv / has_ev indicator bits — int64
+    everywhere, so the hash compare never meets a NaN-vs-NULL ambiguity."""
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+    def hv(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.greater(batch.column("o_totalprice"),
+                                    min_price))
+        price_c = np.rint(np.asarray(t.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_custkey": pc.cast(t.column("o_custkey"), pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    left = (orders.map_batches(hv, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("o_custkey")
+            .aggregate(Count(alias_name="hv_n"),
+                       Sum("price_c", alias_name="hv_sum_c")))
+
+    events = _read(sf_dir, "events", ["user_id", "value"])
+
+    def ev(batch: pa.Table) -> pa.Table:
+        val_c = np.rint(np.asarray(batch.column("value"),
+                                   np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "user_id": pc.cast(batch.column("user_id"), pa.int64()),
+            "value_c": pa.array(val_c, pa.int64()),
+        })
+
+    right = (events.map_batches(ev, batch_format="pyarrow",
+                                zero_copy_batch=True)
+             .groupby("user_id")
+             .aggregate(Count(alias_name="ev_n"),
+                        Sum("value_c", alias_name="ev_value_c")))
+
+    j = hash_join(left, right, on=("o_custkey",), right_on=("user_id",),
+                  join_type="full_outer")
+
+    def fin(batch: pa.Table) -> pa.Table:
+        # Ray's full_outer coalesces the join key into the LEFT column
+        # name, so o_custkey is already non-null on right-only rows
+        key = np.asarray(batch.column("o_custkey"), np.int64)
+
+        def fill(name):
+            return np.asarray(
+                pc.fill_null(batch.column(name), 0), np.int64)
+
+        hv_n = fill("hv_n")
+        ev_n = fill("ev_n")
+        return pa.table({
+            "custkey": pa.array(key, pa.int64()),
+            "hv_n": pa.array(hv_n, pa.int64()),
+            "hv_sum_c": pa.array(fill("hv_sum_c"), pa.int64()),
+            "ev_n": pa.array(ev_n, pa.int64()),
+            "ev_value_c": pa.array(fill("ev_value_c"), pa.int64()),
+            "has_hv": pa.array((hv_n > 0).astype(np.int64), pa.int64()),
+            "has_ev": pa.array((ev_n > 0).astype(np.int64), pa.int64()),
+        })
+
+    return j.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# exact global NTILE via boundary-key selection
+# ---------------------------------------------------------------------------
+
+def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
+    """EXACT global NTILE(k) over orders ordered by (o_totalprice,
+    o_orderkey), aggregated per tile — the total-order bucketing op. A
+    naive plan global-sorts the fact table; this one never sorts and
+    never moves a fact row:
+
+    pass 1 streams per-batch counts over coarse price buckets
+    (price_c >> shift; the domain is price-bounded, not data-bounded) —
+    the driver folds a histogram of ≤ a few million int64s, locates the
+    k−1 tile-boundary ranks in the cumulative histogram;
+    pass 2 pulls ONLY rows inside the (≤ k−1) boundary buckets — a
+    vanishing sliver — and resolves each boundary's exact
+    (price_c, o_orderkey) key by local selection;
+    pass 3 assigns tiles with k−1 vectorized lexicographic compares
+    against the broadcast boundary keys (keys are unique — orderkey
+    breaks price ties — so tile = 1 + #{boundaries ≤ key}), and
+    pre-aggregates (tile, count, sum) inside each batch; the final
+    groupby folds k rows.
+
+    NTILE fill semantics (first n % k tiles take the extra row) are
+    encoded in the boundary ranks, matching DuckDB/ANSI exactly."""
+    import ray
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    po = orders.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        b = np.asarray(batch.column("price_c"), np.int64) >> shift
+        u, c = np.unique(b, return_counts=True)
+        return pa.table({"bucket": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64), pa.int64())})
+
+    hist = (po.map_batches(bucket_hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("bucket").aggregate(Sum("cnt", alias_name="cnt"))
+            .take_all())
+    buckets = np.array([r["bucket"] for r in hist], np.int64)
+    order = np.argsort(buckets)
+    buckets = buckets[order]
+    cnts = np.array([r["cnt"] for r in hist], np.int64)[order]
+    cum = np.zeros(len(buckets) + 1, np.int64)
+    np.cumsum(cnts, out=cum[1:])
+    n = int(cum[-1])
+
+    # 0-based start rank of tiles 2..k under NTILE fill semantics
+    base, extra = divmod(n, k)
+    sizes = np.full(k, base, np.int64)
+    sizes[:extra] += 1
+    bounds_rank = np.cumsum(sizes)[:-1]
+    # bucket holding each boundary rank (rank = #rows strictly before)
+    bpos = np.searchsorted(cum[1:], bounds_rank, side="right")
+    need = np.unique(buckets[bpos])
+    if int(cnts[np.searchsorted(buckets, need)].sum()) > 5_000_000:
+        raise ValueError(
+            "order_deciles boundary buckets hold >5M rows; widen shift "
+            "or add a second refinement pass at this scale/skew")
+    need_ref = ray.put(need)
+
+    class _Sliver:
+        def __init__(self, r):
+            self.need = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            p = np.asarray(batch.column("price_c"), np.int64)
+            keep = np.isin(p >> shift, self.need)
+            t = batch.filter(pa.array(keep))
+            return pa.table({
+                "o_orderkey": t.column("o_orderkey"),
+                "price_c": t.column("price_c"),
+            })
+
+    sliver = (po.map_batches(_Sliver, fn_constructor_args=(need_ref,),
+                             concurrency=(1, 8), batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .take_all())
+    sp = np.array([r["price_c"] for r in sliver], np.int64)
+    sk = np.array([r["o_orderkey"] for r in sliver], np.int64)
+    so = np.lexsort((sk, sp))
+    sp, sk = sp[so], sk[so]
+    sb = sp >> shift
+    # rank of each sliver row = rows in earlier buckets + offset in-bucket
+    bidx = np.searchsorted(buckets, sb)
+    first_in_bucket = np.ones(len(sb), bool)
+    first_in_bucket[1:] = sb[1:] != sb[:-1]
+    seg_start = np.maximum.accumulate(
+        np.where(first_in_bucket, np.arange(len(sb), dtype=np.int64), 0))
+    rank = cum[bidx] + (np.arange(len(sb), dtype=np.int64) - seg_start)
+    sel = np.searchsorted(rank, bounds_rank)
+    b_price = sp[sel]
+    b_key = sk[sel]
+    bref = ray.put((b_price, b_key))
+
+    class _Assign:
+        def __init__(self, r):
+            self.bp, self.bk = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            p = np.asarray(batch.column("price_c"), np.int64)
+            o = np.asarray(batch.column("o_orderkey"), np.int64)
+            tile = np.ones(len(p), np.int64)
+            for bp, bk in zip(self.bp, self.bk):
+                tile += (p > bp) | ((p == bp) & (o >= bk))
+            u, inv = np.unique(tile, return_inverse=True)
+            cnt = np.bincount(inv).astype(np.int64)
+            s = np.bincount(inv, weights=p.astype(np.float64))
+            s_exact = np.zeros(len(u), np.int64)
+            np.add.at(s_exact, inv, p)
+            del s
+            return pa.table({"tile": pa.array(u, pa.int64()),
+                             "n_orders": pa.array(cnt, pa.int64()),
+                             "sum_price_c": pa.array(s_exact, pa.int64())})
+
+    agg = (po.map_batches(_Assign, fn_constructor_args=(bref,),
+                          concurrency=(1, 8), batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("tile").aggregate(
+               Sum("n_orders", alias_name="n_orders"),
+               Sum("sum_price_c", alias_name="sum_price_c")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "tile": pc.cast(batch.column("tile"), pa.int64()),
+            "n_orders": pc.cast(batch.column("n_orders"), pa.int64()),
+            "sum_price_c": pc.cast(batch.column("sum_price_c"),
+                                   pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")

@@ -375,3 +375,162 @@ def segment_order_percentiles(sf_dir: str, qs=(0.5, 0.95)):
         **{f"p{int(q * 100)}": pa.array(out[f"p{int(q * 100)}"],
                                         pa.float64()) for q in qs},
     })
+
+
+# ---------------------------------------------------------------------------
+# broadcast as-of join (fact stream vs bounded time series)
+# ---------------------------------------------------------------------------
+
+_DAY_US = 86_400_000_000
+
+
+def asof_price_index(sf_dir: str):
+    """AS-OF join of a fact stream against a small time series — the
+    trades→quotes shape: every lineitem row picks the LATEST daily
+    order-price index row at-or-before its l_shipdate.
+
+    The index side (per-day SUM of order totals in cents + order count,
+    grouped on the raw day-granular o_orderdate) is calendar-bounded —
+    one row per distinct date, a few thousand rows no matter the data
+    scale — so the scale-correct plan is broadcast, not shuffle: the
+    sorted (day, sum, n) arrays ship ONCE via ray.put and every probe
+    batch resolves its matches with one vectorized searchsorted. The
+    per-entity partitioned as-of (unbounded right side) is
+    `event_attribution`; this operator is the bounded-right-side dual.
+
+    Index values are EXACT integers (cent sums / counts), so the DuckDB
+    ASOF JOIN oracle matches bit-for-bit with no float-summation-order
+    hazard. Rows before the first index day would drop (inner as-of);
+    on this corpus min(l_shipdate) > min(o_orderdate) so none do."""
+    import ray
+
+    from ray.data.aggregate import Count, Sum
+
+    orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        day = (np.asarray(batch.column("o_orderdate"), "datetime64[us]")
+               .view(np.int64) // _DAY_US)
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({"day": pa.array(day, pa.int64()),
+                         "price_c": pa.array(price_c, pa.int64())})
+
+    idx = (orders.map_batches(prep, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("day").aggregate(Sum("price_c",
+                                         alias_name="idx_sum_c"),
+                                     Count(alias_name="idx_n"))
+           .take_all())
+    days = np.array([r["day"] for r in idx], np.int64)
+    order = np.argsort(days)
+    days = days[order]
+    sums = np.array([r["idx_sum_c"] for r in idx], np.int64)[order]
+    ns = np.array([r["idx_n"] for r in idx], np.int64)[order]
+    ref = ray.put((days, sums, ns))
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_shipdate"])
+
+    class _AsofProbe:
+        def __init__(self, r):
+            self.days, self.sums, self.ns = ray.get(r)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ship = (np.asarray(batch.column("l_shipdate"),
+                               "datetime64[us]").view(np.int64) // _DAY_US)
+            pos = np.searchsorted(self.days, ship, side="right") - 1
+            hit = pos >= 0
+            pos = pos[hit]
+            okey = np.asarray(batch.column("l_orderkey"), np.int64)[hit]
+            lnum = np.asarray(batch.column("l_linenumber")).astype(
+                np.int64)[hit]
+            idx_day = (self.days[pos] * _DAY_US).view("datetime64[us]")
+            return pa.table({
+                "l_orderkey": pa.array(okey, pa.int64()),
+                "l_linenumber": pa.array(lnum, pa.int64()),
+                "idx_day": pa.array(idx_day,
+                                    pa.timestamp("us")),
+                "idx_sum_c": pa.array(self.sums[pos], pa.int64()),
+                "idx_n": pa.array(self.ns[pos], pa.int64()),
+            })
+
+    return li.map_batches(_AsofProbe, fn_constructor_args=(ref,),
+                          concurrency=(1, 8), batch_format="pyarrow",
+                          zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# per-entity sliding-window median
+# ---------------------------------------------------------------------------
+
+def sliding_median3(sf_dir: str, num_partitions: int = 64):
+    """Per-user sliding median over the trailing 3-row window (ROWS
+    BETWEEN 2 PRECEDING AND CURRENT ROW, ordered by ts then event_id) —
+    the order-statistic window shape that plain running sums can't
+    express. Same partitioning contract as the other per-user kernels
+    (one multiplicative-hash bucket shuffle co-locates each user), then
+    one vectorized pass per partition: the ≤3-row windows are stacked
+    into an (n, 3) array whose row-wise np.sort middle column IS the
+    median — no per-row Python, no per-user loop.
+
+    EXACT-INTEGER PROTOCOL: values are 2-decimal, so medians are
+    half-cent multiples; the engine works in doubled cents
+    (med3_c2 = 2·100·median, a BIGINT) and the oracle casts DuckDB's
+    float window median through ROUND(200·x), eliminating the
+    interpolation-rounding mismatch between quantile_cont's
+    a+(b−a)·0.5 and numpy's (a+b)/2."""
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        return batch.append_column(
+            "part", pa.array(_bucket_part(uid, num_partitions), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        empty = pa.table({"event_id": pa.array([], pa.int64()),
+                          "user_id": pa.array([], pa.int64()),
+                          "med3_c2": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        uid0 = group.column("user_id").to_numpy().astype(np.int64)
+        ts0 = (group.column("ts").to_numpy()
+               .astype("datetime64[us]").view(np.int64))
+        eid0 = group.column("event_id").to_numpy().astype(np.int64)
+        val0 = group.column("value").to_numpy().astype(np.float64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid, eid = uid0[order], eid0[order]
+        v_c = np.rint(val0[order] * 100.0).astype(np.int64)
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        # per-user row number (0-based): position - user's start position
+        starts = np.maximum.accumulate(
+            np.where(new_user, np.arange(n, dtype=np.int64), 0))
+        rown = np.arange(n, dtype=np.int64) - starts
+        # trailing window in cents: lag1/lag2 are in-user only where
+        # rown permits, so cross-user reads never surface
+        lag1 = np.empty(n, np.int64)
+        lag2 = np.empty(n, np.int64)
+        lag1[1:] = v_c[:-1]
+        lag1[0] = 0
+        lag2[2:] = v_c[:-2]
+        lag2[:2] = 0
+        med2x = np.empty(n, np.int64)
+        full = rown >= 2
+        if full.any():
+            stack = np.sort(
+                np.stack([v_c[full], lag1[full], lag2[full]], axis=1),
+                axis=1)
+            med2x[full] = 2 * stack[:, 1]
+        two = rown == 1
+        med2x[two] = v_c[two] + lag1[two]
+        one = rown == 0
+        med2x[one] = 2 * v_c[one]
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "med3_c2": pa.array(med2x, pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))

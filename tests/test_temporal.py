@@ -98,3 +98,82 @@ def test_interarrival_partition_invariant_and_brute_force(ray_session):
         assert got.loc[uid, "span_us"] == int(ts[-1] - ts[0])
         want_gap = int(np.diff(ts).max()) if len(ts) > 1 else 0
         assert got.loc[uid, "max_gap_us"] == want_gap
+
+
+def test_sliding_median3_brute_force(ray_session):
+    """Partition-invariance + pandas rolling-median brute force (in
+    doubled cents, the operator's exact-integer protocol)."""
+    from leiden_cuda_ray.pipelines.temporal import sliding_median3
+
+    a = _canon(_pdf(sliding_median3(SF, num_partitions=1)))
+    b = _canon(_pdf(sliding_median3(SF, num_partitions=64)))
+    pd.testing.assert_frame_equal(a, b)
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, ts, value FROM '{SF}/events.parquet'"
+        " ORDER BY user_id, ts, event_id").fetchdf()
+    ev["v_c"] = np.rint(ev["value"].to_numpy() * 100.0).astype(np.int64)
+    exp = (ev.groupby("user_id")["v_c"]
+           .rolling(3, min_periods=1).median().reset_index(drop=True))
+    ev["med3_c2"] = np.rint(2 * exp.to_numpy()).astype(np.int64)
+    got = a.set_index("event_id")["med3_c2"]
+    want = ev.set_index("event_id")["med3_c2"]
+    assert got.sort_index().equals(want.sort_index())
+
+
+def test_asof_price_index_brute_force(ray_session):
+    """Every matched index row is the latest day at-or-before shipdate,
+    verified against a pandas merge_asof."""
+    from leiden_cuda_ray.pipelines.temporal import asof_price_index
+
+    a = _pdf(asof_price_index(SF))
+    import duckdb
+
+    orders = duckdb.sql(
+        f"SELECT o_orderdate, CAST(ROUND(o_totalprice*100) AS BIGINT) p"
+        f" FROM '{SF}/orders.parquet'").fetchdf()
+    idx = (orders.groupby("o_orderdate")["p"].agg(["sum", "count"])
+           .reset_index().sort_values("o_orderdate"))
+    li = duckdb.sql(
+        f"SELECT l_orderkey, CAST(l_linenumber AS BIGINT) l_linenumber,"
+        f" l_shipdate FROM '{SF}/lineitem.parquet'").fetchdf()
+    li = li.sort_values("l_shipdate")
+    m = pd.merge_asof(li, idx, left_on="l_shipdate",
+                      right_on="o_orderdate", direction="backward")
+    assert len(a) == len(m) == m["o_orderdate"].notna().sum()
+    key = ["l_orderkey", "l_linenumber", "idx_day", "idx_sum_c", "idx_n"]
+    got = a[key].sort_values(key).reset_index(drop=True)
+    m = m.rename(columns={"o_orderdate": "idx_day", "sum": "idx_sum_c",
+                          "count": "idx_n"})
+    m["idx_n"] = m["idx_n"].astype(np.int64)
+    want = m[key].sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_order_deciles_vs_argsort(ray_session):
+    """Decile assignment equals the explicit argsort NTILE at sf0.001,
+    including the first-(n%k)-tiles-take-the-extra-row fill rule."""
+    from leiden_cuda_ray.pipelines.relational import order_deciles
+
+    a = _canon(_pdf(order_deciles(SF)))
+    import duckdb
+
+    o = duckdb.sql(
+        f"SELECT o_orderkey, CAST(ROUND(o_totalprice*100) AS BIGINT) p"
+        f" FROM '{SF}/orders.parquet'").fetchdf()
+    order = np.lexsort((o["o_orderkey"].to_numpy(),
+                        o["p"].to_numpy()))
+    n, k = len(o), 10
+    base, extra = divmod(n, k)
+    sizes = np.full(k, base, np.int64)
+    sizes[:extra] += 1
+    tile = np.repeat(np.arange(1, k + 1, dtype=np.int64), sizes)
+    p_sorted = o["p"].to_numpy()[order]
+    want = pd.DataFrame({
+        "tile": np.arange(1, k + 1, dtype=np.int64),
+        "n_orders": sizes,
+        "sum_price_c": np.add.reduceat(
+            p_sorted, np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
+    })
+    pd.testing.assert_frame_equal(a, _canon(want))
