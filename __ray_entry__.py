@@ -509,6 +509,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ship_window_counts": rel.ship_window_counts,
         "customer_event_outer": rel.customer_event_outer,
         "order_deciles": rel.order_deciles,
+        "nation_top_names": rel.nation_top_names,
+        "parts_intersect": rel.parts_intersect,
+        "lineitem_melt": rel.lineitem_melt,
+        "orders_cube": rel.orders_cube,
+        "events_range_window": tmp.events_range_window,
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
         "stratified_sample": q_stratified_sample,
@@ -1838,6 +1843,63 @@ def oracle_sql() -> dict[str, str]:
                    CAST(hv.o_custkey IS NOT NULL AS BIGINT) AS has_hv,
                    CAST(ev.user_id IS NOT NULL AS BIGINT) AS has_ev
             FROM hv FULL OUTER JOIN ev ON hv.o_custkey = ev.user_id""",
+        "events_range_window": """
+            -- trailing time-RANGE frame per user: sum of values (cents)
+            -- over ts in [ts - 10 min, ts]; RANGE includes peer rows
+            SELECT event_id, user_id,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts
+                        RANGE BETWEEN INTERVAL 10 MINUTES PRECEDING
+                              AND CURRENT ROW) AS BIGINT) AS win_sum_c
+            FROM events""",
+        "orders_cube": """
+            -- CUBE(status, priority): all four grouping sets, absent
+            -- dimensions labeled 'ALL', exact cents
+            SELECT COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+                   COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+                   CAST(COUNT(*) AS BIGINT) AS n_orders,
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_c
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "nation_top_names": """
+            -- grouped ORDERED string_agg: '|'-joined names of each
+            -- nation's top-5 customers by (acctbal DESC, custkey ASC)
+            WITH r AS (
+              SELECT c_nationkey, c_name, c_custkey,
+                     ROW_NUMBER() OVER (PARTITION BY c_nationkey
+                         ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+              FROM customer)
+            SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                   CAST(COUNT(*) AS BIGINT) AS n_top,
+                   string_agg(c_name, '|' ORDER BY rn) AS top_names
+            FROM r WHERE rn <= 5 GROUP BY 1""",
+        "parts_intersect": """
+            -- INTERSECT: distinct parts shipped in both 1995 and 2000
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1996-01-01'
+            INTERSECT
+            SELECT DISTINCT l_partkey FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '2000-01-01'
+              AND l_shipdate < TIMESTAMP '2001-01-01'""",
+        "lineitem_melt": """
+            -- UNPIVOT: wide per-returnflag aggregate melted to
+            -- (l_returnflag, measure, value) long form, exact cents
+            WITH w AS (
+              SELECT l_returnflag,
+                     CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                          AS BIGINT) AS sum_qty_c,
+                     CAST(SUM(CAST(ROUND(l_extendedprice * 100)
+                                   AS BIGINT)) AS BIGINT) AS sum_price_c,
+                     CAST(COUNT(*) AS BIGINT) AS n_rows
+              FROM lineitem GROUP BY 1)
+            SELECT l_returnflag, 'sum_qty_c' AS measure,
+                   sum_qty_c AS value FROM w
+            UNION ALL
+            SELECT l_returnflag, 'sum_price_c', sum_price_c FROM w
+            UNION ALL
+            SELECT l_returnflag, 'n_rows', n_rows FROM w""",
         "order_deciles": """
             -- exact global NTILE(10) by (o_totalprice, o_orderkey),
             -- aggregated per tile in exact cents

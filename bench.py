@@ -277,6 +277,25 @@ def run_single(graph_only: bool = False) -> dict:
             t_ent = min(t_ent, time.perf_counter() - t0)
         queries["doc_entropy"] = t_ent
 
+    orders_path = f"{sf_dir}/orders.parquet"
+    if not graph_only and os.path.exists(orders_path):
+        from leiden_cuda_ray.pipelines.relational import order_deciles
+        from leiden_cuda_ray.pipelines.temporal import asof_price_index
+
+        t_asof = float("inf")
+        for _rep in range(2):  # min-of-2: first rep pays warm-up
+            t0 = time.perf_counter()
+            asof_price_index(sf_dir).count()
+            t_asof = min(t_asof, time.perf_counter() - t0)
+        queries["asof_price_index"] = t_asof
+
+        t_nt = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            order_deciles(sf_dir).count()
+            t_nt = min(t_nt, time.perf_counter() - t0)
+        queries["order_deciles"] = t_nt
+
     emb_path = f"{sf_dir}/embeddings.parquet"
     if not graph_only and os.path.exists(emb_path):
         import numpy as np

@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Sum
 
 from leiden_cuda_ray.stages.joins import hash_join
 
@@ -1576,3 +1576,273 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
         })
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped ordered string aggregation
+# ---------------------------------------------------------------------------
+
+def nation_top_names(sf_dir: str, k: int = 5):
+    """Grouped ORDERED string aggregation: per nation key, the '|'-joined
+    names of its top-k customers by (acctbal DESC, custkey ASC) — the
+    string_agg(... ORDER BY ...) shape. Unbounded per-group string
+    concatenation cannot scale, so the contract caps the aggregate at k
+    rows per group FIRST via the same per-batch partial top-k combiner as
+    top_docs_per_group (each block shrinks to ≤ nations·k rows before the
+    single tiny merge), making the final string O(k·name_len) per group
+    no matter how many customers exist."""
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+
+    def prep(batch: pa.Table) -> pa.Table:
+        bal_c = np.rint(np.asarray(batch.column("c_acctbal"),
+                                   np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "c_name": pc.cast(batch.column("c_name"), pa.string()),
+            "c_nationkey": pc.cast(batch.column("c_nationkey"),
+                                   pa.int64()),
+            "bal_c": pa.array(bal_c, pa.int64()),
+        })
+
+    def partial(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), np.int64)
+        bal = np.asarray(batch.column("bal_c"), np.int64)
+        ck = np.asarray(batch.column("c_custkey"), np.int64)
+        order = np.lexsort((ck, -bal, nk))
+        g = nk[order]
+        pos = np.arange(len(g)) - np.searchsorted(g, g, side="left")
+        return batch.take(pa.array(order[pos < k]))
+
+    merged = (cust.map_batches(prep, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .map_batches(partial, batch_format="pyarrow")
+              .repartition(1))
+
+    def final(batch: pa.Table) -> pa.Table:
+        nk = np.asarray(batch.column("c_nationkey"), np.int64)
+        bal = np.asarray(batch.column("bal_c"), np.int64)
+        ck = np.asarray(batch.column("c_custkey"), np.int64)
+        names = batch.column("c_name").to_numpy(zero_copy_only=False)
+        order = np.lexsort((ck, -bal, nk))
+        g = nk[order]
+        pos = np.arange(len(g)) - np.searchsorted(g, g, side="left")
+        keep = order[pos < k]
+        gk = nk[keep]
+        kept_names = names[keep]
+        new = np.ones(len(gk), bool)
+        new[1:] = gk[1:] != gk[:-1]
+        starts = np.flatnonzero(new)
+        ends = np.r_[starts[1:], len(gk)]
+        nat = gk[starts]
+        joined = ["|".join(kept_names[s:e]) for s, e in
+                  zip(starts, ends)]
+        cnt = (ends - starts).astype(np.int64)
+        return pa.table({
+            "c_nationkey": pa.array(nat, pa.int64()),
+            "n_top": pa.array(cnt, pa.int64()),
+            "top_names": pa.array(joined, pa.string()),
+        })
+
+    return merged.map_batches(final, batch_format="pyarrow",
+                              batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# set intersection (INTERSECT)
+# ---------------------------------------------------------------------------
+
+def parts_intersect(sf_dir: str,
+                    a_lo: str = "1995-01-01", a_hi: str = "1996-01-01",
+                    b_lo: str = "2000-01-01", b_hi: str = "2001-01-01"):
+    """INTERSECT: distinct part keys shipped in BOTH window A and window
+    B (the set-op dual of parts_churn's EXCEPT). One pass tags each row
+    with its window membership bit, one groupby ORs the bits per key, and
+    the filter keeps keys with both bits — the fact table is reduced to
+    (key, 2-bit mask) partials inside each batch before the exchange."""
+    li = _read(sf_dir, "lineitem", ["l_partkey", "l_shipdate"])
+    a0 = int(np.datetime64(a_lo, "us").astype(np.int64))
+    a1 = int(np.datetime64(a_hi, "us").astype(np.int64))
+    b0 = int(np.datetime64(b_lo, "us").astype(np.int64))
+    b1 = int(np.datetime64(b_hi, "us").astype(np.int64))
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ship = (np.asarray(batch.column("l_shipdate"), "datetime64[us]")
+                .view(np.int64))
+        pk = np.asarray(batch.column("l_partkey"), np.int64)
+        in_a = (ship >= a0) & (ship < a1)
+        in_b = (ship >= b0) & (ship < b1)
+        sel = in_a | in_b
+        pk, in_a, in_b = pk[sel], in_a[sel], in_b[sel]
+        # per-batch partial: one row per key with per-window 0/1 bits
+        # (kept as SEPARATE columns: Max folds each bit as OR across
+        # batches — a fused mask under Max would lose bits, max(1,2)≠3)
+        u, inv = np.unique(pk, return_inverse=True)
+        ma = np.zeros(len(u), np.int64)
+        mb = np.zeros(len(u), np.int64)
+        np.maximum.at(ma, inv, in_a.astype(np.int64))
+        np.maximum.at(mb, inv, in_b.astype(np.int64))
+        return pa.table({"l_partkey": pa.array(u, pa.int64()),
+                         "in_a": pa.array(ma, pa.int64()),
+                         "in_b": pa.array(mb, pa.int64())})
+
+    agg = (li.map_batches(tag, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_partkey").aggregate(Max("in_a", alias_name="in_a"),
+                                           Max("in_b", alias_name="in_b")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        keep = (np.asarray(batch.column("in_a"), np.int64)
+                & np.asarray(batch.column("in_b"), np.int64)) == 1
+        return pa.table({
+            "l_partkey": pa.array(
+                np.asarray(batch.column("l_partkey"), np.int64)[keep],
+                pa.int64()),
+        })
+
+    return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# UNPIVOT / melt
+# ---------------------------------------------------------------------------
+
+def lineitem_melt(sf_dir: str):
+    """UNPIVOT (melt): the per-returnflag wide aggregate
+    (sum_qty_c, sum_price_c, n_rows) rotated into long form
+    (l_returnflag, measure, value) — the inverse of orders_status_pivot.
+    The wide aggregate is computed with the usual per-batch partial +
+    groupby fold; the melt itself is a constant-width per-row fan-out
+    (3 output rows per aggregate row), a pure map stage."""
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        qty_c = np.rint(np.asarray(batch.column("l_quantity"),
+                                   np.float64) * 100.0).astype(np.int64)
+        pr_c = np.rint(np.asarray(batch.column("l_extendedprice"),
+                                  np.float64) * 100.0).astype(np.int64)
+        u, inv = np.unique(rf.astype(str), return_inverse=True)
+        sq = np.zeros(len(u), np.int64)
+        sp = np.zeros(len(u), np.int64)
+        np.add.at(sq, inv, qty_c)
+        np.add.at(sp, inv, pr_c)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        return pa.table({"l_returnflag": pa.array(u, pa.string()),
+                         "sum_qty_c": pa.array(sq, pa.int64()),
+                         "sum_price_c": pa.array(sp, pa.int64()),
+                         "n_rows": pa.array(cnt, pa.int64())})
+
+    agg = (li.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("l_returnflag").aggregate(
+               Sum("sum_qty_c", alias_name="sum_qty_c"),
+               Sum("sum_price_c", alias_name="sum_price_c"),
+               Sum("n_rows", alias_name="n_rows")))
+
+    def melt(batch: pa.Table) -> pa.Table:
+        rf = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        cols = ["sum_qty_c", "sum_price_c", "n_rows"]
+        vals = [np.asarray(batch.column(c), np.int64) for c in cols]
+        n = len(rf)
+        return pa.table({
+            "l_returnflag": pa.array(np.repeat(rf, len(cols)),
+                                     pa.string()),
+            "measure": pa.array(np.tile(np.array(cols, object), n),
+                                pa.string()),
+            "value": pa.array(np.stack(vals, axis=1).reshape(-1),
+                              pa.int64()),
+        })
+
+    return agg.map_batches(melt, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# CUBE grouping sets
+# ---------------------------------------------------------------------------
+
+def orders_cube(sf_dir: str):
+    """CUBE(status, priority) over orders: all four grouping sets —
+    (status, priority), (status), (priority), () — with exact-cent
+    revenue and counts, absent dimensions labeled 'ALL'. The fact table
+    is folded ONCE to the finest (status × priority) aggregate (a
+    per-batch partial then one small groupby); the three coarser sets
+    are derived from that tiny grid in a single final task, so adding
+    grouping sets costs nothing at scale — the rollup_revenue pattern
+    generalized to the full lattice."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderstatus", "o_orderpriority", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        st = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        pr = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        price_c = np.rint(np.asarray(batch.column("o_totalprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        key = np.char.add(np.char.add(st.astype(str), "\x1f"),
+                          pr.astype(str))
+        u, inv = np.unique(key, return_inverse=True)
+        s = np.zeros(len(u), np.int64)
+        np.add.at(s, inv, price_c)
+        cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        sp = np.char.partition(u, "\x1f")
+        return pa.table({
+            "o_orderstatus": pa.array(sp[:, 0], pa.string()),
+            "o_orderpriority": pa.array(sp[:, 2], pa.string()),
+            "n_orders": pa.array(cnt, pa.int64()),
+            "revenue_c": pa.array(s, pa.int64()),
+        })
+
+    grid = (orders.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby(["o_orderstatus", "o_orderpriority"])
+            .aggregate(Sum("n_orders", alias_name="n_orders"),
+                       Sum("revenue_c", alias_name="revenue_c"))
+            .repartition(1))
+
+    def cube(batch: pa.Table) -> pa.Table:
+        st = batch.column("o_orderstatus").to_numpy(zero_copy_only=False)
+        pr = batch.column("o_orderpriority").to_numpy(
+            zero_copy_only=False)
+        cnt = np.asarray(batch.column("n_orders"), np.int64)
+        rev = np.asarray(batch.column("revenue_c"), np.int64)
+
+        def fold(keys):
+            u, inv = np.unique(keys, return_inverse=True)
+            c = np.zeros(len(u), np.int64)
+            r = np.zeros(len(u), np.int64)
+            np.add.at(c, inv, cnt)
+            np.add.at(r, inv, rev)
+            return u, c, r
+
+        rows_st, rows_pr, rows_c, rows_r = [], [], [], []
+        rows_st += list(st)
+        rows_pr += list(pr)
+        rows_c += list(cnt)
+        rows_r += list(rev)
+        u, c, r = fold(st.astype(str))
+        rows_st += list(u)
+        rows_pr += ["ALL"] * len(u)
+        rows_c += list(c)
+        rows_r += list(r)
+        u, c, r = fold(pr.astype(str))
+        rows_st += ["ALL"] * len(u)
+        rows_pr += list(u)
+        rows_c += list(c)
+        rows_r += list(r)
+        rows_st.append("ALL")
+        rows_pr.append("ALL")
+        rows_c.append(int(cnt.sum()))
+        rows_r.append(int(rev.sum()))
+        return pa.table({
+            "o_orderstatus": pa.array([str(x) for x in rows_st],
+                                      pa.string()),
+            "o_orderpriority": pa.array([str(x) for x in rows_pr],
+                                        pa.string()),
+            "n_orders": pa.array(np.array(rows_c, np.int64), pa.int64()),
+            "revenue_c": pa.array(np.array(rows_r, np.int64), pa.int64()),
+        })
+
+    return grid.map_batches(cube, batch_format="pyarrow",
+                            batch_size=None)

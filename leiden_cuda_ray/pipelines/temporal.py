@@ -534,3 +534,65 @@ def sliding_median3(sf_dir: str, num_partitions: int = 64):
     return (ev.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# time-RANGE trailing window (value-based frame)
+# ---------------------------------------------------------------------------
+
+def events_range_window(sf_dir: str, window_minutes: int = 10,
+                        num_partitions: int = 64):
+    """Per-user trailing time-RANGE sum: for every event, the sum of the
+    user's event values (cents) over ts ∈ [ts − window, ts] — the
+    RANGE BETWEEN INTERVAL ... PRECEDING frame, which row-count frames
+    (events_rolling) cannot express. RANGE semantics include ALL peer
+    rows sharing the current timestamp, before and after the current row.
+
+    One hash-bucket shuffle co-locates each user; the per-partition
+    kernel is loop-free over all users at once: rows sort by (user, ts),
+    each user-segment's timestamps are offset by seg_id·(span+window+1)
+    so the composite array is GLOBALLY sorted, and the frame sum becomes
+    cumsum[searchsorted(right peers)] − cumsum[searchsorted(t − window)]
+    — two vectorized searchsorteds, segment-safe because no window can
+    cross an offset gap."""
+    win_us = window_minutes * 60_000_000
+    ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        return batch.append_column(
+            "part", pa.array(_bucket_part(uid, num_partitions), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({"event_id": pa.array([], pa.int64()),
+                             "user_id": pa.array([], pa.int64()),
+                             "win_sum_c": pa.array([], pa.int64())})
+        uid0 = group.column("user_id").to_numpy().astype(np.int64)
+        ts0 = (group.column("ts").to_numpy()
+               .astype("datetime64[us]").view(np.int64))
+        eid0 = group.column("event_id").to_numpy().astype(np.int64)
+        v_c0 = np.rint(group.column("value").to_numpy()
+                       .astype(np.float64) * 100.0).astype(np.int64)
+        order = np.lexsort((eid0, ts0, uid0))
+        uid, ts, eid, v_c = (uid0[order], ts0[order], eid0[order],
+                             v_c0[order])
+        new_user = np.ones(n, bool)
+        new_user[1:] = uid[1:] != uid[:-1]
+        seg = np.cumsum(new_user) - 1
+        t_rel = ts - ts.min()
+        stride = int(t_rel.max()) + win_us + 1
+        t_off = t_rel + seg * stride
+        cum = np.zeros(n + 1, np.int64)
+        np.cumsum(v_c, out=cum[1:])
+        lo = np.searchsorted(t_off, t_off - win_us, side="left")
+        hi = np.searchsorted(t_off, t_off, side="right")
+        return pa.table({"event_id": pa.array(eid, pa.int64()),
+                         "user_id": pa.array(uid, pa.int64()),
+                         "win_sum_c": pa.array(cum[hi] - cum[lo],
+                                               pa.int64())})
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))
