@@ -105,3 +105,52 @@ def write_scores(graph: Graph, refs: list, info: dict, out_dir: str):
     partition, so a failed writer can re-run per partition (resumable)."""
     as_dataset(graph, refs, info).write_parquet(out_dir)
     return out_dir
+
+
+def write_scores_resumable(graph: Graph, refs: list, info: dict,
+                           out_dir: str) -> dict:
+    """Resumable partitioned sink: one parquet file per graph partition
+    under a DETERMINISTIC name (part-{i:05d}.parquet) plus an
+    underscore-prefixed marker (_done-{i:05d}; parquet dataset discovery
+    skips _-prefixed files) published AFTER the data file via atomic
+    rename — a torn write leaves
+    no marker, so re-running rewrites exactly the unfinished partitions
+    and skips the finished ones (the 100-TB contract: a failed job never
+    repeats completed shards; never one giant file). Returns
+    {written, skipped} partition counts."""
+    import os
+
+    import ray
+
+    os.makedirs(out_dir, exist_ok=True)
+
+    @ray.remote
+    def _write_part(arr, vlo, i):
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = os.path.join(out_dir, f"part-{i:05d}.parquet")
+        tmp = f"{path}.tmp.{os.getpid()}"
+        ids = np.arange(vlo, vlo + len(arr), dtype=np.int64)
+        pq.write_table(pa.table({"vertex": pa.array(ids, pa.int64()),
+                                 info["column"]: pa.array(arr,
+                                                          info["dtype"])}),
+                       tmp)
+        os.replace(tmp, path)
+        # marker last: its existence GUARANTEES the data file is complete
+        mtmp = os.path.join(out_dir, f"_done-{i:05d}.tmp.{os.getpid()}")
+        with open(mtmp, "w") as f:
+            f.write(str(len(arr)))
+        os.replace(mtmp, os.path.join(out_dir, f"_done-{i:05d}"))
+        return i
+
+    pending = []
+    skipped = 0
+    for i, (r, (vlo, _)) in enumerate(zip(refs, graph.ranges())):
+        if os.path.exists(os.path.join(out_dir, f"_done-{i:05d}")):
+            skipped += 1
+            continue
+        pending.append(_write_part.remote(r, vlo, i))
+    ray.get(pending)
+    return {"written": len(pending), "skipped": skipped}

@@ -5,7 +5,9 @@ import pyarrow as pa
 import ray
 import ray.data
 
-from leiden_cuda_ray.algorithms.registry import REGISTRY, as_dataset, run, write_scores
+from leiden_cuda_ray.algorithms.registry import (REGISTRY, as_dataset, run,
+                                                 write_scores,
+                                                 write_scores_resumable)
 from leiden_cuda_ray.graph.build import build_graph_from_arrays
 from leiden_cuda_ray.sources.fixtures import clique_ring_edges, edges_to_table
 from leiden_cuda_ray.stages.edges import has_self_loops
@@ -43,6 +45,34 @@ def test_write_scores(tmp_path):
     g = build_graph_from_arrays(src, dst, w, P=2)
     refs, info = run("pagerank", g)
     out = write_scores(g, refs, info, str(tmp_path / "scores"))
+    back = ray.data.read_parquet(out).to_pandas()
+    assert len(back) == 20
+    assert abs(back.pagerank.sum() - 1.0) < 1e-9
+
+
+def test_write_scores_resumable(tmp_path):
+    """Second run skips every finished partition; deleting one marker
+    rewrites exactly that partition; torn writes (no marker) re-run."""
+    import os
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=2)
+    refs, info = run("pagerank", g)
+    out = str(tmp_path / "scores")
+    r1 = write_scores_resumable(g, refs, info, out)
+    assert r1 == {"written": 2, "skipped": 0}
+    files = sorted(os.listdir(out))
+    assert files == ["_done-00000", "_done-00001",
+                     "part-00000.parquet", "part-00001.parquet"]
+    mt = {f: os.path.getmtime(os.path.join(out, f)) for f in files}
+    r2 = write_scores_resumable(g, refs, info, out)
+    assert r2 == {"written": 0, "skipped": 2}
+    assert all(os.path.getmtime(os.path.join(out, f)) == mt[f]
+               for f in files)
+    # torn write: data present but marker missing -> that shard re-runs
+    os.remove(os.path.join(out, "_done-00001"))
+    r3 = write_scores_resumable(g, refs, info, out)
+    assert r3 == {"written": 1, "skipped": 1}
     back = ray.data.read_parquet(out).to_pandas()
     assert len(back) == 20
     assert abs(back.pagerank.sum() - 1.0) < 1e-9
