@@ -583,6 +583,14 @@ def events_range_window(sf_dir: str, window_minutes: int = 10,
         seg = np.cumsum(new_user) - 1
         t_rel = ts - ts.min()
         stride = int(t_rel.max()) + win_us + 1
+        n_seg = int(seg[-1]) + 1
+        # the composite key must stay in int64: users-per-partition ×
+        # time-span bounds the offset; raise LOUDLY instead of wrapping
+        if n_seg * stride >= (1 << 62):
+            raise ValueError(
+                f"events_range_window: {n_seg} users × {stride}us span "
+                f"overflows the segment-offset key; raise num_partitions "
+                f"so each bucket holds fewer users")
         t_off = t_rel + seg * stride
         cum = np.zeros(n + 1, np.int64)
         np.cumsum(v_c, out=cum[1:])
