@@ -48,14 +48,22 @@ def _drop_empty_blocks(ds):
 
 
 def hash_join(left, right, on, right_on=None, join_type: str = "inner",
-              num_partitions: int | None = None, right_suffix: str = "_r"):
+              num_partitions: int | None = None, right_suffix: str = "_r",
+              rows_per_partition: int = 65_536):
     import ray
 
-    if num_partitions is None:
-        cpus = int(ray.cluster_resources().get("CPU", 4))
-        num_partitions = max(2, min(cpus, 64))
     left = _drop_empty_blocks(left)
     right = _drop_empty_blocks(right)
+    if num_partitions is None:
+        # size-aware: the inputs are materialized above, so their row
+        # counts are free metadata. Small joins (dimension tables,
+        # pre-aggregated sides) don't get CPU-many aggregator actors —
+        # actor startup dominates tiny exchanges; large joins still
+        # scale to the CPU count.
+        cpus = int(ray.cluster_resources().get("CPU", 4))
+        rows = left.count() + right.count()
+        by_size = max(2, -(-rows // rows_per_partition))
+        num_partitions = min(max(2, min(cpus, 64)), by_size)
     return left.join(
         right,
         join_type=join_type,
