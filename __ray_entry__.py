@@ -379,6 +379,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return np.stack([np.asarray(r["embedding"], np.float64)
                          for r in rows])
 
+    def q_kmeans(sf_dir):
+        return similarity.kmeans_quantized(_emb(sf_dir), k=8, iters=2)
+
     def q_knn(sf_dir):
         Q = _first10_queries(sf_dir)
         res = similarity.knn_brute(_emb(sf_dir), Q, k=5)
@@ -555,6 +558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
+        "kmeans_quantized": q_kmeans,
         "knn_ivf_recall": q_knn_ivf_recall,
         "media_decode": q_media_decode,
         "audio_energy": q_audio_energy,
@@ -655,6 +659,66 @@ canon AS (
       AS key_b
   FROM all_pairs)
 """
+
+
+def _kmeans_sql(k: int = 8, iters: int = 2, scale: int = 1 << 20) -> str:
+    """Unrolled Lloyd k-means over the embeddings table in the engine's
+    exact-integer protocol (functions/similarity.py::kmeans_quantized):
+    xq = FLOOR((x+1)·2^20) (positive, so // is floor on both sides),
+    integer squared distances, argmin ties to the lowest cid, centroid
+    update cq = Σxq // n with empty clusters keeping their previous
+    centroid — every iteration replayed as BIGINTs, the iterative-ML
+    analogue of the unrolled power-iteration oracle."""
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id, dim - 1 AS dim,
+         CAST(FLOOR((CAST(x AS DOUBLE) + 1.0) * {scale}) AS BIGINT) AS xq
+  FROM (SELECT vec_id, unnest(embedding) AS x,
+               generate_subscripts(embedding, 1) AS dim
+        FROM embeddings)),
+seeds AS (SELECT vec_id,
+                 CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS BIGINT)
+                   AS cid
+          FROM (SELECT vec_id FROM embeddings
+                ORDER BY vec_id LIMIT {k})),
+c0 AS (SELECT s.cid, q.dim, q.xq AS cq
+       FROM seeds s JOIN q USING (vec_id))"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+d{i} AS (SELECT q.vec_id, c.cid,
+               SUM((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+        FROM q JOIN c{i - 1} c USING (dim) GROUP BY 1, 2),
+a{i} AS (SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cid) AS rn
+          FROM d{i}) WHERE rn = 1),
+s{i} AS (SELECT a.cid, q.dim, SUM(q.xq) AS sq,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM q JOIN a{i} a USING (vec_id) GROUP BY 1, 2),
+c{i} AS (SELECT p.cid, p.dim,
+               COALESCE(CAST(s.sq // s.n AS BIGINT), p.cq) AS cq
+        FROM c{i - 1} p LEFT JOIN s{i} s
+          ON s.cid = p.cid AND s.dim = p.dim)""")
+    f = iters + 1
+    parts.append(f""",
+d{f} AS (SELECT q.vec_id, c.cid,
+               SUM((q.xq - c.cq) * (q.xq - c.cq)) AS d2
+        FROM q JOIN c{iters} c USING (dim) GROUP BY 1, 2),
+a{f} AS (SELECT vec_id, cid, d2 FROM (
+          SELECT vec_id, cid, d2,
+                 ROW_NUMBER() OVER (PARTITION BY vec_id
+                                    ORDER BY d2, cid) AS rn
+          FROM d{f}) WHERE rn = 1),
+g AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(d2) AS BIGINT) AS inertia
+      FROM a{f} GROUP BY 1)
+SELECT c.cid, COALESCE(g.n, 0) AS n_members, c.sum_cq,
+       COALESCE(g.inertia, 0) AS inertia
+FROM (SELECT cid, CAST(SUM(cq) AS BIGINT) AS sum_cq
+      FROM c{iters} GROUP BY 1) c
+LEFT JOIN g USING (cid)""")
+    return "".join(parts)
 
 
 def _pagerank_fixed_sql(iters: int = 15, alpha: float = 0.85) -> str:
@@ -2481,6 +2545,7 @@ def oracle_sql() -> dict[str, str]:
                 '\\b(el|la|los|las|es|y|de|que|en|por)\\b')) AS es,
               LEN(regexp_extract_all(text, '[一-鿿]')) AS cjk
               FROM documents)""",
+        "kmeans_quantized": _kmeans_sql(),
         "knn_brute": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding
                        FROM embeddings WHERE vec_id < 10),

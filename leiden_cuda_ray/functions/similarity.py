@@ -286,3 +286,143 @@ def embedding_centroids(ds, scale: int = 1 << 20):
                            zero_copy_batch=True)
             .repartition(1).map_batches(fold, batch_format="pyarrow",
                                         batch_size=None))
+
+
+def kmeans_quantized(ds, k: int = 8, iters: int = 2,
+                     scale: int = 1 << 20, vec_col: str = "embedding",
+                     id_col: str = "vec_id"):
+    """Distributed Lloyd k-means in an EXACT-INTEGER protocol, so a SQL
+    oracle can replay every iteration bit-for-bit (the iterative-ML
+    analogue of graph_pagerank_fixed's unrolled power iteration):
+
+    - vectors quantize to xq = FLOOR((x+1)·2^20) — the +1 offset keeps
+      every value positive, so integer centroid division is floor==trunc
+      in numpy AND DuckDB;
+    - seeds are the k vectors with the smallest ids (found by a per-batch
+      partial min-k combiner, never a global sort);
+    - assignment is argmin of the exact integer distance Σ(xq−cq)²
+      (computed as ‖x‖² − 2x·c + ‖c‖² with an int64 matmul), ties broken
+      toward the LOWEST centroid id (np.argmin's first-min == the
+      oracle's ORDER BY d2, cid);
+    - the update divides integer sums by counts (cq = Σxq // n); an
+      empty cluster keeps its previous centroid.
+
+    Each iteration is ONE streaming pass: batches emit (cid, dim,
+    sum_q, n) partials (k·d rows), a groupby folds them, and the k×d
+    centroid grid broadcasts back — no vector ever crosses the wire.
+    Returns k rows: (cid, n_members, sum_cq, inertia), all BIGINT."""
+    import ray
+    import ray.data
+    from ray.data.aggregate import Sum
+
+    def q_batch(batch: pa.Table):
+        M = _to_matrix(batch.column(vec_col), np.float64)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        return ids, np.floor((M + 1.0) * float(scale)).astype(np.int64)
+
+    # --- seeds: partial min-k by id per batch, one tiny merge ---
+    def seed_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), np.int64)
+        keep = np.argsort(ids)[:k]
+        return batch.take(pa.array(keep))
+
+    seed_rows = (ds.map_batches(seed_partial, batch_format="pyarrow",
+                                zero_copy_batch=True)
+                 .repartition(1)
+                 .map_batches(seed_partial, batch_format="pyarrow",
+                              batch_size=None)
+                 .take_all())
+    seed_rows.sort(key=lambda r: r[id_col])
+    C = np.floor((np.stack([np.asarray(r[vec_col], np.float64)
+                            for r in seed_rows]) + 1.0)
+                 * float(scale)).astype(np.int64)
+    d = C.shape[1]
+
+    def assign(M_q: np.ndarray, C_now: np.ndarray) -> np.ndarray:
+        x2 = (M_q * M_q).sum(axis=1)
+        c2 = (C_now * C_now).sum(axis=1)
+        d2 = x2[:, None] - 2 * (M_q @ C_now.T) + c2[None, :]
+        return np.argmin(d2, axis=1), d2
+
+    for _it in range(iters):
+        C_ref = ray.put(C)
+
+        class _Partial:
+            def __init__(self, ref):
+                self.C = ray.get(ref)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                _, Mq = q_batch(batch)
+                if len(Mq) == 0:
+                    return pa.table({"cid": pa.array([], pa.int64()),
+                                     "dim": pa.array([], pa.int64()),
+                                     "sum_q": pa.array([], pa.int64()),
+                                     "n": pa.array([], pa.int64())})
+                a, _ = assign(Mq, self.C)
+                acc = np.zeros((k, d), np.int64)
+                np.add.at(acc, a, Mq)
+                cnt = np.bincount(a, minlength=k).astype(np.int64)
+                return pa.table({
+                    "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64),
+                                              d), pa.int64()),
+                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                            k), pa.int64()),
+                    "sum_q": pa.array(acc.ravel(), pa.int64()),
+                    "n": pa.array(np.repeat(cnt, d), pa.int64()),
+                })
+
+        rows = (ds.map_batches(_Partial, fn_constructor_args=(C_ref,),
+                               concurrency=(1, 8), batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .groupby(["cid", "dim"])
+                .aggregate(Sum("sum_q", alias_name="sum_q"),
+                           Sum("n", alias_name="n"))
+                .take_all())
+        newC = C.copy()
+        for r in rows:
+            if r["n"] > 0:
+                newC[r["cid"], r["dim"]] = r["sum_q"] // r["n"]
+        C = newC
+
+    # --- final reporting assignment against the converged centroids ---
+    C_ref = ray.put(C)
+
+    class _Report:
+        def __init__(self, ref):
+            self.C = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            _, Mq = q_batch(batch)
+            if len(Mq) == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "n_members": pa.array([], pa.int64()),
+                                 "inertia": pa.array([], pa.int64())})
+            a, d2 = assign(Mq, self.C)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            best = d2[np.arange(len(a)), a]
+            inr = np.zeros(k, np.int64)
+            np.add.at(inr, a, best)
+            cid = np.arange(k, dtype=np.int64)
+            return pa.table({"cid": pa.array(cid, pa.int64()),
+                             "n_members": pa.array(cnt, pa.int64()),
+                             "inertia": pa.array(inr, pa.int64())})
+
+    rep = (ds.map_batches(_Report, fn_constructor_args=(C_ref,),
+                          concurrency=(1, 8), batch_format="pyarrow",
+                          zero_copy_batch=True)
+           .groupby("cid")
+           .aggregate(Sum("n_members", alias_name="n_members"),
+                      Sum("inertia", alias_name="inertia")))
+    sum_cq = C.sum(axis=1)
+    import pyarrow.compute as _pc
+
+    def fin(batch: pa.Table) -> pa.Table:
+        cid = np.asarray(batch.column("cid"), np.int64)
+        return pa.table({
+            "cid": pa.array(cid, pa.int64()),
+            "n_members": _pc.cast(batch.column("n_members"), pa.int64()),
+            "sum_cq": pa.array(sum_cq[cid], pa.int64()),
+            "inertia": _pc.cast(batch.column("inertia"), pa.int64()),
+        })
+
+    return rep.map_batches(fin, batch_format="pyarrow")

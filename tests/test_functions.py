@@ -913,3 +913,48 @@ def test_video_frame_stats_closed_form():
             row = sel[sel.frame_index == f].iloc[0]
             assert int(row.n_bytes) == h * w
             assert int(row.sum_bytes) == int(grid.sum())
+
+
+def test_kmeans_quantized_matches_numpy_and_block_invariant():
+    """Bit-exact against a closed-form numpy Lloyd replay, and invariant
+    to how rows split into blocks (the partial-combiner contract)."""
+    from leiden_cuda_ray.functions.similarity import kmeans_quantized
+
+    rng = np.random.RandomState(7)
+    X = np.clip(rng.randn(120, 8) * 0.2, -0.9, 0.9)
+    rows = [{"vec_id": i, "embedding": v.tolist()} for i, v in
+            enumerate(X)]
+    k, iters, scale = 4, 2, 1 << 20
+
+    def ref():
+        Xq = np.floor((X + 1.0) * scale).astype(np.int64)
+        C = Xq[:k].copy()  # seeds = k smallest vec_ids = first k rows
+        for _ in range(iters):
+            d2 = ((Xq * Xq).sum(1)[:, None] - 2 * (Xq @ C.T)
+                  + (C * C).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(k):
+                m = a == c
+                if m.any():
+                    C[c] = Xq[m].sum(0) // m.sum()
+        d2 = ((Xq * Xq).sum(1)[:, None] - 2 * (Xq @ C.T)
+              + (C * C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        best = d2[np.arange(len(a)), a]
+        out = {}
+        for c in range(k):
+            m = a == c
+            out[c] = (int(m.sum()), int(C[c].sum()),
+                      int(best[m].sum()))
+        return out
+
+    expect = ref()
+    for nblocks in (1, 7):
+        ds = ray.data.from_arrow(
+            pa.Table.from_pylist(rows)).repartition(nblocks)
+        got = kmeans_quantized(ds, k=k, iters=iters).to_pandas()
+        got = got.sort_values("cid").reset_index(drop=True)
+        for c in range(k):
+            r = got.iloc[c]
+            assert (int(r.n_members), int(r.sum_cq),
+                    int(r.inertia)) == expect[c], (c, nblocks)
