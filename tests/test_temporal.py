@@ -177,3 +177,35 @@ def test_order_deciles_vs_argsort(ray_session):
             p_sorted, np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
     })
     pd.testing.assert_frame_equal(a, _canon(want))
+
+
+def test_order_deciles_heavy_ties_brute_force(ray_session, tmp_path):
+    """Randomized NTILE stress with only 5 distinct prices: the tile
+    boundaries collapse into a handful of histogram buckets, forcing the
+    sliver/rank path through mass duplication; compare against the
+    explicit argsort NTILE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from leiden_cuda_ray.pipelines.relational import order_deciles
+
+    rng = np.random.RandomState(13)
+    n, k = 2000, 10
+    prices = rng.choice([10.0, 10.01, 250.5, 250.51, 9999.99], size=n)
+    keys = rng.permutation(n).astype(np.int64)
+    pq.write_table(pa.table({"o_orderkey": keys,
+                             "o_totalprice": prices}),
+                   str(tmp_path / "orders.parquet"))
+    got = _canon(_pdf(order_deciles(str(tmp_path))))
+    p_c = np.rint(prices * 100).astype(np.int64)
+    order = np.lexsort((keys, p_c))
+    base, extra = divmod(n, k)
+    sizes = np.full(k, base, np.int64)
+    sizes[:extra] += 1
+    want = pd.DataFrame({
+        "tile": np.arange(1, k + 1, dtype=np.int64),
+        "n_orders": sizes,
+        "sum_price_c": np.add.reduceat(
+            p_c[order], np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
+    })
+    pd.testing.assert_frame_equal(got, _canon(want))
