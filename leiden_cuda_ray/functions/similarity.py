@@ -345,34 +345,30 @@ def kmeans_quantized(ds, k: int = 8, iters: int = 2,
         return np.argmin(d2, axis=1), d2
 
     for _it in range(iters):
-        C_ref = ray.put(C)
+        C_now = C.copy()  # k×d ints: ship in the task closure — an
+        # actor pool's startup would dwarf the broadcast it carries
 
-        class _Partial:
-            def __init__(self, ref):
-                self.C = ray.get(ref)
+        def _iter_partial(batch: pa.Table, C_now=C_now) -> pa.Table:
+            _, Mq = q_batch(batch)
+            if len(Mq) == 0:
+                return pa.table({"cid": pa.array([], pa.int64()),
+                                 "dim": pa.array([], pa.int64()),
+                                 "sum_q": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            a, _ = assign(Mq, C_now)
+            acc = np.zeros((k, d), np.int64)
+            np.add.at(acc, a, Mq)
+            cnt = np.bincount(a, minlength=k).astype(np.int64)
+            return pa.table({
+                "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64),
+                                          d), pa.int64()),
+                "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
+                                        k), pa.int64()),
+                "sum_q": pa.array(acc.ravel(), pa.int64()),
+                "n": pa.array(np.repeat(cnt, d), pa.int64()),
+            })
 
-            def __call__(self, batch: pa.Table) -> pa.Table:
-                _, Mq = q_batch(batch)
-                if len(Mq) == 0:
-                    return pa.table({"cid": pa.array([], pa.int64()),
-                                     "dim": pa.array([], pa.int64()),
-                                     "sum_q": pa.array([], pa.int64()),
-                                     "n": pa.array([], pa.int64())})
-                a, _ = assign(Mq, self.C)
-                acc = np.zeros((k, d), np.int64)
-                np.add.at(acc, a, Mq)
-                cnt = np.bincount(a, minlength=k).astype(np.int64)
-                return pa.table({
-                    "cid": pa.array(np.repeat(np.arange(k, dtype=np.int64),
-                                              d), pa.int64()),
-                    "dim": pa.array(np.tile(np.arange(d, dtype=np.int64),
-                                            k), pa.int64()),
-                    "sum_q": pa.array(acc.ravel(), pa.int64()),
-                    "n": pa.array(np.repeat(cnt, d), pa.int64()),
-                })
-
-        rows = (ds.map_batches(_Partial, fn_constructor_args=(C_ref,),
-                               concurrency=(1, 8), batch_format="pyarrow",
+        rows = (ds.map_batches(_iter_partial, batch_format="pyarrow",
                                zero_copy_batch=True)
                 .groupby(["cid", "dim"])
                 .aggregate(Sum("sum_q", alias_name="sum_q"),
@@ -385,30 +381,25 @@ def kmeans_quantized(ds, k: int = 8, iters: int = 2,
         C = newC
 
     # --- final reporting assignment against the converged centroids ---
-    C_ref = ray.put(C)
+    C_fin = C.copy()
 
-    class _Report:
-        def __init__(self, ref):
-            self.C = ray.get(ref)
+    def report(batch: pa.Table) -> pa.Table:
+        _, Mq = q_batch(batch)
+        if len(Mq) == 0:
+            return pa.table({"cid": pa.array([], pa.int64()),
+                             "n_members": pa.array([], pa.int64()),
+                             "inertia": pa.array([], pa.int64())})
+        a, d2 = assign(Mq, C_fin)
+        cnt = np.bincount(a, minlength=k).astype(np.int64)
+        best = d2[np.arange(len(a)), a]
+        inr = np.zeros(k, np.int64)
+        np.add.at(inr, a, best)
+        cid = np.arange(k, dtype=np.int64)
+        return pa.table({"cid": pa.array(cid, pa.int64()),
+                         "n_members": pa.array(cnt, pa.int64()),
+                         "inertia": pa.array(inr, pa.int64())})
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            _, Mq = q_batch(batch)
-            if len(Mq) == 0:
-                return pa.table({"cid": pa.array([], pa.int64()),
-                                 "n_members": pa.array([], pa.int64()),
-                                 "inertia": pa.array([], pa.int64())})
-            a, d2 = assign(Mq, self.C)
-            cnt = np.bincount(a, minlength=k).astype(np.int64)
-            best = d2[np.arange(len(a)), a]
-            inr = np.zeros(k, np.int64)
-            np.add.at(inr, a, best)
-            cid = np.arange(k, dtype=np.int64)
-            return pa.table({"cid": pa.array(cid, pa.int64()),
-                             "n_members": pa.array(cnt, pa.int64()),
-                             "inertia": pa.array(inr, pa.int64())})
-
-    rep = (ds.map_batches(_Report, fn_constructor_args=(C_ref,),
-                          concurrency=(1, 8), batch_format="pyarrow",
+    rep = (ds.map_batches(report, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("cid")
            .aggregate(Sum("n_members", alias_name="n_members"),

@@ -1335,28 +1335,24 @@ def ship_window_counts(sf_dir: str, window_days: int = 7):
     counts = np.array([r["cnt"] for r in hist], np.int64)[order]
     cum = np.zeros(len(days) + 1, np.int64)
     np.cumsum(counts, out=cum[1:])
-    ref = ray.put((days, cum))
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
 
-    class _BandCount:
-        def __init__(self, r):
-            self.days, self.cum = ray.get(r)
+    # the day histogram is calendar-bounded (thousands of int64s): ship
+    # it in the task closure, no actor pool needed
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            d0 = (np.asarray(batch.column("o_orderdate"),
-                             "datetime64[us]").view(np.int64) // _DAY_US)
-            lo = np.searchsorted(self.days, d0, side="left")
-            hi = np.searchsorted(self.days, d0 + window_days, side="left")
-            n = self.cum[hi] - self.cum[lo]
-            return pa.table({
-                "o_orderkey": pc.cast(batch.column("o_orderkey"),
-                                      pa.int64()),
-                "n_shipped_7d": pa.array(n, pa.int64()),
-            })
+    def band_count(batch: pa.Table) -> pa.Table:
+        d0 = (np.asarray(batch.column("o_orderdate"),
+                         "datetime64[us]").view(np.int64) // _DAY_US)
+        lo = np.searchsorted(days, d0, side="left")
+        hi = np.searchsorted(days, d0 + window_days, side="left")
+        n = cum[hi] - cum[lo]
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"),
+                                  pa.int64()),
+            "n_shipped_7d": pa.array(n, pa.int64()),
+        })
 
-    return orders.map_batches(_BandCount, fn_constructor_args=(ref,),
-                              concurrency=(1, 8), batch_format="pyarrow",
+    return orders.map_batches(band_count, batch_format="pyarrow",
                               zero_copy_batch=True)
 
 
@@ -1500,68 +1496,144 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
     # bucket holding each boundary rank (rank = #rows strictly before)
     bpos = np.searchsorted(cum[1:], bounds_rank, side="right")
     need = np.unique(buckets[bpos])
-    if int(cnts[np.searchsorted(buckets, need)].sum()) > 5_000_000:
-        raise ValueError(
-            "order_deciles boundary buckets hold >5M rows; widen shift "
-            "or add a second refinement pass at this scale/skew")
-    need_ref = ray.put(need)
 
-    class _Sliver:
-        def __init__(self, r):
-            self.need = ray.get(r)
+    # pass 2: EXACT-price histogram restricted to the boundary buckets.
+    # Its size is bounded by the bucket WIDTH (≤ |need|·2^shift distinct
+    # cent values), NOT by how many rows pile onto them — so mass ties
+    # (every order the same price) cannot blow the driver fold
+    # the boundary-bucket set is ≤ k−1 ints: ship it in the task
+    # closure — an actor pool's startup would dwarf the state it carries
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            p = np.asarray(batch.column("price_c"), np.int64)
-            keep = np.isin(p >> shift, self.need)
-            t = batch.filter(pa.array(keep))
-            return pa.table({
-                "o_orderkey": t.column("o_orderkey"),
-                "price_c": t.column("price_c"),
-            })
+    def exact_price(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("price_c"), np.int64)
+        p = p[np.isin(p >> shift, need)]
+        u, c = np.unique(p, return_counts=True)
+        return pa.table({"price_c": pa.array(u, pa.int64()),
+                         "cnt": pa.array(c.astype(np.int64),
+                                         pa.int64())})
 
-    sliver = (po.map_batches(_Sliver, fn_constructor_args=(need_ref,),
-                             concurrency=(1, 8), batch_format="pyarrow",
-                             zero_copy_batch=True)
-              .take_all())
-    sp = np.array([r["price_c"] for r in sliver], np.int64)
-    sk = np.array([r["o_orderkey"] for r in sliver], np.int64)
-    so = np.lexsort((sk, sp))
-    sp, sk = sp[so], sk[so]
-    sb = sp >> shift
-    # rank of each sliver row = rows in earlier buckets + offset in-bucket
-    bidx = np.searchsorted(buckets, sb)
-    first_in_bucket = np.ones(len(sb), bool)
-    first_in_bucket[1:] = sb[1:] != sb[:-1]
-    seg_start = np.maximum.accumulate(
-        np.where(first_in_bucket, np.arange(len(sb), dtype=np.int64), 0))
-    rank = cum[bidx] + (np.arange(len(sb), dtype=np.int64) - seg_start)
-    sel = np.searchsorted(rank, bounds_rank)
-    b_price = sp[sel]
-    b_key = sk[sel]
-    bref = ray.put((b_price, b_key))
+    ep = (po.map_batches(exact_price, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .groupby("price_c").aggregate(Sum("cnt", alias_name="cnt"))
+          .take_all())
+    eprice = np.array([r["price_c"] for r in ep], np.int64)
+    eorder = np.argsort(eprice)
+    eprice = eprice[eorder]
+    ecnt = np.array([r["cnt"] for r in ep], np.int64)[eorder]
+    # global start rank of each exact price = rows in earlier coarse
+    # buckets + rows on smaller prices within the same bucket
+    ebkt = eprice >> shift
+    ecum_in = np.zeros(len(eprice), np.int64)
+    if len(eprice):
+        run = np.cumsum(ecnt) - ecnt
+        bstart_first = np.ones(len(ebkt), bool)
+        bstart_first[1:] = ebkt[1:] != ebkt[:-1]
+        seg0 = np.maximum.accumulate(
+            np.where(bstart_first, run, 0))
+        ecum_in = run - seg0
+    estart = cum[np.searchsorted(buckets, ebkt)] + ecum_in
 
-    class _Assign:
-        def __init__(self, r):
-            self.bp, self.bk = ray.get(r)
+    # boundary price + residual rank within that price, per target
+    pos = np.searchsorted(estart, bounds_rank, side="right") - 1
+    b_price = eprice[pos]
+    resid = bounds_rank - estart[pos]
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
+    def _okey_at(price: int, r: int, pull_cap: int = 1_000_000) -> int:
+        """o_orderkey order statistic r among rows with price_c == price:
+        pull directly when few rows share the price, else narrow the key
+        range with 8-bit radix histogram passes (bounded partials per
+        pass — a distributed selection, never a sort)."""
+        lo, hi = 0, 1 << 63
+        while True:
+            lo_c, hi_c, pr = lo, hi, int(price)
+
+            def count_pass(batch: pa.Table) -> pa.Table:
+                p = np.asarray(batch.column("price_c"), np.int64)
+                o = np.asarray(batch.column("o_orderkey"), np.int64)
+                m = (p == pr) & (o >= lo_c) & (o < hi_c)
+                return pa.table({"o_orderkey": pa.array(o[m], pa.int64())})
+
+            span = hi - lo
+            if span <= pull_cap:
+                rows = (po.map_batches(count_pass, batch_format="pyarrow",
+                                       zero_copy_batch=True).take_all())
+                ok = np.sort(np.array([x["o_orderkey"] for x in rows],
+                                      np.int64))
+                return int(ok[r])
+            s = max(0, span.bit_length() - 8)
+
+            def digit_hist(batch: pa.Table) -> pa.Table:
+                p = np.asarray(batch.column("price_c"), np.int64)
+                o = np.asarray(batch.column("o_orderkey"), np.int64)
+                m = (p == pr) & (o >= lo_c) & (o < hi_c)
+                d = (o[m] - lo_c) >> s
+                u, c = np.unique(d, return_counts=True)
+                return pa.table({"d": pa.array(u, pa.int64()),
+                                 "cnt": pa.array(c.astype(np.int64),
+                                                 pa.int64())})
+
+            parts = (po.map_batches(digit_hist, batch_format="pyarrow",
+                                    zero_copy_batch=True).take_all())
+            dh = np.zeros(257, np.int64)
+            total = 0
+            for x in parts:
+                dh[int(x["d"]) + 1] += int(x["cnt"])
+                total += int(x["cnt"])
+            if total <= pull_cap:
+                # few enough rows left: one exact pull ends the loop
+                rows = (po.map_batches(count_pass, batch_format="pyarrow",
+                                       zero_copy_batch=True).take_all())
+                ok = np.sort(np.array([x["o_orderkey"] for x in rows],
+                                      np.int64))
+                return int(ok[r])
+            dcum = np.cumsum(dh)
+            d = int(np.searchsorted(dcum[1:], r, side="right"))
+            r -= int(dcum[d])
+            lo, hi = lo + (d << s), min(hi, lo + ((d + 1) << s))
+
+    # resolve tie-break keys: ONE pass pulls the keys of every
+    # low-multiplicity boundary price together (the common case); only a
+    # price shared by >1M rows falls back to per-price radix narrowing
+    b_key = np.empty(len(b_price), np.int64)
+    small = ecnt[pos] <= 1_000_000
+    small_prices = np.unique(b_price[small])
+    if len(small_prices):
+        def pull_keys(batch: pa.Table) -> pa.Table:
             p = np.asarray(batch.column("price_c"), np.int64)
             o = np.asarray(batch.column("o_orderkey"), np.int64)
-            tile = np.ones(len(p), np.int64)
-            for bp, bk in zip(self.bp, self.bk):
-                tile += (p > bp) | ((p == bp) & (o >= bk))
-            u, inv = np.unique(tile, return_inverse=True)
-            cnt = np.bincount(inv).astype(np.int64)
-            s = np.bincount(inv, weights=p.astype(np.float64))
-            s_exact = np.zeros(len(u), np.int64)
-            np.add.at(s_exact, inv, p)
-            del s
-            return pa.table({"tile": pa.array(u, pa.int64()),
-                             "n_orders": pa.array(cnt, pa.int64()),
-                             "sum_price_c": pa.array(s_exact, pa.int64())})
+            m = np.isin(p, small_prices)
+            return pa.table({"price_c": pa.array(p[m], pa.int64()),
+                             "o_orderkey": pa.array(o[m], pa.int64())})
 
-    agg = (po.map_batches(_Assign, fn_constructor_args=(bref,),
-                          concurrency=(1, 8), batch_format="pyarrow",
+        rows = (po.map_batches(pull_keys, batch_format="pyarrow",
+                               zero_copy_batch=True)
+                .take_all())
+        pp = np.array([x["price_c"] for x in rows], np.int64)
+        ok = np.array([x["o_orderkey"] for x in rows], np.int64)
+        so = np.lexsort((ok, pp))
+        pp, ok = pp[so], ok[so]
+        for i in np.flatnonzero(small):
+            a = np.searchsorted(pp, b_price[i], side="left")
+            b_key[i] = ok[a + resid[i]]
+    for i in np.flatnonzero(~small):
+        b_key[i] = _okey_at(int(b_price[i]), int(resid[i]))
+    bp_arr, bk_arr = b_price.copy(), b_key.copy()
+
+    def assign(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch.column("price_c"), np.int64)
+        o = np.asarray(batch.column("o_orderkey"), np.int64)
+        tile = np.ones(len(p), np.int64)
+        for bp, bk in zip(bp_arr, bk_arr):
+            tile += (p > bp) | ((p == bp) & (o >= bk))
+        u, inv = np.unique(tile, return_inverse=True)
+        cnt = np.bincount(inv).astype(np.int64)
+        s_exact = np.zeros(len(u), np.int64)
+        np.add.at(s_exact, inv, p)
+        return pa.table({"tile": pa.array(u, pa.int64()),
+                         "n_orders": pa.array(cnt, pa.int64()),
+                         "sum_price_c": pa.array(s_exact, pa.int64())})
+
+    agg = (po.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
            .groupby("tile").aggregate(
                Sum("n_orders", alias_name="n_orders"),

@@ -427,36 +427,32 @@ def asof_price_index(sf_dir: str):
     days = days[order]
     sums = np.array([r["idx_sum_c"] for r in idx], np.int64)[order]
     ns = np.array([r["idx_n"] for r in idx], np.int64)[order]
-    ref = ray.put((days, sums, ns))
-
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_shipdate"])
 
-    class _AsofProbe:
-        def __init__(self, r):
-            self.days, self.sums, self.ns = ray.get(r)
+    # the index is a few thousand (day, sum, n) triples — ship it in the
+    # task closure; an actor pool's startup would dwarf the state
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            ship = (np.asarray(batch.column("l_shipdate"),
-                               "datetime64[us]").view(np.int64) // _DAY_US)
-            pos = np.searchsorted(self.days, ship, side="right") - 1
-            hit = pos >= 0
-            pos = pos[hit]
-            okey = np.asarray(batch.column("l_orderkey"), np.int64)[hit]
-            lnum = np.asarray(batch.column("l_linenumber")).astype(
-                np.int64)[hit]
-            idx_day = (self.days[pos] * _DAY_US).view("datetime64[us]")
-            return pa.table({
-                "l_orderkey": pa.array(okey, pa.int64()),
-                "l_linenumber": pa.array(lnum, pa.int64()),
-                "idx_day": pa.array(idx_day,
-                                    pa.timestamp("us")),
-                "idx_sum_c": pa.array(self.sums[pos], pa.int64()),
-                "idx_n": pa.array(self.ns[pos], pa.int64()),
-            })
+    def asof_probe(batch: pa.Table) -> pa.Table:
+        ship = (np.asarray(batch.column("l_shipdate"),
+                           "datetime64[us]").view(np.int64) // _DAY_US)
+        pos = np.searchsorted(days, ship, side="right") - 1
+        hit = pos >= 0
+        pos = pos[hit]
+        okey = np.asarray(batch.column("l_orderkey"), np.int64)[hit]
+        lnum = np.asarray(batch.column("l_linenumber")).astype(
+            np.int64)[hit]
+        idx_day = (days[pos] * _DAY_US).view("datetime64[us]")
+        return pa.table({
+            "l_orderkey": pa.array(okey, pa.int64()),
+            "l_linenumber": pa.array(lnum, pa.int64()),
+            "idx_day": pa.array(idx_day,
+                                pa.timestamp("us")),
+            "idx_sum_c": pa.array(sums[pos], pa.int64()),
+            "idx_n": pa.array(ns[pos], pa.int64()),
+        })
 
-    return li.map_batches(_AsofProbe, fn_constructor_args=(ref,),
-                          concurrency=(1, 8), batch_format="pyarrow",
+    return li.map_batches(asof_probe, batch_format="pyarrow",
                           zero_copy_batch=True)
 
 
