@@ -1434,7 +1434,8 @@ def customer_event_outer(sf_dir: str, min_price: float = 300_000.0):
 # exact global NTILE via boundary-key selection
 # ---------------------------------------------------------------------------
 
-def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
+def order_deciles(sf_dir: str, k: int = 10, shift: int = 6,
+                  pull_cap: int = 1_000_000):
     """EXACT global NTILE(k) over orders ordered by (o_totalprice,
     o_orderkey), aggregated per tile — the total-order bucketing op. A
     naive plan global-sorts the fact table; this one never sorts and
@@ -1538,7 +1539,7 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
     b_price = eprice[pos]
     resid = bounds_rank - estart[pos]
 
-    def _okey_at(price: int, r: int, pull_cap: int = 1_000_000) -> int:
+    def _okey_at(price: int, r: int) -> int:
         """o_orderkey order statistic r among rows with price_c == price:
         pull directly when few rows share the price, else narrow the key
         range with 8-bit radix histogram passes (bounded partials per
@@ -1595,7 +1596,7 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6):
     # low-multiplicity boundary price together (the common case); only a
     # price shared by >1M rows falls back to per-price radix narrowing
     b_key = np.empty(len(b_price), np.int64)
-    small = ecnt[pos] <= 1_000_000
+    small = ecnt[pos] <= pull_cap
     small_prices = np.unique(b_price[small])
     if len(small_prices):
         def pull_keys(batch: pa.Table) -> pa.Table:

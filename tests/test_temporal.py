@@ -209,3 +209,36 @@ def test_order_deciles_heavy_ties_brute_force(ray_session, tmp_path):
             p_c[order], np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
     })
     pd.testing.assert_frame_equal(got, _canon(want))
+
+
+def test_order_deciles_radix_path(ray_session, tmp_path):
+    """Force the >cap radix-narrowing branch with pull_cap=4: boundary
+    prices shared by hundreds of rows must resolve their tie-break key
+    via 8-bit digit histograms, matching the explicit argsort NTILE."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from leiden_cuda_ray.pipelines.relational import order_deciles
+
+    rng = np.random.RandomState(29)
+    n, k = 1200, 10
+    prices = rng.choice([5.0, 77.25, 1234.56], size=n)
+    # huge spread-out keys so narrowing takes several digit passes
+    keys = (rng.permutation(n).astype(np.int64) * 48_271_009_113
+            + 1_000_003)
+    pq.write_table(pa.table({"o_orderkey": keys,
+                             "o_totalprice": prices}),
+                   str(tmp_path / "orders.parquet"))
+    got = _canon(_pdf(order_deciles(str(tmp_path), pull_cap=4)))
+    p_c = np.rint(prices * 100).astype(np.int64)
+    order = np.lexsort((keys, p_c))
+    base, extra = divmod(n, k)
+    sizes = np.full(k, base, np.int64)
+    sizes[:extra] += 1
+    want = pd.DataFrame({
+        "tile": np.arange(1, k + 1, dtype=np.int64),
+        "n_orders": sizes,
+        "sum_price_c": np.add.reduceat(
+            p_c[order], np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
+    })
+    pd.testing.assert_frame_equal(got, _canon(want))
