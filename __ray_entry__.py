@@ -161,6 +161,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_stats(sf_dir):
         return text.token_stats(_docs(sf_dir))
 
+    def q_bpe_tokens(sf_dir):
+        return text.bpe_token_count(_docs(sf_dir))
+
     def q_vocab_topk(sf_dir):
         return text.vocab_topk(_docs(sf_dir))
 
@@ -537,6 +540,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
+        "bpe_tokens": q_bpe_tokens,
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
         "bigram_topk": q_bigram_topk,
@@ -2419,6 +2423,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, LENGTH(text) AS n_chars,
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents""",
+        "bpe_tokens": """
+            -- BPE-ish pre-tokenizer counts; DuckDB and Arrow both
+            -- compile the pattern with RE2, so counts agree exactly
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   CAST(LEN(regexp_extract_all(text,
+                        '''s|''t|''re|''ve|''m|''ll|''d| ?[A-Za-z]+'
+                        || '| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
+                        AS BIGINT) AS n_bpe_tokens
             FROM documents""",
         "distinct_kmv": f"""
             -- KMV sketch protocol replay: the identical splitmix chain

@@ -41,6 +41,30 @@ def _stats_batch(batch: pa.Table) -> pa.Table:
     })
 
 
+#: GPT-2-style pre-tokenizer shape: contraction suffixes, space-prefixed
+#: letter runs, digit runs, other-symbol runs, residual whitespace. Both
+#: Arrow and DuckDB compile this with RE2, so counts agree exactly.
+_BPE_TOKEN = (r"'s|'t|'re|'ve|'m|'ll|'d| ?[A-Za-z]+| ?[0-9]+"
+              r"| ?[^A-Za-z0-9\s]+|\s+")
+
+
+def bpe_token_count(ds):
+    """documents → (doc_id, n_chars, n_bpe_tokens): token counts under a
+    BPE-ish regex pre-tokenizer (the training-cost estimator shape) —
+    one vectorized RE2 count per batch, no per-row Python."""
+    def fn(batch: pa.Table) -> pa.Table:
+        text = batch.column("text")
+        return pa.table({
+            "doc_id": batch.column("doc_id"),
+            "n_chars": pc.cast(pc.utf8_length(text), pa.int64()),
+            "n_bpe_tokens": pc.cast(
+                pc.count_substring_regex(text, _BPE_TOKEN), pa.int64()),
+        })
+
+    return ds.select_columns(["doc_id", "text"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def token_stats(ds):
     """documents → (doc_id, n_chars, n_tokens, n_punct). SQL-oracle-able."""
     return ds.select_columns(["doc_id", "text"]).map_batches(
