@@ -242,3 +242,34 @@ def test_order_deciles_radix_path(ray_session, tmp_path):
             p_c[order], np.r_[0, np.cumsum(sizes)[:-1]]).astype(np.int64),
     })
     pd.testing.assert_frame_equal(got, _canon(want))
+
+
+def test_parts_intersect_cross_batch_bits(ray_session, tmp_path):
+    """A part whose window-A rows and window-B rows land in DIFFERENT
+    blocks must still be kept: the per-window bits fold with Max (OR)
+    across batches — a fused mask under Max would lose it."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from leiden_cuda_ray.pipelines.relational import parts_intersect
+
+    d = str(tmp_path / "lineitem.parquet")
+    os.makedirs(d)
+    day_a = np.datetime64("1995-06-01", "us")
+    day_b = np.datetime64("2000-06-01", "us")
+    # file 1: parts 1, 2 ship in window A only
+    pq.write_table(pa.table({
+        "l_partkey": np.array([1, 2], np.int64),
+        "l_shipdate": pa.array(np.array([day_a, day_a]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "f1.parquet"))
+    # file 2: parts 1, 3 ship in window B only
+    pq.write_table(pa.table({
+        "l_partkey": np.array([1, 3], np.int64),
+        "l_shipdate": pa.array(np.array([day_b, day_b]),
+                               pa.timestamp("us")),
+    }), os.path.join(d, "f2.parquet"))
+    got = _pdf(parts_intersect(str(tmp_path)))
+    assert got["l_partkey"].tolist() == [1]
