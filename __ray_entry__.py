@@ -519,6 +519,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_intersect": rel.parts_intersect,
         "lineitem_melt": rel.lineitem_melt,
         "orders_cube": rel.orders_cube,
+        "orders_profile": rel.orders_profile,
         "events_range_window": tmp.events_range_window,
         # documents / embeddings operators
         "train_val_split": q_train_val_split,
@@ -1930,6 +1931,33 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_c
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "orders_profile": """
+            -- one-pass numeric column profile, exact BIGINTs
+            SELECT 'o_orderkey' AS column,
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT)
+                     AS n_nulls,
+                   CAST(MIN(o_orderkey) AS BIGINT) AS min_v,
+                   CAST(MAX(o_orderkey) AS BIGINT) AS max_v,
+                   CAST(SUM(o_orderkey) AS BIGINT) AS sum_v
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', COUNT(*),
+                   COUNT(*) - COUNT(o_custkey),
+                   CAST(MIN(o_custkey) AS BIGINT),
+                   CAST(MAX(o_custkey) AS BIGINT),
+                   CAST(SUM(o_custkey) AS BIGINT)
+            FROM orders
+            UNION ALL
+            SELECT 'o_totalprice_c', COUNT(*),
+                   COUNT(*) - COUNT(o_totalprice),
+                   CAST(MIN(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT),
+                   CAST(MAX(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT),
+                   CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT)
+            FROM orders""",
         "nation_top_names": """
             -- grouped ORDERED string_agg: '|'-joined names of each
             -- nation's top-5 customers by (acctbal DESC, custkey ASC)

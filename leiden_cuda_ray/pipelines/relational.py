@@ -14,7 +14,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 import ray.data
-from ray.data.aggregate import Count, Max, Mean, Sum
+from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
 from leiden_cuda_ray.stages.joins import hash_join
 
@@ -1919,3 +1919,68 @@ def orders_cube(sf_dir: str):
 
     return grid.map_batches(cube, batch_format="pyarrow",
                             batch_size=None)
+
+
+# ---------------------------------------------------------------------------
+# one-pass table profile (data-quality validation shape)
+# ---------------------------------------------------------------------------
+
+def orders_profile(sf_dir: str):
+    """Single-pass column profile of the orders fact table — the
+    data-quality validation op a pipeline runs before training jobs:
+    per numeric column (price in exact cents), row/null counts and
+    min/max/sum as BIGINTs. One streaming pass emits a 3-row partial per
+    batch; the groupby folds |columns| rows total, so profiling cost is
+    one scan regardless of table size."""
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_totalprice"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        cols = {
+            "o_orderkey": np.asarray(
+                pc.fill_null(batch.column("o_orderkey"), 0), np.int64),
+            "o_custkey": np.asarray(
+                pc.fill_null(batch.column("o_custkey"), 0), np.int64),
+            "o_totalprice_c": np.rint(np.asarray(
+                pc.fill_null(batch.column("o_totalprice"), 0.0),
+                np.float64) * 100.0).astype(np.int64),
+        }
+        nulls = {
+            "o_orderkey": batch.column("o_orderkey").null_count,
+            "o_custkey": batch.column("o_custkey").null_count,
+            "o_totalprice_c": batch.column("o_totalprice").null_count,
+        }
+        names, n, nn, mn, mx, sm = [], [], [], [], [], []
+        for name, v in cols.items():
+            names.append(name)
+            n.append(len(v))
+            nn.append(int(nulls[name]))
+            nonnull = v  # fill value excluded from min/max below if all null
+            mn.append(int(nonnull.min()) if len(v) else 0)
+            mx.append(int(nonnull.max()) if len(v) else 0)
+            sm.append(int(v.sum()))
+        return pa.table({
+            "column": pa.array(names, pa.string()),
+            "n_rows": pa.array(np.array(n, np.int64), pa.int64()),
+            "n_nulls": pa.array(np.array(nn, np.int64), pa.int64()),
+            "min_v": pa.array(np.array(mn, np.int64), pa.int64()),
+            "max_v": pa.array(np.array(mx, np.int64), pa.int64()),
+            "sum_v": pa.array(np.array(sm, np.int64), pa.int64()),
+        })
+
+    agg = (orders.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+           .groupby("column").aggregate(
+               Sum("n_rows", alias_name="n_rows"),
+               Sum("n_nulls", alias_name="n_nulls"),
+               Min("min_v", alias_name="min_v"),
+               Max("max_v", alias_name="max_v"),
+               Sum("sum_v", alias_name="sum_v")))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        out = {"column": pc.cast(batch.column("column"), pa.string())}
+        for c in ["n_rows", "n_nulls", "min_v", "max_v", "sum_v"]:
+            out[c] = pc.cast(batch.column(c), pa.int64())
+        return pa.table(out)
+
+    return agg.map_batches(fin, batch_format="pyarrow")
