@@ -1310,12 +1310,10 @@ def ship_window_counts(sf_dir: str, window_days: int = 7):
     generator contract), so the 1-D range count collapses to a prefix
     histogram: one streaming pass pre-aggregates lineitem shipdates to
     per-day counts (calendar-bounded — thousands of rows at ANY data
-    scale), the driver folds them into a cumulative array, broadcasts it
-    once via ray.put, and every orders batch answers its band counts
-    with two vectorized searchsorteds. No fact-table row is ever
+    scale), the driver folds them into a cumulative array that ships in
+    the probe-task closure, and every orders batch answers its band
+    counts with two vectorized searchsorteds. No fact-table row is ever
     replicated; wire volume is O(days), not O(rows)."""
-    import ray
-
     li = _read(sf_dir, "lineitem", ["l_shipdate"])
 
     def day_counts(batch: pa.Table) -> pa.Table:
@@ -1445,19 +1443,23 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6,
     (price_c >> shift; the domain is price-bounded, not data-bounded) —
     the driver folds a histogram of ≤ a few million int64s, locates the
     k−1 tile-boundary ranks in the cumulative histogram;
-    pass 2 pulls ONLY rows inside the (≤ k−1) boundary buckets — a
-    vanishing sliver — and resolves each boundary's exact
-    (price_c, o_orderkey) key by local selection;
-    pass 3 assigns tiles with k−1 vectorized lexicographic compares
-    against the broadcast boundary keys (keys are unique — orderkey
-    breaks price ties — so tile = 1 + #{boundaries ≤ key}), and
-    pre-aggregates (tile, count, sum) inside each batch; the final
-    groupby folds k rows.
+    pass 2 resolves each boundary's exact price via an exact-price
+    histogram restricted to the boundary buckets — bounded by the bucket
+    WIDTH (≤ |buckets|·2^shift entries), never by how many rows pile
+    onto them;
+    pass 3 resolves the o_orderkey tie-break: one batched pull for
+    boundary prices shared by ≤ pull_cap rows, else per-price 8-bit
+    radix narrowing over the key space (a distributed selection — no
+    task ever holds more than pull_cap keys);
+    pass 4 assigns tiles with k−1 vectorized lexicographic compares
+    against the boundary keys shipped in the task closure (keys are
+    unique — orderkey breaks price ties — so
+    tile = 1 + #{boundaries ≤ key}), and pre-aggregates
+    (tile, count, sum) inside each batch; the final groupby folds k
+    rows.
 
     NTILE fill semantics (first n % k tiles take the extra row) are
     encoded in the boundary ranks, matching DuckDB/ANSI exactly."""
-    import ray
-
     orders = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"])
 
     def proj(batch: pa.Table) -> pa.Table:

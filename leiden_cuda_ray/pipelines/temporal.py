@@ -393,8 +393,8 @@ def asof_price_index(sf_dir: str):
     grouped on the raw day-granular o_orderdate) is calendar-bounded —
     one row per distinct date, a few thousand rows no matter the data
     scale — so the scale-correct plan is broadcast, not shuffle: the
-    sorted (day, sum, n) arrays ship ONCE via ray.put and every probe
-    batch resolves its matches with one vectorized searchsorted. The
+    sorted (day, sum, n) arrays ship ONCE in the probe-task closure and
+    every batch resolves its matches with one vectorized searchsorted. The
     per-entity partitioned as-of (unbounded right side) is
     `event_attribution`; this operator is the bounded-right-side dual.
 
@@ -402,8 +402,6 @@ def asof_price_index(sf_dir: str):
     ASOF JOIN oracle matches bit-for-bit with no float-summation-order
     hazard. Rows before the first index day would drop (inner as-of);
     on this corpus min(l_shipdate) > min(o_orderdate) so none do."""
-    import ray
-
     from ray.data.aggregate import Count, Sum
 
     orders = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
