@@ -1938,14 +1938,20 @@ def orders_profile(sf_dir: str):
                    ["o_orderkey", "o_custkey", "o_totalprice"])
 
     def partial(batch: pa.Table) -> pa.Table:
+        # stats over NON-NULL values only (drop_null before the fold), so
+        # a null can never pollute min/max/sum; the null count is its own
+        # column. All-null batches keep int64 min/max sentinels that the
+        # Min/Max aggregators absorb against any real value.
+        def cents(col):
+            return np.rint(np.asarray(col.drop_null(), np.float64)
+                           * 100.0).astype(np.int64)
+
         cols = {
             "o_orderkey": np.asarray(
-                pc.fill_null(batch.column("o_orderkey"), 0), np.int64),
+                batch.column("o_orderkey").drop_null(), np.int64),
             "o_custkey": np.asarray(
-                pc.fill_null(batch.column("o_custkey"), 0), np.int64),
-            "o_totalprice_c": np.rint(np.asarray(
-                pc.fill_null(batch.column("o_totalprice"), 0.0),
-                np.float64) * 100.0).astype(np.int64),
+                batch.column("o_custkey").drop_null(), np.int64),
+            "o_totalprice_c": cents(batch.column("o_totalprice")),
         }
         nulls = {
             "o_orderkey": batch.column("o_orderkey").null_count,
@@ -1953,13 +1959,13 @@ def orders_profile(sf_dir: str):
             "o_totalprice_c": batch.column("o_totalprice").null_count,
         }
         names, n, nn, mn, mx, sm = [], [], [], [], [], []
+        imax = np.iinfo(np.int64).max
         for name, v in cols.items():
             names.append(name)
-            n.append(len(v))
+            n.append(len(v) + int(nulls[name]))
             nn.append(int(nulls[name]))
-            nonnull = v  # fill value excluded from min/max below if all null
-            mn.append(int(nonnull.min()) if len(v) else 0)
-            mx.append(int(nonnull.max()) if len(v) else 0)
+            mn.append(int(v.min()) if len(v) else imax)
+            mx.append(int(v.max()) if len(v) else -imax)
             sm.append(int(v.sum()))
         return pa.table({
             "column": pa.array(names, pa.string()),
