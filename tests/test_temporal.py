@@ -273,3 +273,27 @@ def test_parts_intersect_cross_batch_bits(ray_session, tmp_path):
     }), os.path.join(d, "f2.parquet"))
     got = _pdf(parts_intersect(str(tmp_path)))
     assert got["l_partkey"].tolist() == [1]
+
+
+def test_events_range_window_invariance_and_brute_force(ray_session):
+    """Partition-count invariance plus a brute-force per-user replay of
+    the trailing 10-minute RANGE frame (peers at equal ts included)."""
+    from leiden_cuda_ray.pipelines.temporal import events_range_window
+
+    a = _canon(_pdf(events_range_window(SF, num_partitions=1)))
+    b = _canon(_pdf(events_range_window(SF, num_partitions=64)))
+    pd.testing.assert_frame_equal(a, b)
+    import duckdb
+
+    ev = duckdb.sql(
+        f"SELECT event_id, user_id, epoch_us(ts) tus, value"
+        f" FROM '{SF}/events.parquet'").fetchdf()
+    ev["v_c"] = np.rint(ev.value.to_numpy() * 100).astype(np.int64)
+    win = 10 * 60_000_000
+    got = a.set_index("event_id")["win_sum_c"]
+    for uid, g in ev.groupby("user_id"):
+        t = g.tus.to_numpy()
+        v = g.v_c.to_numpy()
+        for i in range(len(g)):
+            m = (t >= t[i] - win) & (t <= t[i])
+            assert got[g.event_id.iloc[i]] == v[m].sum()
