@@ -161,6 +161,60 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_doc_stats(sf_dir):
         return text.token_stats(_docs(sf_dir))
 
+    def q_doc_stats_jsonl(sf_dir):
+        # JSONL round trip: same token_stats pipeline, same oracle SQL
+        # as doc_stats — the wire format is what's being checked
+        from leiden_cuda_ray.sources.interchange import (
+            read_documents_jsonl)
+
+        return text.token_stats(read_documents_jsonl(sf_dir))
+
+    def q_events_hourly_csv(sf_dir):
+        # CSV round trip: hourly event count + exact cent sums computed
+        # from the CSV copy; the oracle reads the parquet original
+        from leiden_cuda_ray.sources.interchange import read_events_csv
+
+        ev = read_events_csv(sf_dir)
+
+        def hourly(batch: pa.Table) -> pa.Table:
+            import numpy as np
+            import pyarrow.compute as pc
+
+            ts = (np.asarray(batch.column("ts"), "datetime64[us]")
+                  .view("int64"))
+            hour = ts - ts % 3_600_000_000
+            v_c = np.rint(np.asarray(batch.column("value"),
+                                     np.float64) * 100.0).astype("int64")
+            u, inv = np.unique(hour, return_inverse=True)
+            s = np.zeros(len(u), dtype="int64")
+            np.add.at(s, inv, v_c)
+            cnt = np.bincount(inv, minlength=len(u)).astype("int64")
+            return pa.table({
+                "hour": pa.array(u.view("datetime64[us]"),
+                                 pa.timestamp("us")),
+                "n_events": pa.array(cnt, pa.int64()),
+                "value_c": pa.array(s, pa.int64()),
+            })
+
+        from ray.data.aggregate import Sum
+
+        agg = (ev.map_batches(hourly, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .groupby("hour").aggregate(
+                   Sum("n_events", alias_name="n_events"),
+                   Sum("value_c", alias_name="value_c")))
+
+        def fix(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return pa.table({
+                "hour": pc.cast(batch.column("hour"), pa.timestamp("us")),
+                "n_events": pc.cast(batch.column("n_events"), pa.int64()),
+                "value_c": pc.cast(batch.column("value_c"), pa.int64()),
+            })
+
+        return agg.map_batches(fix, batch_format="pyarrow")
+
     def q_bpe_tokens(sf_dir):
         return text.bpe_token_count(_docs(sf_dir))
 
@@ -541,6 +595,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_lines": q_boilerplate,
         "exact_dedup": q_exact_dedup,
         "doc_stats": q_doc_stats,
+        "doc_stats_jsonl": q_doc_stats_jsonl,
+        "events_hourly_csv": q_events_hourly_csv,
         "bpe_tokens": q_bpe_tokens,
         "vocab_topk": q_vocab_topk,
         "tfidf_topk": q_tfidf_topk,
@@ -2452,6 +2508,20 @@ def oracle_sql() -> dict[str, str]:
                    LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
                    LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
             FROM documents""",
+        "doc_stats_jsonl": """
+            -- JSONL round-trip parity: identical stats SQL over the
+            -- parquet original; the engine computed from a JSONL copy
+            SELECT doc_id, LENGTH(text) AS n_chars,
+                   LEN(regexp_extract_all(text, '\\S+')) AS n_tokens,
+                   LEN(regexp_extract_all(text, '[.,;:!?]')) AS n_punct
+            FROM documents""",
+        "events_hourly_csv": """
+            -- CSV round-trip parity: hourly counts + exact cent sums
+            SELECT date_trunc('hour', ts) AS hour,
+                   CAST(COUNT(*) AS BIGINT) AS n_events,
+                   CAST(SUM(CAST(ROUND(value * 100) AS BIGINT))
+                        AS BIGINT) AS value_c
+            FROM events GROUP BY 1""",
         "bpe_tokens": """
             -- BPE-ish pre-tokenizer counts; DuckDB and Arrow both
             -- compile the pattern with RE2, so counts agree exactly
