@@ -566,6 +566,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "segment_order_percentiles": tmp.segment_order_percentiles,
         "asof_price_index": tmp.asof_price_index,
         "sliding_median3": tmp.sliding_median3,
+        "latest_events": tmp.latest_event_compaction,
         "ship_window_counts": rel.ship_window_counts,
         "customer_event_outer": rel.customer_event_outer,
         "order_deciles": rel.order_deciles,
@@ -1910,6 +1911,16 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "latest_events": """
+            -- CDC compaction: newest event per (user, type) by
+            -- (ts, event_id), value in exact cents
+            SELECT user_id, event_type, event_id, ts,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c
+            FROM (SELECT *, ROW_NUMBER() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY ts DESC, event_id DESC) AS rn
+                  FROM events)
+            WHERE rn = 1""",
         "asof_price_index": """
             -- broadcast as-of join: latest daily order-price index row
             -- at-or-before each lineitem's shipdate; index values are

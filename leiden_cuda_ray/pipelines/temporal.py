@@ -598,3 +598,77 @@ def events_range_window(sf_dir: str, window_minutes: int = 10,
     return (ev.map_batches(add_part, batch_format="pyarrow",
                            zero_copy_batch=True)
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# CDC-style compaction (latest record per key)
+# ---------------------------------------------------------------------------
+
+def latest_event_compaction(sf_dir: str, num_partitions: int = 64):
+    """Upsert/CDC compaction: the LATEST event per (user_id, event_type)
+    by (ts, event_id) — the keep-newest-record shape every
+    change-capture ingest needs. Scale contract: each batch first
+    reduces to one candidate row per key it contains (a vectorized
+    lexsort partial — blocks shrink before anything moves), then one
+    hash-bucket groupby folds candidates; no group ever exceeds
+    candidates-per-block × blocks."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        if len(uid) == 0:
+            return batch
+        ts = (np.asarray(batch.column("ts"), "datetime64[us]")
+              .view(np.int64))
+        eid = np.asarray(batch.column("event_id"), np.int64)
+        et = batch.column("event_type").to_numpy(zero_copy_only=False)
+        key = np.char.add(np.char.add(et.astype(str), " "),
+                          uid.astype(str))
+        order = np.lexsort((-eid, -ts, key))
+        k_sorted = key[order]
+        first = np.ones(len(k_sorted), bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        return batch.take(pa.array(order[first]))
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        return batch.append_column(
+            "part", pa.array(_bucket_part(uid, num_partitions), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        uid = np.asarray(group.column("user_id"), np.int64)
+        if len(uid) == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "ts": pa.array([], pa.timestamp("us")),
+                "value_c": pa.array([], pa.int64()),
+            })
+        ts = (np.asarray(group.column("ts"), "datetime64[us]")
+              .view(np.int64))
+        eid = np.asarray(group.column("event_id"), np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        v_c = np.rint(group.column("value").to_numpy()
+                      .astype(np.float64) * 100.0).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype(str), " "),
+                          uid.astype(str))
+        order = np.lexsort((-eid, -ts, key))
+        k_sorted = key[order]
+        first = np.ones(len(k_sorted), bool)
+        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        keep = order[first]
+        return pa.table({
+            "user_id": pa.array(uid[keep], pa.int64()),
+            "event_type": pa.array(et[keep].astype(str), pa.string()),
+            "event_id": pa.array(eid[keep], pa.int64()),
+            "ts": pa.array(ts[keep].view("datetime64[us]"),
+                           pa.timestamp("us")),
+            "value_c": pa.array(v_c[keep], pa.int64()),
+        })
+
+    return (ev.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .map_batches(add_part, batch_format="pyarrow")
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))
