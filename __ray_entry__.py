@@ -567,6 +567,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_price_index": tmp.asof_price_index,
         "sliding_median3": tmp.sliding_median3,
         "latest_events": tmp.latest_event_compaction,
+        "event_intervals": tmp.event_validity_intervals,
         "ship_window_counts": rel.ship_window_counts,
         "customer_event_outer": rel.customer_event_outer,
         "order_deciles": rel.order_deciles,
@@ -1911,6 +1912,17 @@ def oracle_sql() -> dict[str, str]:
                    ROUND(quantile_cont(o_totalprice, 0.95), 6) AS p95
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY 1""",
+        "event_intervals": """
+            -- SCD-2 validity intervals: LEAD of ts within (user, type),
+            -- open intervals closed by the 9999-01-01 sentinel
+            SELECT user_id, event_type, event_id,
+                   CAST(ROUND(value * 100) AS BIGINT) AS value_c,
+                   ts AS valid_from,
+                   COALESCE(LEAD(ts) OVER (
+                        PARTITION BY user_id, event_type
+                        ORDER BY ts, event_id),
+                     TIMESTAMP '9999-01-01') AS valid_to
+            FROM events""",
         "latest_events": """
             -- CDC compaction: newest event per (user, type) by
             -- (ts, event_id), value in exact cents

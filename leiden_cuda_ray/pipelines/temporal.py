@@ -672,3 +672,67 @@ def latest_event_compaction(sf_dir: str, num_partitions: int = 64):
                            zero_copy_batch=True)
             .map_batches(add_part, batch_format="pyarrow")
             .groupby("part").map_groups(emit, batch_format="pyarrow"))
+
+
+# ---------------------------------------------------------------------------
+# SCD-2 validity intervals (row-level LEAD)
+# ---------------------------------------------------------------------------
+
+_OPEN_SENTINEL_US = np.int64(253370764800000000)  # 9999-01-01, null-free
+
+
+def event_validity_intervals(sf_dir: str, num_partitions: int = 64):
+    """Slowly-changing-dimension (type 2) interval construction: each
+    event's value is valid from its ts until the SAME (user, type)'s
+    next event (LEAD), the final version staying open until the
+    9999-01-01 sentinel (null-free output, so the hash compare never
+    meets NaN-vs-NULL). One hash-bucket shuffle per user; the kernel is
+    one lexsort + one shifted compare per partition — vectorized across
+    every (user, type) run at once."""
+    ev = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type", "value"])
+
+    def add_part(batch: pa.Table) -> pa.Table:
+        uid = np.asarray(batch.column("user_id"), np.int64)
+        return batch.append_column(
+            "part", pa.array(_bucket_part(uid, num_partitions), pa.int64()))
+
+    def emit(group: pa.Table) -> pa.Table:
+        n = group.num_rows
+        if n == 0:
+            return pa.table({
+                "user_id": pa.array([], pa.int64()),
+                "event_type": pa.array([], pa.string()),
+                "event_id": pa.array([], pa.int64()),
+                "value_c": pa.array([], pa.int64()),
+                "valid_from": pa.array([], pa.timestamp("us")),
+                "valid_to": pa.array([], pa.timestamp("us")),
+            })
+        uid = np.asarray(group.column("user_id"), np.int64)
+        ts = (np.asarray(group.column("ts"), "datetime64[us]")
+              .view(np.int64))
+        eid = np.asarray(group.column("event_id"), np.int64)
+        et = group.column("event_type").to_numpy(zero_copy_only=False)
+        v_c = np.rint(group.column("value").to_numpy()
+                      .astype(np.float64) * 100.0).astype(np.int64)
+        key = np.char.add(np.char.add(et.astype(str), " "),
+                          uid.astype(str))
+        order = np.lexsort((eid, ts, key))
+        k_s, ts_s = key[order], ts[order]
+        nxt = np.full(n, _OPEN_SENTINEL_US, np.int64)
+        same = k_s[1:] == k_s[:-1]
+        nxt[:-1][same] = ts_s[1:][same]
+        return pa.table({
+            "user_id": pa.array(uid[order], pa.int64()),
+            "event_type": pa.array(et[order].astype(str), pa.string()),
+            "event_id": pa.array(eid[order], pa.int64()),
+            "value_c": pa.array(v_c[order], pa.int64()),
+            "valid_from": pa.array(ts_s.view("datetime64[us]"),
+                                   pa.timestamp("us")),
+            "valid_to": pa.array(nxt.view("datetime64[us]"),
+                                 pa.timestamp("us")),
+        })
+
+    return (ev.map_batches(add_part, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("part").map_groups(emit, batch_format="pyarrow"))
