@@ -572,6 +572,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_event_outer": rel.customer_event_outer,
         "order_deciles": rel.order_deciles,
         "nation_top_names": rel.nation_top_names,
+        "order_lines_enriched": rel.order_lines_enriched,
         "parts_intersect": rel.parts_intersect,
         "lineitem_melt": rel.lineitem_melt,
         "orders_cube": rel.orders_cube,
@@ -2010,6 +2011,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_c
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "order_lines_enriched": """
+            -- row-level 3-way denormalization, exact cents
+            SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)
+                     AS l_linenumber,
+                   o.o_custkey, c.c_mktsegment,
+                   CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)
+                     AS price_c
+            FROM lineitem l
+            JOIN orders o ON l.l_orderkey = o.o_orderkey
+            JOIN customer c ON o.o_custkey = c.c_custkey""",
         "orders_profile": """
             -- one-pass numeric column profile, exact BIGINTs
             SELECT 'o_orderkey' AS column,

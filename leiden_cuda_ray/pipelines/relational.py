@@ -1992,3 +1992,70 @@ def orders_profile(sf_dir: str):
         return pa.table(out)
 
     return agg.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# row-level multi-way join enrichment
+# ---------------------------------------------------------------------------
+
+def order_lines_enriched(sf_dir: str):
+    """Row-level 3-way join: lineitem → orders → customer, carrying the
+    fact rows through both exchanges (the denormalization shape). Both
+    dimension sides are column-pruned to (key, payload) BEFORE the join
+    so the exchange carries keys + one attribute, not whole tables; the
+    fact table streams through two hash joins sized by the size-aware
+    partition rule."""
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_extendedprice"])
+
+    def prep_li(batch: pa.Table) -> pa.Table:
+        price_c = np.rint(np.asarray(batch.column("l_extendedprice"),
+                                     np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+            "l_linenumber": pc.cast(batch.column("l_linenumber"),
+                                    pa.int64()),
+            "price_c": pa.array(price_c, pa.int64()),
+        })
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+
+    def prep_o(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "o_orderkey": pc.cast(batch.column("o_orderkey"), pa.int64()),
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+        })
+
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+    def prep_c(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "c_custkey": pc.cast(batch.column("c_custkey"), pa.int64()),
+            "c_mktsegment": pc.cast(batch.column("c_mktsegment"),
+                                    pa.string()),
+        })
+
+    j1 = hash_join(
+        li.map_batches(prep_li, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        orders.map_batches(prep_o, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        on=("l_orderkey",), right_on=("o_orderkey",))
+    j2 = hash_join(
+        j1,
+        cust.map_batches(prep_c, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        on=("o_custkey",), right_on=("c_custkey",))
+
+    def fin(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": pc.cast(batch.column("l_orderkey"), pa.int64()),
+            "l_linenumber": pc.cast(batch.column("l_linenumber"),
+                                    pa.int64()),
+            "o_custkey": pc.cast(batch.column("o_custkey"), pa.int64()),
+            "c_mktsegment": pc.cast(batch.column("c_mktsegment"),
+                                    pa.string()),
+            "price_c": pc.cast(batch.column("price_c"), pa.int64()),
+        })
+
+    return j2.map_batches(fin, batch_format="pyarrow")
