@@ -573,6 +573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_deciles": rel.order_deciles,
         "nation_top_names": rel.nation_top_names,
         "order_lines_enriched": rel.order_lines_enriched,
+        "docs_dense_topk": rel.docs_dense_topk,
         "parts_intersect": rel.parts_intersect,
         "lineitem_melt": rel.lineitem_melt,
         "orders_cube": rel.orders_cube,
@@ -2011,6 +2012,14 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS revenue_c
             FROM orders
             GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+        "docs_dense_topk": """
+            -- DENSE_RANK grouped top-k: every doc tied on one of the
+            -- language's top-2 distinct lengths qualifies
+            SELECT doc_id, lang, n_chars, rnk FROM (
+              SELECT doc_id, lang, n_chars,
+                     DENSE_RANK() OVER (PARTITION BY lang
+                         ORDER BY n_chars DESC) AS rnk
+              FROM documents) WHERE rnk <= 2""",
         "order_lines_enriched": """
             -- row-level 3-way denormalization, exact cents
             SELECT l.l_orderkey, CAST(l.l_linenumber AS BIGINT)

@@ -2059,3 +2059,70 @@ def order_lines_enriched(sf_dir: str):
         })
 
     return j2.map_batches(fin, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# grouped DENSE_RANK top-k (ties share rank)
+# ---------------------------------------------------------------------------
+
+def docs_dense_topk(sf_dir: str, k: int = 2):
+    """All documents whose n_chars is among their language's top-k
+    DISTINCT lengths — DENSE_RANK semantics, where every tied row
+    qualifies (the ROW_NUMBER variant top_docs_per_group keeps exactly k
+    rows; this keeps k VALUE CLASSES). Pass 1 folds per-batch distinct
+    top-k values per group (≤ groups·k rows per block); the merged
+    thresholds broadcast in the filter-task closure for pass 2 — no
+    per-group materialization, tie mass never concentrates anywhere."""
+    docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        n = np.asarray(batch.column("n_chars"), np.int64)
+        order = np.lexsort((-n, lang.astype(str)))
+        l_s, n_s = lang[order], n[order]
+        # distinct (lang, n) runs, keep first k per lang
+        first = np.ones(len(l_s), bool)
+        first[1:] = (l_s[1:] != l_s[:-1]) | (n_s[1:] != n_s[:-1])
+        l_d, n_d = l_s[first], n_s[first]
+        newg = np.ones(len(l_d), bool)
+        newg[1:] = l_d[1:] != l_d[:-1]
+        pos = (np.arange(len(l_d))
+               - np.maximum.accumulate(
+                   np.where(newg, np.arange(len(l_d)), 0)))
+        keep = pos < k
+        return pa.table({
+            "lang": pa.array(l_d[keep].astype(str), pa.string()),
+            "n_chars": pa.array(n_d[keep], pa.int64()),
+        })
+
+    merged = (docs.map_batches(partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+              .repartition(1)
+              .map_batches(partial, batch_format="pyarrow",
+                           batch_size=None)
+              .take_all())
+    # lang -> sorted distinct top-k values, rank = position + 1
+    thresh: dict = {}
+    for r in merged:
+        thresh.setdefault(r["lang"], []).append(int(r["n_chars"]))
+    thresh = {la: sorted(vs, reverse=True) for la, vs in thresh.items()}
+
+    def flt(batch: pa.Table) -> pa.Table:
+        lang = batch.column("lang").to_numpy(zero_copy_only=False)
+        n = np.asarray(batch.column("n_chars"), np.int64)
+        did = np.asarray(batch.column("doc_id"), np.int64)
+        rank = np.zeros(len(n), np.int64)
+        for la, vals in thresh.items():
+            m = lang == la
+            for i, v in enumerate(vals):
+                rank[m & (n == v)] = i + 1
+        keep = rank > 0
+        return pa.table({
+            "doc_id": pa.array(did[keep], pa.int64()),
+            "lang": pa.array(lang[keep].astype(str), pa.string()),
+            "n_chars": pa.array(n[keep], pa.int64()),
+            "rnk": pa.array(rank[keep], pa.int64()),
+        })
+
+    return docs.map_batches(flt, batch_format="pyarrow",
+                            zero_copy_batch=True)
