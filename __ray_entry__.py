@@ -1874,8 +1874,11 @@ def oracle_sql() -> dict[str, str]:
                    COUNT(*) AS n_events
             FROM sess GROUP BY user_id, session_id""",
         "event_attribution": """
-            -- as-of + range join: deterministic (no duplicate (user, ts)
-            -- pairs exist; arg_max ties broken by unique ts)
+            -- as-of + range join. Tie-break PINNED on both sides: equal
+            -- click timestamps resolve to the MAX event_id (engine:
+            -- lexsort on (ts, event_id); oracle: arg_max over the
+            -- HUGEINT composite ts*2^63 + event_id, exact since
+            -- 0 <= event_id < 2^63)
             WITH c AS (SELECT user_id, ts, event_id FROM events
                        WHERE event_type = 'click'),
                  p AS (SELECT user_id, ts, event_id FROM events
@@ -1883,7 +1886,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT p.event_id AS purchase_id, p.user_id,
                    COUNT(*) AS n_prior_clicks,
                    MAX(c.ts) AS last_click_ts,
-                   arg_max(c.event_id, c.ts) AS last_click_id
+                   arg_max(c.event_id,
+                           epoch_us(c.ts)::HUGEINT
+                             * 9223372036854775808::HUGEINT
+                             + c.event_id) AS last_click_id
             FROM p JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
             GROUP BY 1, 2""",
         "events_rolling": """

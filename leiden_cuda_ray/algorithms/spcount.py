@@ -255,6 +255,12 @@ def _forward(graph: Graph, seed_mod: int, max_seeds: int,
         if sum(ray.get([o[2] for o in outs])) == 0:
             depth = d
             break
+    else:
+        # LOUD failure (module convention, matching scc/mis/matching):
+        # a silent partial dist/sigma would zero the backward pass
+        raise ValueError(
+            f"spcount BFS did not converge within {max_iterations} "
+            f"iterations (graph deeper than the bound)")
     return dists, sigmas, seeds, depth
 
 

@@ -27,6 +27,35 @@ def list_col_to_matrix(col, dtype=np.float64) -> np.ndarray:
     return flat.reshape(n, -1)
 
 
+def pair_group_codes(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Collision-free int64 group code for a (a, b) key pair.
+
+    Never concatenate key parts into one string: numpy's fixed-width
+    U-dtype STRIPS trailing NULs (so an "\\x00" separator silently
+    vanishes — ("ab","c") == ("a","bc")), and any printable separator
+    collides the moment it appears inside a key. Factorizing each part
+    separately and composing the integer codes is exact for every
+    vocabulary, and faster than string building.
+
+    Codes are dense per *call* (suitable for lexsort + searchsorted
+    ranking within a batch), not stable across batches.
+    """
+    _, ainv = np.unique(a, return_inverse=True)
+    bvals, binv = np.unique(b, return_inverse=True)
+    return ainv.astype(np.int64) * np.int64(len(bvals)) + binv
+
+
+def int_bincount(codes: np.ndarray, values: np.ndarray,
+                 minlength: int) -> np.ndarray:
+    """Exact int64 grouped sum: bincount(weights=...) casts to float64
+    and silently loses exactness past 2^53; np.add.at accumulates in
+    native int64 (wrapping only past 2^63, which the exact-integer
+    protocols bound-check separately)."""
+    out = np.zeros(minlength, np.int64)
+    np.add.at(out, codes, values.astype(np.int64, copy=False))
+    return out
+
+
 def matrix_to_list_col(M: np.ndarray, value_type=pa.float64()) -> pa.Array:
     """(n, d) matrix → list<value_type> array without a per-row tolist()."""
     n, d = M.shape

@@ -510,19 +510,27 @@ def decode_images(media_ds, concurrency: int = 2, batch_size: int = 16,
 class AudioToSamples:
     """Actor-pool stage: WAV payload → flattened (media_id, idx, sample)
     rows with the EXACT stored PCM integers (decode_wav_raw — no float
-    normalization). Multi-channel is averaged to mono in integer
-    floor-div so downstream integer protocols stay exact. One vectorized
-    emit per batch; per-media row counts stay bounded by the payload
-    size, so batch_size controls heap."""
+    normalization). Multi-channel is averaged to mono with a TRUNCATING
+    integer division (toward zero) so the semantics match SQL `/` on
+    negative channel sums — numpy's native `//` floors, which diverges
+    on negatives (the repo's documented floor-vs-trunc gotcha). One
+    vectorized emit per batch; per-media row counts stay bounded by the
+    payload size, so batch_size controls heap. NOTE: the audio_energy
+    oracle recomputes energy from the engine-WRITTEN samples, so the
+    decode/downmix step itself is pinned by pytest (bit-exact vs the
+    synthetic generator), not by the SQL oracle."""
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, idxs, vals = [], [], []
         for mid, payload in zip(batch.column("media_id").to_pylist(),
                                 batch.column("payload").to_pylist()):
             arr, sw, rate = decode_wav_raw(payload)
-            mono = (arr.astype(np.int64) if arr.ndim == 1
-                    else arr.astype(np.int64).sum(axis=1)
-                    // arr.shape[1])
+            if arr.ndim == 1:
+                mono = arr.astype(np.int64)
+            else:
+                s = arr.astype(np.int64).sum(axis=1)
+                # truncate toward zero (SQL semantics), not numpy floor
+                mono = np.sign(s) * (np.abs(s) // arr.shape[1])
             ids.append(np.full(len(mono), mid, np.int64))
             idxs.append(np.arange(len(mono), dtype=np.int64))
             vals.append(mono)

@@ -15,6 +15,8 @@ import hashlib
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
+
+from leiden_cuda_ray.functions.arrowutil import int_bincount
 import ray
 
 # language-ID stopword profiles (tiny n-gram/stopword heuristic)
@@ -283,8 +285,7 @@ def vocab_topk(ds, k: int = 10):
         key = pc.binary_join_element_wise(
             batch.column("lang"), batch.column("term"), " ")
         codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
-        tf = np.bincount(codes, weights=cnt,
-                         minlength=len(uniques)).astype(np.int64)
+        tf = int_bincount(codes, cnt, len(uniques))
         # any representative row per code works (key ⟹ (lang, term))
         rep = np.empty(len(uniques), np.int64)
         rep[codes] = np.arange(len(codes), dtype=np.int64)
@@ -542,8 +543,7 @@ def heavy_hitters(ds, k: int = 40, capacity: int = 512):
         cnts = np.asarray(batch.column("cnt"), np.int64)
         err = int(np.asarray(batch.column("err"), np.int64).sum())
         codes, uniq = pd.factorize(terms)
-        csum = np.bincount(codes, weights=cnts,
-                           minlength=len(uniq)).astype(np.int64)
+        csum = int_bincount(codes, cnts, len(uniq))
         ct, cc, sub = _mg_compress(np.asarray(uniq, object), csum,
                                    capacity)
         e = np.zeros(len(ct), np.int64)
@@ -577,8 +577,7 @@ def heavy_hitters(ds, k: int = 40, capacity: int = 512):
         et = batch.column("term").to_numpy(zero_copy_only=False)
         ec = np.asarray(batch.column("cnt"), np.int64)
         codes3, uniq3 = pd.factorize(et)
-        esum = np.bincount(codes3, weights=ec,
-                           minlength=len(uniq3)).astype(np.int64)
+        esum = int_bincount(codes3, ec, len(uniq3))
         order = np.lexsort((np.asarray(uniq3, object), -esum))
         topk = order[:k]
         return pa.table({
@@ -981,8 +980,7 @@ def bigram_topk(ds, k: int = 10):
         key = pc.binary_join_element_wise(
             batch.column("lang"), batch.column("bigram"), " ")
         codes, uniques = pd.factorize(key.to_numpy(zero_copy_only=False))
-        tf = np.bincount(codes, weights=cnt,
-                         minlength=len(uniques)).astype(np.int64)
+        tf = int_bincount(codes, cnt, len(uniques))
         rep = np.empty(len(uniques), np.int64)
         rep[codes] = np.arange(len(codes), dtype=np.int64)
         lang_u = lang[rep]

@@ -16,6 +16,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
+from leiden_cuda_ray.functions.arrowutil import int_bincount
+
 import ray
 import ray.data
 
@@ -817,7 +819,7 @@ def graph_degree_hist(sf_dir: str):
         d = np.asarray(batch.column("degree"), np.int64)
         c = np.asarray(batch.column("n_vertices"), np.int64)
         ud, inv = np.unique(d, return_inverse=True)
-        s = np.bincount(inv, weights=c, minlength=len(ud)).astype(np.int64)
+        s = int_bincount(inv, c, len(ud))
         return pa.table({"degree": pa.array(ud, pa.int64()),
                          "n_vertices": pa.array(s, pa.int64())})
 
@@ -848,8 +850,7 @@ def graph_harmonic(sf_dir: str, max_oracle_levels: int = 16):
         d = np.asarray(batch.column("dist"), np.int64)
         contrib = np.where(d > 0, scale // np.maximum(d, 1), 0)
         uv, inv = np.unique(v, return_inverse=True)
-        h = np.bincount(inv, weights=contrib,
-                        minlength=len(uv)).astype(np.int64)
+        h = int_bincount(inv, contrib, len(uv))
         return pa.table({"vertex": pa.array(uv, pa.int64()),
                          "harmonic_q": pa.array(h, pa.int64())})
 
@@ -1050,8 +1051,7 @@ def graph_eccentricity(sf_dir: str, max_oracle_levels: int = 16):
         us, inv = np.unique(s, return_inverse=True)
         ecc = np.full(len(us), -1, np.int64)
         np.maximum.at(ecc, inv, d)
-        reached = np.bincount(inv, weights=(d >= 0).astype(np.int64),
-                              minlength=len(us)).astype(np.int64)
+        reached = int_bincount(inv, (d >= 0).astype(np.int64), len(us))
         sumd = np.zeros(len(us), np.int64)
         np.add.at(sumd, inv, np.where(d > 0, d, 0))
         return pa.table({"seed": pa.array(us, pa.int64()),

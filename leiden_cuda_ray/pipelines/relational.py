@@ -16,6 +16,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
+from leiden_cuda_ray.functions.arrowutil import (int_bincount,
+                                                 pair_group_codes)
 from leiden_cuda_ray.stages.joins import hash_join
 
 
@@ -361,10 +363,9 @@ def top_docs_per_group(sf_dir: str, k: int = 3):
         src = batch.column("source").to_numpy(zero_copy_only=False)
         n = batch.column("n_chars").to_numpy().astype(np.int64)
         did = batch.column("doc_id").to_numpy().astype(np.int64)
-        # group code per row (np.unique on the pair via encoded key)
-        key = np.char.add(np.char.add(lang.astype(str), "\x00"),
-                          src.astype(str))
-        codes, inv = np.unique(key, return_inverse=True)
+        # collision-free integer pair code (NEVER string-concat:
+        # numpy U-dtype strips trailing NULs, merging distinct groups)
+        inv = pair_group_codes(lang, src)
         order = np.lexsort((did, -n, inv))
         g = inv[order]
         pos = np.arange(len(g)) - np.searchsorted(g, g, side="left")
@@ -379,9 +380,7 @@ def top_docs_per_group(sf_dir: str, k: int = 3):
         src = batch.column("source").to_numpy(zero_copy_only=False)
         n = batch.column("n_chars").to_numpy().astype(np.int64)
         did = batch.column("doc_id").to_numpy().astype(np.int64)
-        key = np.char.add(np.char.add(lang.astype(str), "\x00"),
-                          src.astype(str))
-        codes, inv = np.unique(key, return_inverse=True)
+        inv = pair_group_codes(lang, src)
         order = np.lexsort((did, -n, inv))
         g = inv[order]
         rnk = (np.arange(len(g))
@@ -449,10 +448,8 @@ def rollup_revenue(sf_dir: str):
         cnt = np.asarray(batch.column("n_orders"), np.int64)
         rev = np.asarray(batch.column("revenue_c"), np.int64)
         codes, uniq = pd.factorize(name)
-        ncnt = np.bincount(codes, weights=cnt,
-                           minlength=len(uniq)).astype(np.int64)
-        nrev = np.bincount(codes, weights=rev,
-                           minlength=len(uniq)).astype(np.int64)
+        ncnt = int_bincount(codes, cnt, len(uniq))
+        nrev = int_bincount(codes, rev, len(uniq))
         return pa.table({
             "n_name": pa.array(
                 list(name) + list(np.asarray(uniq, object)) + ["ALL"],
@@ -588,8 +585,7 @@ def price_histogram(sf_dir: str, width_c: int = 5_000_000):
         b = price_c // width_c
         ub, inv = np.unique(b, return_inverse=True)
         n = np.bincount(inv, minlength=len(ub)).astype(np.int64)
-        s = np.bincount(inv, weights=price_c,
-                        minlength=len(ub)).astype(np.int64)
+        s = int_bincount(inv, price_c, len(ub))
         return pa.table({"bucket": pa.array(ub, pa.int64()),
                          "n_orders": pa.array(n, pa.int64()),
                          "revenue_c": pa.array(s, pa.int64())})
@@ -601,14 +597,10 @@ def price_histogram(sf_dir: str, width_c: int = 5_000_000):
         ub, inv = np.unique(b, return_inverse=True)
         return pa.table({
             "bucket": pa.array(ub, pa.int64()),
-            "n_orders": pa.array(
-                np.bincount(inv, weights=n,
-                            minlength=len(ub)).astype(np.int64),
-                pa.int64()),
-            "revenue_c": pa.array(
-                np.bincount(inv, weights=s,
-                            minlength=len(ub)).astype(np.int64),
-                pa.int64()),
+            "n_orders": pa.array(int_bincount(inv, n, len(ub)),
+                                 pa.int64()),
+            "revenue_c": pa.array(int_bincount(inv, s, len(ub)),
+                                  pa.int64()),
         })
 
     return (orders.map_batches(partial, batch_format="pyarrow",
@@ -719,8 +711,7 @@ def daily_running_revenue(sf_dir: str):
         price_c = np.rint(np.asarray(batch.column("o_totalprice"),
                                      np.float64) * 100.0).astype(np.int64)
         ud, inv = np.unique(day, return_inverse=True)
-        s = np.bincount(inv, weights=price_c,
-                        minlength=len(ud)).astype(np.int64)
+        s = int_bincount(inv, price_c, len(ud))
         n = np.bincount(inv, minlength=len(ud)).astype(np.int64)
         return pa.table({"day": pa.array(ud.astype(str), pa.string()),
                          "n_orders": pa.array(n, pa.int64()),
@@ -731,8 +722,8 @@ def daily_running_revenue(sf_dir: str):
         n = np.asarray(batch.column("n_orders"), np.int64)
         s = np.asarray(batch.column("revenue_c"), np.int64)
         ud, inv = np.unique(d, return_inverse=True)  # sorted ascending
-        ns = np.bincount(inv, weights=n, minlength=len(ud)).astype(np.int64)
-        ss = np.bincount(inv, weights=s, minlength=len(ud)).astype(np.int64)
+        ns = int_bincount(inv, n, len(ud))
+        ss = int_bincount(inv, s, len(ud))
         return pa.table({
             "day": pa.array(ud, pa.string()),
             "n_orders": pa.array(ns, pa.int64()),
@@ -834,13 +825,10 @@ def priority_value_variance(sf_dir: str):
                                         pa.string()),
             "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64),
                           pa.int64()),
-            "sum_c": pa.array(np.bincount(codes, weights=c, minlength=k)
-                              .astype(np.int64), pa.int64()),
-            "ssq_hi": pa.array(np.bincount(codes, weights=sq >> 31,
-                                           minlength=k).astype(np.int64),
+            "sum_c": pa.array(int_bincount(codes, c, k), pa.int64()),
+            "ssq_hi": pa.array(int_bincount(codes, sq >> 31, k),
                                pa.int64()),
-            "ssq_lo": pa.array(np.bincount(codes, weights=sq & _LO,
-                                           minlength=k).astype(np.int64),
+            "ssq_lo": pa.array(int_bincount(codes, sq & _LO, k),
                                pa.int64()),
         })
 
@@ -1855,16 +1843,20 @@ def orders_cube(sf_dir: str):
             zero_copy_only=False)
         price_c = np.rint(np.asarray(batch.column("o_totalprice"),
                                      np.float64) * 100.0).astype(np.int64)
-        key = np.char.add(np.char.add(st.astype(str), "\x1f"),
-                          pr.astype(str))
-        u, inv = np.unique(key, return_inverse=True)
+        # collision-free pair code: factorize each part, compose ints
+        # (string-concat keys collide for adversarial vocabularies)
+        st_vals, st_inv = np.unique(st, return_inverse=True)
+        pr_vals, pr_inv = np.unique(pr, return_inverse=True)
+        raw = st_inv.astype(np.int64) * np.int64(len(pr_vals)) + pr_inv
+        u, inv = np.unique(raw, return_inverse=True)
         s = np.zeros(len(u), np.int64)
         np.add.at(s, inv, price_c)
         cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
-        sp = np.char.partition(u, "\x1f")
         return pa.table({
-            "o_orderstatus": pa.array(sp[:, 0], pa.string()),
-            "o_orderpriority": pa.array(sp[:, 2], pa.string()),
+            "o_orderstatus": pa.array(st_vals[u // len(pr_vals)]
+                                      .astype(str), pa.string()),
+            "o_orderpriority": pa.array(pr_vals[u % len(pr_vals)]
+                                        .astype(str), pa.string()),
             "n_orders": pa.array(cnt, pa.int64()),
             "revenue_c": pa.array(s, pa.int64()),
         })

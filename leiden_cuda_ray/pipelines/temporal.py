@@ -60,9 +60,10 @@ def event_attribution(sf_dir: str, target: str = "purchase",
     """For each `target` event: most recent prior-or-simultaneous `source`
     event by the same user (as-of match: its event_id and ts) and the count
     of all such events (range-join aggregate). Inner-join semantics —
-    targets with no prior source rows are dropped. Deterministic: (user,
-    ts) pairs are unique in the corpus, and the kernel tie-breaks on
-    event_id anyway."""
+    targets with no prior source rows are dropped. Tie-break SEMANTICS
+    (pinned, matching the oracle's composite arg_max): among source
+    events sharing the maximal ts <= target ts, the one with the MAX
+    event_id wins — deterministic even when (user, ts) pairs repeat."""
     ev = _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
 
     def tag(batch: pa.Table) -> pa.Table:
@@ -623,12 +624,12 @@ def latest_event_compaction(sf_dir: str, num_partitions: int = 64):
               .view(np.int64))
         eid = np.asarray(batch.column("event_id"), np.int64)
         et = batch.column("event_type").to_numpy(zero_copy_only=False)
-        key = np.char.add(np.char.add(et.astype(str), " "),
-                          uid.astype(str))
-        order = np.lexsort((-eid, -ts, key))
-        k_sorted = key[order]
-        first = np.ones(len(k_sorted), bool)
-        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        # sort on both key parts directly — no combined string key (a
+        # printable separator collides when it appears inside a value)
+        order = np.lexsort((-eid, -ts, uid, et))
+        et_s, uid_s = et[order], uid[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (et_s[1:] != et_s[:-1]) | (uid_s[1:] != uid_s[:-1])
         return batch.take(pa.array(order[first]))
 
     def add_part(batch: pa.Table) -> pa.Table:
@@ -652,12 +653,10 @@ def latest_event_compaction(sf_dir: str, num_partitions: int = 64):
         et = group.column("event_type").to_numpy(zero_copy_only=False)
         v_c = np.rint(group.column("value").to_numpy()
                       .astype(np.float64) * 100.0).astype(np.int64)
-        key = np.char.add(np.char.add(et.astype(str), " "),
-                          uid.astype(str))
-        order = np.lexsort((-eid, -ts, key))
-        k_sorted = key[order]
-        first = np.ones(len(k_sorted), bool)
-        first[1:] = k_sorted[1:] != k_sorted[:-1]
+        order = np.lexsort((-eid, -ts, uid, et))
+        et_s, uid_s = et[order], uid[order]
+        first = np.ones(len(order), bool)
+        first[1:] = (et_s[1:] != et_s[:-1]) | (uid_s[1:] != uid_s[:-1])
         keep = order[first]
         return pa.table({
             "user_id": pa.array(uid[keep], pa.int64()),
@@ -715,12 +714,10 @@ def event_validity_intervals(sf_dir: str, num_partitions: int = 64):
         et = group.column("event_type").to_numpy(zero_copy_only=False)
         v_c = np.rint(group.column("value").to_numpy()
                       .astype(np.float64) * 100.0).astype(np.int64)
-        key = np.char.add(np.char.add(et.astype(str), " "),
-                          uid.astype(str))
-        order = np.lexsort((eid, ts, key))
-        k_s, ts_s = key[order], ts[order]
+        order = np.lexsort((eid, ts, uid, et))
+        et_s, uid_s, ts_s = et[order], uid[order], ts[order]
         nxt = np.full(n, _OPEN_SENTINEL_US, np.int64)
-        same = k_s[1:] == k_s[:-1]
+        same = (et_s[1:] == et_s[:-1]) & (uid_s[1:] == uid_s[:-1])
         nxt[:-1][same] = ts_s[1:][same]
         return pa.table({
             "user_id": pa.array(uid[order], pa.int64()),

@@ -1,0 +1,168 @@
+"""Adversarial-vocabulary sweep for every string-keyed batch kernel
+(VERDICT r4 items 1+7): group keys built from string parts must stay
+correct when the vocabulary contains prefix collisions
+(("java","script_x") vs ("javascript","_x")), embedded separators
+(spaces, "\\x1f"), and embedded NULs (numpy U-dtype strips trailing
+NULs; pandas factorize truncates at embedded NULs).
+
+Each test writes a tiny parquet table with a hostile vocabulary and
+compares the full pipeline output against a pandas groupby oracle.
+"""
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+# vocabularies engineered so naive concatenation collides:
+#   "java"+"script_x" == "javascript"+"_x"
+#   "ab"+"c" == "a"+"bc"  (the exact VERDICT repro)
+#   values with spaces / \x1f / trailing+embedded \x00
+LANGS = ["java", "javascript", "ab", "a", "x\x1fy", "sp ace", "nul\x00"]
+SRCS = ["script_x", "_x", "c", "bc", "y", "ace tail", "\x00lead"]
+
+
+def _write(tmp_path, name, df):
+    pq.write_table(pa.Table.from_pandas(df, preserve_index=False),
+                   tmp_path / f"{name}.parquet")
+
+
+def test_top_docs_per_group_adversarial(tmp_path):
+    from leiden_cuda_ray.pipelines.relational import top_docs_per_group
+
+    rng = np.random.default_rng(5)
+    n = 3000
+    df = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": ["x"] * n,
+        "lang": rng.choice(LANGS, n),
+        "source": rng.choice(SRCS, n),
+        "n_chars": rng.integers(0, 25, n).astype(np.int64),
+    })
+    _write(tmp_path, "documents", df)
+
+    got = (top_docs_per_group(str(tmp_path), k=3).to_pandas()
+           .sort_values(["lang", "source", "rnk", "doc_id"])
+           .reset_index(drop=True))
+
+    o = df.drop(columns=["text"]).sort_values(
+        ["lang", "source", "n_chars", "doc_id"],
+        ascending=[True, True, False, True])
+    o["rnk"] = o.groupby(["lang", "source"]).cumcount() + 1
+    want = (o[o["rnk"] <= 3]
+            .sort_values(["lang", "source", "rnk", "doc_id"])
+            .reset_index(drop=True))[got.columns]
+    pd.testing.assert_frame_equal(got, want)
+    # the hostile vocabulary must actually produce >1 group per naive
+    # concat collision class, or this test proves nothing
+    naive = (df["lang"] + df["source"]).nunique()
+    real = df.groupby(["lang", "source"]).ngroups
+    assert real > naive, "vocabulary no longer collides under concat"
+
+
+def _events_df(n=4000, seed=9):
+    rng = np.random.default_rng(seed)
+    # event types with embedded spaces and prefix collisions; duplicate
+    # timestamps so the (ts, event_id) tie-break is exercised
+    ets = ["click", "click x", "clickx", "c lickx", "a\x1fb", "a"]
+    return pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "ts": pd.to_datetime("2025-01-01")
+        + pd.to_timedelta(rng.integers(0, 500, n), unit="s"),
+        "user_id": rng.integers(0, 40, n).astype(np.int64),
+        "event_type": rng.choice(ets, n),
+        "value": rng.integers(0, 1000, n).astype(np.float64) / 100.0,
+    })
+
+
+def test_latest_event_compaction_adversarial(tmp_path):
+    from leiden_cuda_ray.pipelines.temporal import latest_event_compaction
+
+    df = _events_df()
+    _write(tmp_path, "events", df)
+
+    got = (latest_event_compaction(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "event_type"]).reset_index(drop=True))
+
+    o = df.sort_values(["user_id", "event_type", "ts", "event_id"],
+                       ascending=[True, True, False, False])
+    keep = o.groupby(["user_id", "event_type"]).head(1).copy()
+    keep["value_c"] = np.rint(keep["value"] * 100.0).astype(np.int64)
+    keep["ts"] = keep["ts"].astype("datetime64[us]")
+    want = (keep[["user_id", "event_type", "event_id", "ts", "value_c"]]
+            .sort_values(["user_id", "event_type"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_event_validity_intervals_adversarial(tmp_path):
+    from leiden_cuda_ray.pipelines.temporal import (
+        _OPEN_SENTINEL_US, event_validity_intervals)
+
+    df = _events_df(seed=13)
+    _write(tmp_path, "events", df)
+
+    got = (event_validity_intervals(str(tmp_path)).to_pandas()
+           .sort_values(["user_id", "event_type", "event_id"])
+           .reset_index(drop=True))
+
+    o = df.sort_values(["user_id", "event_type", "ts", "event_id"]).copy()
+    # 9999-01-01 overflows pandas ns timestamps: build valid_to in raw
+    # int64 microseconds and view back as datetime64[us]
+    vt = (o.groupby(["user_id", "event_type"])["ts"].shift(-1)
+          .astype("datetime64[us]").to_numpy().view(np.int64).copy())
+    vt[vt == np.iinfo(np.int64).min] = int(_OPEN_SENTINEL_US)  # NaT slots
+    o["valid_to"] = vt.view("datetime64[us]")
+    o["value_c"] = np.rint(o["value"] * 100.0).astype(np.int64)
+    o = o.rename(columns={"ts": "valid_from"})
+    o["valid_from"] = o["valid_from"].astype("datetime64[us]")
+    want = (o[["user_id", "event_type", "event_id", "value_c",
+               "valid_from", "valid_to"]]
+            .sort_values(["user_id", "event_type", "event_id"])
+            .reset_index(drop=True))
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_orders_cube_adversarial(tmp_path):
+    from leiden_cuda_ray.pipelines.relational import orders_cube
+
+    rng = np.random.default_rng(3)
+    n = 2500
+    sts = ["O", "O x", "Ox", "F\x1f", "F"]
+    prs = ["1-URGENT", " 1-URGENT", "x 2", "2", "\x1f2"]
+    df = pd.DataFrame({
+        "o_orderkey": np.arange(n, dtype=np.int64),
+        "o_orderstatus": rng.choice(sts, n),
+        "o_orderpriority": rng.choice(prs, n),
+        "o_totalprice": rng.integers(100, 100000, n).astype(np.float64)
+        / 100.0,
+        "o_custkey": rng.integers(0, 50, n).astype(np.int64),
+        "o_orderdate": pd.to_datetime("2025-01-01"),
+    })
+    _write(tmp_path, "orders", df)
+
+    got = (orders_cube(str(tmp_path)).to_pandas()
+           .sort_values(["o_orderstatus", "o_orderpriority"])
+           .reset_index(drop=True))
+
+    d = df.copy()
+    d["price_c"] = np.rint(d["o_totalprice"] * 100.0).astype(np.int64)
+
+    def agg(keys):
+        g = d.groupby(keys, as_index=False).agg(
+            n_orders=("o_orderkey", "size"), revenue_c=("price_c", "sum"))
+        return g
+
+    fine = agg(["o_orderstatus", "o_orderpriority"])
+    by_st = agg(["o_orderstatus"]).assign(o_orderpriority="ALL")
+    by_pr = agg(["o_orderpriority"]).assign(o_orderstatus="ALL")
+    total = pd.DataFrame({"o_orderstatus": ["ALL"],
+                          "o_orderpriority": ["ALL"],
+                          "n_orders": [len(d)],
+                          "revenue_c": [int(d["price_c"].sum())]})
+    want = (pd.concat([fine, by_st, by_pr, total], ignore_index=True)
+            [got.columns]
+            .sort_values(["o_orderstatus", "o_orderpriority"])
+            .reset_index(drop=True))
+    want["n_orders"] = want["n_orders"].astype(np.int64)
+    want["revenue_c"] = want["revenue_c"].astype(np.int64)
+    pd.testing.assert_frame_equal(got, want)

@@ -843,6 +843,26 @@ def test_audio_to_samples_exact_roundtrip():
         assert int(r.sum_abs) == int(np.abs(sig).sum())
 
 
+def test_audio_downmix_truncates_toward_zero():
+    """Stereo→mono downmix must TRUNCATE (SQL integer-division
+    semantics), not numpy-floor: (-3 + 0) / 2 → -1, never -2. Pins the
+    decode/downmix step the SQL oracle can't see (it recomputes from
+    the written samples)."""
+    from leiden_cuda_ray.functions.multimodal import (AudioToSamples,
+                                                      encode_wav)
+
+    st = np.array([[-3, 0], [3, 0], [-5, -2], [5, 2], [-1, 0], [0, 0]],
+                  np.int16)
+    want = np.array([-1, 1, -3, 3, 0, 0], np.int64)  # trunc, not floor
+    ds = ray.data.from_arrow(pa.Table.from_pylist(
+        [{"media_id": 0, "media_type": "audio",
+          "payload": encode_wav(st, 8000), "meta": "{}"}]))
+    got = (ds.map_batches(AudioToSamples(), batch_format="pyarrow",
+                          concurrency=1).to_pandas()
+           .sort_values("idx")["sample"].to_numpy())
+    assert np.array_equal(got, want)
+
+
 def test_fingerprints_vectorized_matches_scalar_reference():
     """The vectorized batch kernel must be bit-identical to the scalar
     winnowing reference (_doc_fingerprint) across short (< window),
