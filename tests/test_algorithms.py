@@ -1066,6 +1066,51 @@ def test_matching_handshake_equivalence(seed, P):
     assert rounds <= 20
 
 
+@pytest.mark.parametrize("cutover", [0, 40, 10**9])
+def test_matching_drain_cutover_invariance(cutover):
+    """mate arrays must be BIT-IDENTICAL across execution schedules:
+    pure distributed waves (cutover=0), mid-drain cutover (the
+    distributed rounds run until the alive set shrinks under 40, then
+    the in-process cursor drain finishes), and immediate drain."""
+    from leiden_cuda_ray.algorithms.matching import maximal_matching
+    from leiden_cuda_ray.algorithms.mis import mis_key
+
+    rng = np.random.RandomState(7)
+    V, E = 80, 200
+    a = rng.randint(0, V, E).astype(np.int64)
+    b = rng.randint(0, V, E).astype(np.int64)
+    m = a != b
+    src, dst = np.minimum(a[m], b[m]), np.maximum(a[m], b[m])
+    pairs = np.unique(np.stack([src, dst], 1), axis=0)
+    g = build_graph_from_arrays(pairs[:, 0], pairs[:, 1],
+                                np.ones(len(pairs)), V=V, P=4)
+    ds, rounds = maximal_matching(g, seed=13, drain_cutover=cutover)
+    got = (ds.to_pandas().sort_values("vertex")
+           .reset_index(drop=True)["mate"].to_numpy())
+
+    # sequential synchronous-round simulation (the semantics oracle)
+    keys = mis_key(np.arange(V, dtype=np.int64), V, 13)
+    adj = [set() for _ in range(V)]
+    for u, v in pairs:
+        adj[u].add(int(v))
+        adj[v].add(int(u))
+    mate = np.full(V, -1, np.int64)
+    while True:
+        prop = {}
+        for v in range(V):
+            if mate[v] == -1:
+                alive = [u for u in adj[v] if mate[u] == -1]
+                if alive:
+                    prop[v] = min(alive, key=lambda u: keys[u])
+        if not prop:
+            break
+        for v, u in prop.items():
+            if prop.get(u) == v:
+                mate[v] = u
+                mate[u] = v
+    assert (got == mate).all()
+
+
 @pytest.mark.parametrize("seed,P", [(1, 1), (1, 4), (23, 3), (42, 5)])
 def test_mis_greedy_equivalence(seed, P):
     """The parallel fixed-priority Luby MIS must equal the SEQUENTIAL
