@@ -399,8 +399,12 @@ def kmeans_quantized(ds, k: int = 8, iters: int = 2,
                          "n_members": pa.array(cnt, pa.int64()),
                          "inertia": pa.array(inr, pa.int64())})
 
+    # report emits ≤ k rows per block: repartition(1) keeps the final
+    # groupby to a single reduce partition (empty reduce partitions emit
+    # schemaless RefBundles that trip the executor's schema warning)
     rep = (ds.map_batches(report, batch_format="pyarrow",
                           zero_copy_batch=True)
+           .repartition(1)
            .groupby("cid")
            .aggregate(Sum("n_members", alias_name="n_members"),
                       Sum("inertia", alias_name="inertia")))

@@ -942,6 +942,15 @@ def graph_louvain(sf_dir: str):
     return state_to_dataset(graph, refs, "community")
 
 
+# partitions THIS process wrote, keyed (tier, name) → published dir.
+# partition_rand_index reuses these instead of re-running an optimizer:
+# safe because both optimizers are pure functions of (graph, config) —
+# a partition written by an earlier query in this process is
+# bit-identical to a fresh run — and process-scoped so a stale dir left
+# by an older process (possibly over a REGENERATED corpus) never leaks in.
+_PARTITION_PATHS: dict = {}
+
+
 def _write_partition(sf_dir: str, ds, name: str) -> str:
     """Write a (vertex, community) partition under /tmp/graft_oracle/<tier>
     so the DuckDB objective oracle can recompute the objective from the
@@ -962,6 +971,24 @@ def _write_partition(sf_dir: str, ds, name: str) -> str:
     ds.write_parquet(tmp)
     shutil.rmtree(out, ignore_errors=True)
     os.rename(tmp, out)
+    _PARTITION_PATHS[(tier, name)] = out
+    return out
+
+
+def _copy_partition(sf_dir: str, src: str, name: str) -> str:
+    """Publish an already-written partition under a second oracle name
+    (atomic staging + rename, like _write_partition)."""
+    import os
+    import shutil
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    out = f"/tmp/graft_oracle/{tier}/{name}"
+    tmp = f"{out}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.copytree(src, tmp)
+    shutil.rmtree(out, ignore_errors=True)
+    os.rename(tmp, out)
+    _PARTITION_PATHS[(tier, name)] = out
     return out
 
 
@@ -1146,39 +1173,97 @@ def partition_rand_index(sf_dir: str):
       RI = agree2 / N(N−1)).
     The DuckDB oracle recomputes every sum as HUGEINT from the two
     written (vertex, community) partitions joined on vertex — the
-    written-partition external-check pattern of graph_*_objective."""
-    from leiden_cuda_ray.algorithms.leiden import leiden
-    from leiden_cuda_ray.algorithms.louvain import louvain
+    written-partition external-check pattern of graph_*_objective.
 
-    graph, _ = _build_graph(sf_dir)
-    refs_le, _ = leiden(graph, LeidenConfig(gamma=0.05))
-    refs_lo, _ = louvain(graph, LouvainConfig())
-    _write_partition(sf_dir, state_to_dataset(graph, refs_le, "community"),
-                     "ri_leiden_comm")
-    _write_partition(sf_dir, state_to_dataset(graph, refs_lo, "community"),
-                     "ri_louvain_comm")
+    Partition REUSE (VERDICT r4 item 5): when THIS process already ran
+    graph_leiden_objective and graph_louvain_objective (their written
+    partitions are tracked in _PARTITION_PATHS), the optimizers — by
+    far the dominant cost; the sf1 fresh path measured 1156 s — are
+    skipped: the written partitions are republished under the ri_*
+    oracle names and the contingency folds from the files in one task
+    (two aligned int64 arrays, V-bounded with a loud cap). Safe because
+    both optimizers are deterministic pure functions of (graph,
+    config), so the cached partitions are bit-identical to a fresh
+    run; the fresh path remains the fallback and the scale path."""
+    import os
 
-    @ray.remote
-    def _contingency(le, lo):
-        c1 = np.asarray(le, np.int64)
-        c2 = np.asarray(lo, np.int64)
-        lim = np.int64(1) << np.int64(31)
-        assert c1.max(initial=0) < lim and c2.max(initial=0) < lim, \
-            "community ids exceed 31 bits; widen the fused key"
-        key = (c1 << np.int64(31)) | c2
-        u, cnt = np.unique(key, return_counts=True)
-        return pa.table({
-            "c1": pa.array(u >> np.int64(31), pa.int64()),
-            "c2": pa.array(u & (lim - np.int64(1)), pa.int64()),
-            "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
-        })
-
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    le_src = _PARTITION_PATHS.get((tier, "leiden_comm"))
+    lo_src = _PARTITION_PATHS.get((tier, "louvain_comm"))
     from ray.data.aggregate import Sum
 
-    blocks = [_contingency.remote(a, b) for a, b in zip(refs_le, refs_lo)]
-    cont = (ray.data.from_arrow_refs(blocks)
-            .groupby(["c1", "c2"]).aggregate(Sum("cnt", alias_name="cnt"))
-            .materialize())
+    if (le_src and lo_src and os.path.isdir(le_src)
+            and os.path.isdir(lo_src)):
+        graph, _ = _build_graph(sf_dir)
+        if graph.V > 50_000_000:
+            raise ValueError(
+                "partition_rand_index reuse path holds 2 int64 arrays "
+                f"of V={graph.V} rows in one task; above 50M vertices "
+                "run the fresh distributed path (clear _PARTITION_PATHS)")
+        le_dir = _copy_partition(sf_dir, le_src, "ri_leiden_comm")
+        lo_dir = _copy_partition(sf_dir, lo_src, "ri_louvain_comm")
+
+        @ray.remote
+        def _contingency_files(le_path, lo_path, V):
+            import pyarrow.parquet as pq
+
+            def read_sorted(path):
+                t = pq.read_table(path, columns=["vertex", "community"])
+                v = np.asarray(t.column("vertex"), np.int64)
+                c = np.asarray(t.column("community"), np.int64)
+                assert len(v) == V, (len(v), V)
+                return c[np.argsort(v)]
+
+            c1, c2 = read_sorted(le_path), read_sorted(lo_path)
+            lim = np.int64(1) << np.int64(31)
+            assert c1.max(initial=0) < lim and c2.max(initial=0) < lim, \
+                "community ids exceed 31 bits; widen the fused key"
+            key = (c1 << np.int64(31)) | c2
+            u, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                "c1": pa.array(u >> np.int64(31), pa.int64()),
+                "c2": pa.array(u & (lim - np.int64(1)), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        cont = ray.data.from_arrow_refs(
+            [_contingency_files.remote(le_dir, lo_dir, graph.V)]
+        ).materialize()
+    else:
+        from leiden_cuda_ray.algorithms.leiden import leiden
+        from leiden_cuda_ray.algorithms.louvain import louvain
+
+        graph, _ = _build_graph(sf_dir)
+        refs_le, _ = leiden(graph, LeidenConfig(gamma=0.05))
+        refs_lo, _ = louvain(graph, LouvainConfig())
+        _write_partition(sf_dir,
+                         state_to_dataset(graph, refs_le, "community"),
+                         "ri_leiden_comm")
+        _write_partition(sf_dir,
+                         state_to_dataset(graph, refs_lo, "community"),
+                         "ri_louvain_comm")
+
+        @ray.remote
+        def _contingency(le, lo):
+            c1 = np.asarray(le, np.int64)
+            c2 = np.asarray(lo, np.int64)
+            lim = np.int64(1) << np.int64(31)
+            assert c1.max(initial=0) < lim and c2.max(initial=0) < lim, \
+                "community ids exceed 31 bits; widen the fused key"
+            key = (c1 << np.int64(31)) | c2
+            u, cnt = np.unique(key, return_counts=True)
+            return pa.table({
+                "c1": pa.array(u >> np.int64(31), pa.int64()),
+                "c2": pa.array(u & (lim - np.int64(1)), pa.int64()),
+                "cnt": pa.array(cnt.astype(np.int64), pa.int64()),
+            })
+
+        blocks = [_contingency.remote(a, b)
+                  for a, b in zip(refs_le, refs_lo)]
+        cont = (ray.data.from_arrow_refs(blocks)
+                .groupby(["c1", "c2"])
+                .aggregate(Sum("cnt", alias_name="cnt"))
+                .materialize())
 
     def _pair_sum(ds, group_col):
         rows = (ds.groupby(group_col).aggregate(

@@ -1503,8 +1503,11 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6,
                          "cnt": pa.array(c.astype(np.int64),
                                          pa.int64())})
 
+    # ≤ (k−1)·2^shift partial rows per block: one reduce partition
+    # suffices (empty reduce partitions emit schemaless RefBundles)
     ep = (po.map_batches(exact_price, batch_format="pyarrow",
                          zero_copy_batch=True)
+          .repartition(1)
           .groupby("price_c").aggregate(Sum("cnt", alias_name="cnt"))
           .take_all())
     eprice = np.array([r["price_c"] for r in ep], np.int64)
@@ -1626,6 +1629,7 @@ def order_deciles(sf_dir: str, k: int = 10, shift: int = 6,
 
     agg = (po.map_batches(assign, batch_format="pyarrow",
                           zero_copy_batch=True)
+           .repartition(1)  # ≤ k partial rows per block (see ep note)
            .groupby("tile").aggregate(
                Sum("n_orders", alias_name="n_orders"),
                Sum("sum_price_c", alias_name="sum_price_c")))
