@@ -48,10 +48,13 @@ def main(sf_dir: str, out_path: str, only: str | None = None,
     sys.path.insert(0, "/root/repo")
     import __ray_entry__ as entry
 
+    # "=name" selects exactly that query; bare patterns stay substrings
     pats = only.split(",") if only else None
     with open(out_path, "a") as out:
         for name, fn in entry.queries().items():
-            if pats is not None and not any(p in name for p in pats):
+            if pats is not None and not any(
+                    name == p[1:] if p.startswith("=") else p in name
+                    for p in pats):
                 continue
             secs, canaries, rows, err, trace = [], [], None, None, None
             for _rep in range(max(1, reps)):
