@@ -221,6 +221,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_vocab_topk(sf_dir):
         return text.vocab_topk(_docs(sf_dir))
 
+    def q_vocab_editdist(sf_dir):
+        # over the corpus CONTENT vocabulary (the driver documents table's
+        # fixed ~40-word vocabulary has no distance-1 pairs at any sf)
+        from leiden_cuda_ray.sources.corpus import (
+            ensure_corpus_for_sf_dir,
+            read_corpus,
+        )
+
+        corpus = read_corpus(ensure_corpus_for_sf_dir(sf_dir),
+                             columns=["content"])
+        return text.vocab_editdist_pairs(corpus, column="content")
+
     def q_tfidf_topk(sf_dir):
         return text.tfidf_topk(_docs(sf_dir))
 
@@ -603,6 +615,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hourly_csv": q_events_hourly_csv,
         "bpe_tokens": q_bpe_tokens,
         "vocab_topk": q_vocab_topk,
+        "vocab_editdist": q_vocab_editdist,
         "tfidf_topk": q_tfidf_topk,
         "bigram_topk": q_bigram_topk,
         "quality_filter": q_quality_filter,
@@ -2163,6 +2176,21 @@ def oracle_sql() -> dict[str, str]:
               FROM agg)
             SELECT lang, term, tf, CAST(rn AS BIGINT) AS rnk
             FROM rnk WHERE rn <= 10""",
+        "vocab_editdist": f"""
+            -- every unordered pair of distinct '\\S+' corpus-content
+            -- vocabulary tokens at Levenshtein distance exactly 1
+            -- (typo-variant detection; the engine computes this via
+            -- FastSS deletion variants — the quadratic join here is the
+            -- semantics, not the plan)
+            WITH toks AS (
+              SELECT DISTINCT unnest(regexp_extract_all(content, '\\S+'))
+                     AS tok
+              FROM read_parquet('{_CORPUS_001}'))
+            SELECT a.tok AS tok_a, b.tok AS tok_b
+            FROM toks a JOIN toks b
+              ON a.tok < b.tok
+             AND abs(length(a.tok) - length(b.tok)) <= 1
+             AND levenshtein(a.tok, b.tok) = 1""",
         "tfidf_topk": """
             -- top-5 tf*ln(N/df) terms per doc (tie -> term ASC); same
             -- '\\S+' token definition as vocab_topk; score is the

@@ -1136,3 +1136,128 @@ def zipf_sums(ds, k: int = 100):
 
     return ranked.map_batches(fold, batch_format="pyarrow",
                               batch_size=None)
+
+
+def _distinct_tokens_partial(batch: pa.Table) -> pa.Table:
+    """One batch → its DISTINCT '\\S+' tokens (the dedup combiner: each
+    block collapses to its own vocabulary before the shuffle)."""
+    flat = pc.list_flatten(pc.split_pattern_regex(batch.column(0),
+                                                  r"\s+"))
+    toks = pc.unique(flat.filter(pc.not_equal(flat, "")))
+    return pa.table({"tok": toks})
+
+
+def _editdist1_pairs_from_vocab(toks: np.ndarray):
+    """All unordered pairs of DISTINCT tokens at Levenshtein distance
+    exactly 1, via single-DELETION variants (FastSS / SymSpell):
+
+    - insert/delete pair: d(a, b) = 1 with |a| = |b|+1  ⟺  b is a
+      deletion variant of a;
+    - substitution pair: d(a, b) = 1 with |a| = |b|  ⟺  a and b share
+      a deletion variant AT THE SAME POSITION (they agree everywhere
+      but one index).
+
+    Both conditions are exact in BOTH directions, so candidates ARE the
+    answer — no per-pair distance verification pass. Returns
+    (idx_a, idx_b) into the SORTED token array with idx_a < idx_b
+    (sorted input ⟹ index order = lexicographic order)."""
+    toks = np.unique(np.asarray(toks, dtype=str))  # sorted + deduped
+    n = len(toks)
+    if n == 0:
+        return toks, np.zeros(0, np.int64), np.zeros(0, np.int64)
+    lens = np.char.str_len(toks)
+    var_strs, var_pos, var_own = [], [], []
+    for L in np.unique(lens):
+        sel = np.flatnonzero(lens == L)
+        if L == 1:
+            # the single deletion yields '' for every length-1 token
+            var_strs.append(np.full(len(sel), "", dtype="U1"))
+            var_pos.append(np.zeros(len(sel), np.int64))
+            var_own.append(sel)
+            continue
+        mat = toks[sel].astype(f"U{L}").view(np.uint32).reshape(-1, int(L))
+        for i in range(int(L)):
+            v = np.ascontiguousarray(
+                np.delete(mat, i, axis=1)).view(f"U{int(L) - 1}").ravel()
+            var_strs.append(v)
+            var_pos.append(np.full(len(sel), i, np.int64))
+            var_own.append(sel)
+    variants = np.concatenate(var_strs)
+    pos = np.concatenate(var_pos)
+    owner = np.concatenate(var_own)
+
+    # insert/delete pairs: variant present verbatim in the vocabulary
+    # (never the owner itself — lengths differ by one)
+    loc = np.searchsorted(toks, variants)
+    loc[loc == n] = 0
+    hit = toks[loc] == variants
+    del_a = np.minimum(owner[hit], loc[hit])
+    del_b = np.maximum(owner[hit], loc[hit])
+
+    # substitution pairs: same (variant, position) group ⟹ the owners
+    # agree everywhere except that position
+    import pandas as pd
+
+    vcode, _ = pd.factorize(variants)
+    gid = vcode.astype(np.int64) * int(pos.max() + 1) + pos
+    order = np.argsort(gid, kind="stable")
+    g, own_s = gid[order], owner[order]
+    uq_first = np.searchsorted(g, g, side="left")
+    starts = np.unique(uq_first)
+    counts = np.diff(np.append(starts, len(g)))
+    sub_a, sub_b = [], []
+    for s in np.unique(counts[counts >= 2]):
+        gs = starts[counts == s]
+        members = own_s[gs[:, None] + np.arange(s)]
+        iu, ju = np.triu_indices(int(s), k=1)
+        a = members[:, iu].ravel()
+        b = members[:, ju].ravel()
+        sub_a.append(np.minimum(a, b))
+        sub_b.append(np.maximum(a, b))
+    a = np.concatenate([del_a] + sub_a) if sub_a else del_a
+    b = np.concatenate([del_b] + sub_b) if sub_b else del_b
+    # dedupe (one pair can arise from several deletion positions)
+    key = np.unique(a.astype(np.int64) * n + b)
+    return toks, key // n, key % n
+
+
+def vocab_editdist_pairs(ds, column: str = "text",
+                         vocab_cap: int = 2_000_000):
+    """documents → every unordered pair of distinct vocabulary tokens at
+    Levenshtein distance exactly 1: (tok_a, tok_b), tok_a < tok_b —
+    typo-variant detection, the character-level cousin of the MinHash
+    document dedup (north-rule training-data op; no reference analogue).
+
+    Scale shape: per-batch DISTINCT-token partials (each block shrinks
+    to its own vocabulary before the shuffle), a global distinct over
+    the corpus vocabulary (sublinear in corpus size, Heaps' law), then
+    deletion-variant candidate generation whose cost is
+    O(Σ_tok len(tok)²) characters — linear in vocabulary bytes for
+    bounded token length and INDEPENDENT of document count; no
+    all-pairs comparison ever happens (the DuckDB oracle's quadratic
+    levenshtein join is the semantics, not the plan). The merge is one
+    task guarded by `vocab_cap`; past the cap the same variant stream
+    hash-partitions by variant (groupby) and emits pairs per partition
+    — raise the cap consciously, it fails loud."""
+    distinct = (ds.select_columns([column])
+                .map_batches(_distinct_tokens_partial,
+                             batch_format="pyarrow", zero_copy_batch=True)
+                .repartition(1))
+
+    def final(batch: pa.Table) -> pa.Table:
+        toks = pc.unique(batch.column("tok")).to_numpy(
+            zero_copy_only=False)
+        if len(toks) > vocab_cap:
+            raise ValueError(
+                f"vocabulary {len(toks)} exceeds vocab_cap={vocab_cap} "
+                "for the one-task merge; switch to the variant-hash "
+                "groupby scale path (partition the (variant, pos, token) "
+                "stream by variant hash and emit pairs per partition)")
+        toks, ia, ib = _editdist1_pairs_from_vocab(toks)
+        return pa.table({
+            "tok_a": pa.array(toks[ia], pa.string()),
+            "tok_b": pa.array(toks[ib], pa.string()),
+        })
+
+    return distinct.map_batches(final, batch_format="pyarrow",
+                                batch_size=None)
