@@ -675,6 +675,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_labelprop": cq.graph_labelprop,
         "graph_kcore": cq.graph_kcore,
         "graph_triangles": cq.graph_triangles,
+        "graph_clustering_coef": cq.graph_clustering_coef,
         "graph_leiden": cq.graph_leiden,
         "graph_louvain": cq.graph_louvain,
         # objective-recompute invariants: write the partition, return the
@@ -3340,4 +3341,45 @@ def oracle_sql() -> dict[str, str]:
             FROM vid
             LEFT JOIN (SELECT v, COUNT(*) AS n FROM contrib GROUP BY v) t
               ON t.v = vid.v""",
+        "graph_clustering_coef": f"""
+            -- local clustering coefficient = 2T / (deg(deg-1)) over the
+            -- simple graph, deg<2 -> 0.0 (engine convention, pinned);
+            -- the DOUBLE is the identical single IEEE division
+            WITH {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            eo AS (
+              SELECT LEAST(u, w) AS a, GREATEST(u, w) AS b FROM e
+              WHERE u <> w GROUP BY 1, 2),
+            tri AS (
+              SELECT e1.a AS x, e1.b AS y, e2.b AS z
+              FROM eo e1
+              JOIN eo e2 ON e2.a = e1.b
+              JOIN eo e3 ON e3.a = e1.a AND e3.b = e2.b),
+            contrib AS (
+              SELECT x AS v FROM tri
+              UNION ALL SELECT y FROM tri
+              UNION ALL SELECT z FROM tri),
+            vd AS (
+              SELECT v, COUNT(*) AS deg FROM (
+                SELECT a AS v FROM eo
+                UNION ALL SELECT b FROM eo) GROUP BY v)
+            SELECT vid.v AS vertex,
+                   CAST(COALESCE(t.n, 0) AS BIGINT) AS triangles,
+                   CAST(COALESCE(vd.deg, 0) AS BIGINT) AS deg,
+                   CASE WHEN COALESCE(vd.deg, 0) >= 2
+                        THEN CAST(2 * COALESCE(t.n, 0) AS DOUBLE)
+                             / CAST(vd.deg * (vd.deg - 1) AS DOUBLE)
+                        ELSE 0.0 END AS clustering_coef
+            FROM vid
+            LEFT JOIN (SELECT v, COUNT(*) AS n FROM contrib GROUP BY v) t
+              ON t.v = vid.v
+            LEFT JOIN vd ON vd.v = vid.v""",
     }

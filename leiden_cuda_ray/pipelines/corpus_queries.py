@@ -926,6 +926,46 @@ def graph_triangles(sf_dir: str):
     return state_to_dataset(graph, counts, "triangles")
 
 
+def graph_clustering_coef(sf_dir: str):
+    """Local clustering coefficient per vertex over the simple graph:
+    coef(v) = 2·T(v) / (deg(v)·(deg(v)−1)) for simple degree ≥ 2, else
+    0.0 (the isolated/leaf convention, pinned on the oracle side too).
+
+    Rides the existing heap-bounded triangle pipeline (per-vertex counts
+    never leave the partitions) plus one per-partition simple-degree
+    bincount — no new exchange; the DOUBLE is the single division
+    2·T / (deg·(deg−1)), the identical IEEE op on both sides."""
+    from leiden_cuda_ray.algorithms.triangles import triangle_counts
+
+    graph, _ = _build_graph(sf_dir)
+    counts, _total = triangle_counts(graph)
+
+    @ray.remote
+    def _part_coef(csr, tri) -> pa.Table:
+        from leiden_cuda_ray.algorithms.common import local_src_per_slot
+        from leiden_cuda_ray.algorithms.kcore import _simple_mask
+
+        vlo, vhi = int(csr["vlo"]), int(csr["vhi"])
+        keep = _simple_mask(csr)
+        deg = np.bincount(local_src_per_slot(csr)[keep],
+                          minlength=vhi - vlo).astype(np.int64)
+        t = np.asarray(tri, np.int64)
+        denom = deg * (deg - 1)
+        coef = np.zeros(vhi - vlo, np.float64)
+        nz = denom > 0
+        coef[nz] = (2.0 * t[nz]) / denom[nz]
+        return pa.table({
+            "vertex": pa.array(np.arange(vlo, vhi, dtype=np.int64),
+                               pa.int64()),
+            "triangles": pa.array(t, pa.int64()),
+            "deg": pa.array(deg, pa.int64()),
+            "clustering_coef": pa.array(coef, pa.float64()),
+        })
+
+    return ray.data.from_arrow_refs(
+        [_part_coef.remote(p, r) for p, r in zip(graph.parts, counts)])
+
+
 def graph_leiden(sf_dir: str):
     from leiden_cuda_ray.algorithms.leiden import leiden
 
