@@ -561,6 +561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_running_revenue": rel.daily_running_revenue,
         "pareto_parts": rel.pareto_parts,
         "priority_value_variance": rel.priority_value_variance,
+        "lineitem_corr": rel.lineitem_corr,
         "parts_churn": rel.parts_churn,
         "above_segment_avg": rel.above_segment_avg,
         "brand_item_counts": rel.brand_item_counts,
@@ -1748,6 +1749,45 @@ def oracle_sql() -> dict[str, str]:
                           // (CAST(n_orders AS HUGEINT) * (n_orders - 1))
                         ELSE 0 END AS BIGINT) AS var_c2
             FROM a""",
+        "lineitem_corr": """
+            -- grouped Pearson corr / population covar / OLS slope of
+            -- (quantity units, price cents) from HUGEINT-exact
+            -- sufficient statistics; each DOUBLE is the one IEEE
+            -- expression the engine computes over the identical exact
+            -- integers (zero-variance groups pinned to 0.0)
+            WITH b AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(ROUND(l_quantity) AS BIGINT) AS q,
+                     CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS p
+              FROM lineitem),
+            s AS (
+              SELECT l_returnflag, l_linestatus,
+                     CAST(COUNT(*) AS HUGEINT) AS n,
+                     CAST(SUM(q) AS HUGEINT) AS sx,
+                     CAST(SUM(p) AS HUGEINT) AS sy,
+                     CAST(SUM(q * q) AS HUGEINT) AS sxx,
+                     SUM(CAST(q AS HUGEINT) * p) AS sxy,
+                     SUM(CAST(p AS HUGEINT) * p) AS syy
+              FROM b GROUP BY 1, 2)
+            SELECT l_returnflag, l_linestatus,
+                   CAST(n AS BIGINT) AS n,
+                   CAST(sx AS BIGINT) AS sum_q,
+                   CAST(sy AS BIGINT) AS sum_price_c,
+                   CASE WHEN n * sxx - sx * sx > 0
+                             AND n * syy - sy * sy > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                                * sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+                        ELSE 0.0 END AS corr_qp,
+                   CASE WHEN n > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * n AS DOUBLE)
+                        ELSE 0.0 END AS covar_qp,
+                   CASE WHEN n * sxx - sx * sx > 0
+                        THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                             / CAST(n * sxx - sx * sx AS DOUBLE)
+                        ELSE 0.0 END AS slope_qp
+            FROM s""",
         "parts_churn": """
             -- EXCEPT: parts shipped in 1996 but never in 1997
             SELECT DISTINCT l_partkey FROM lineitem

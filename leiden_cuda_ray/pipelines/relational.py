@@ -837,21 +837,16 @@ def priority_value_variance(sf_dir: str):
             zero_copy_only=False)
         codes, uniq = pd.factorize(prio)
         k = len(uniq)
-        n = np.bincount(codes,
-                        weights=np.asarray(batch.column("n"), np.int64),
-                        minlength=k).astype(np.int64)
-        sc = np.bincount(codes,
-                         weights=np.asarray(batch.column("sum_c"),
-                                            np.int64),
-                         minlength=k).astype(np.int64)
-        hi = np.bincount(codes,
-                         weights=np.asarray(batch.column("ssq_hi"),
-                                            np.int64),
-                         minlength=k).astype(np.int64)
-        lo = np.bincount(codes,
-                         weights=np.asarray(batch.column("ssq_lo"),
-                                            np.int64),
-                         minlength=k).astype(np.int64)
+        # int_bincount, not bincount(weights=): the hi-word sums pass
+        # 2^53 long before int64 overflows, and float64 weights would
+        # silently round there
+        n = int_bincount(codes, np.asarray(batch.column("n"), np.int64), k)
+        sc = int_bincount(codes, np.asarray(batch.column("sum_c"),
+                                            np.int64), k)
+        hi = int_bincount(codes, np.asarray(batch.column("ssq_hi"),
+                                            np.int64), k)
+        lo = int_bincount(codes, np.asarray(batch.column("ssq_lo"),
+                                            np.int64), k)
         var = np.empty(k, np.int64)
         for i in range(k):  # k = priority vocabulary, a handful of rows
             ssq = (int(hi[i]) << 31) + int(lo[i])
@@ -868,6 +863,118 @@ def priority_value_variance(sf_dir: str):
 
     return (orders.map_batches(partial, batch_format="pyarrow",
                                zero_copy_batch=True)
+            .repartition(1).map_batches(fold, batch_format="pyarrow",
+                                        batch_size=None))
+
+
+def lineitem_corr(sf_dir: str):
+    """Grouped Pearson correlation / population covariance / OLS slope
+    between quantity (units) and extended price (cents) per
+    (l_returnflag, l_linestatus) — the two-variable analogue of
+    priority_value_variance, same exact-integer protocol.
+
+    Scale shape: one streaming pass of per-batch integer partials
+    (n, Σx, Σy, Σx², Σxy, Σy²). The big square/cross terms (y² up to
+    ~2^47 for 8-digit cent prices) would overflow int64 summed across
+    enough batches, so each partial carries them split as
+    (Σ hi, Σ lo) with hi = t>>31, lo = t & (2^31−1); the final fold
+    reassembles them in arbitrary-precision Python ints, so every
+    sufficient statistic is bit-exact at any scale (the DuckDB oracle
+    replays them in HUGEINT). The derived DOUBLEs are each ONE IEEE
+    expression over exact integers — float summation order never
+    appears:
+      corr  = (nΣxy−ΣxΣy) / (√(nΣx²−Σx²́) · √(nΣy²−Σy²́))
+      covar = (nΣxy−ΣxΣy) / n²           (population)
+      slope = (nΣxy−ΣxΣy) / (nΣx²−Σx²́)  (OLS of price on quantity)
+    with zero-variance groups pinned to 0.0 on both sides."""
+    import pandas as pd
+
+    li = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice"])
+    _LO = np.int64((1 << 31) - 1)
+
+    def _dense_pair(flag, stat):
+        """Collision-free (flag, stat) codes densified for bincount,
+        plus one representative (flag, stat) per group."""
+        raw = pair_group_codes(flag, stat)
+        _, codes = np.unique(raw, return_inverse=True)
+        k = int(codes.max()) + 1 if len(codes) else 0
+        rep = np.empty(k, np.int64)
+        rep[codes] = np.arange(len(codes), dtype=np.int64)
+        return codes, (flag[rep], stat[rep])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        stat = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        x = np.rint(np.asarray(batch.column("l_quantity"),
+                               np.float64)).astype(np.int64)
+        y = np.rint(np.asarray(batch.column("l_extendedprice"),
+                               np.float64) * 100.0).astype(np.int64)
+        assert y.size == 0 or (y.max() < (1 << 31) and x.max() < (1 << 16)), \
+            "value exceeds the hi/lo split bounds: widen the split"
+        codes, uniq = _dense_pair(flag, stat)
+        k = len(uniq[0])
+        xy = x * y
+        yy = y * y
+        cols = {
+            "l_returnflag": pa.array(np.asarray(uniq[0], object),
+                                     pa.string()),
+            "l_linestatus": pa.array(np.asarray(uniq[1], object),
+                                     pa.string()),
+            "n": pa.array(np.bincount(codes, minlength=k).astype(np.int64),
+                          pa.int64()),
+            "sx": pa.array(int_bincount(codes, x, k), pa.int64()),
+            "sy": pa.array(int_bincount(codes, y, k), pa.int64()),
+            "sxx": pa.array(int_bincount(codes, x * x, k), pa.int64()),
+            "sxy_hi": pa.array(int_bincount(codes, xy >> 31, k), pa.int64()),
+            "sxy_lo": pa.array(int_bincount(codes, xy & _LO, k), pa.int64()),
+            "syy_hi": pa.array(int_bincount(codes, yy >> 31, k), pa.int64()),
+            "syy_lo": pa.array(int_bincount(codes, yy & _LO, k), pa.int64()),
+        }
+        return pa.table(cols)
+
+    def fold(batch: pa.Table) -> pa.Table:
+        flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
+        stat = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
+        codes, uniq = _dense_pair(flag, stat)
+        k = len(uniq[0])
+        acc = {c: int_bincount(codes, np.asarray(batch.column(c), np.int64),
+                               k)
+               for c in ("n", "sx", "sy", "sxx",
+                         "sxy_hi", "sxy_lo", "syy_hi", "syy_lo")}
+        corr = np.zeros(k, np.float64)
+        covar = np.zeros(k, np.float64)
+        slope = np.zeros(k, np.float64)
+        for i in range(k):  # k = flag×status vocabulary, a handful
+            n, sx, sy = int(acc["n"][i]), int(acc["sx"][i]), int(acc["sy"][i])
+            sxx = int(acc["sxx"][i])
+            sxy = (int(acc["sxy_hi"][i]) << 31) + int(acc["sxy_lo"][i])
+            syy = (int(acc["syy_hi"][i]) << 31) + int(acc["syy_lo"][i])
+            num = n * sxy - sx * sy
+            dx = n * sxx - sx * sx
+            dy = n * syy - sy * sy
+            if dx > 0 and dy > 0:
+                corr[i] = (float(num)
+                           / (np.sqrt(float(dx)) * np.sqrt(float(dy))))
+            covar[i] = float(num) / float(n * n) if n else 0.0
+            if dx > 0:
+                slope[i] = float(num) / float(dx)
+        return pa.table({
+            "l_returnflag": pa.array(np.asarray(uniq[0], object),
+                                     pa.string()),
+            "l_linestatus": pa.array(np.asarray(uniq[1], object),
+                                     pa.string()),
+            "n": pa.array(acc["n"], pa.int64()),
+            "sum_q": pa.array(acc["sx"], pa.int64()),
+            "sum_price_c": pa.array(acc["sy"], pa.int64()),
+            "corr_qp": pa.array(corr, pa.float64()),
+            "covar_qp": pa.array(covar, pa.float64()),
+            "slope_qp": pa.array(slope, pa.float64()),
+        })
+
+    return (li.map_batches(partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
             .repartition(1).map_batches(fold, batch_format="pyarrow",
                                         batch_size=None))
 
