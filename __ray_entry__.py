@@ -562,6 +562,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pareto_parts": rel.pareto_parts,
         "priority_value_variance": rel.priority_value_variance,
         "lineitem_corr": rel.lineitem_corr,
+        "user_mode_event": rel.user_mode_event,
         "parts_churn": rel.parts_churn,
         "above_segment_avg": rel.above_segment_avg,
         "brand_item_counts": rel.brand_item_counts,
@@ -1788,6 +1789,19 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n * sxx - sx * sx AS DOUBLE)
                         ELSE 0.0 END AS slope_qp
             FROM s""",
+        "user_mode_event": """
+            -- grouped MODE with the tie-break pinned: each user's most
+            -- frequent event type, ties -> lexicographically smallest
+            WITH c AS (
+              SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+              FROM events GROUP BY 1, 2),
+            r AS (
+              SELECT user_id, event_type, n,
+                     ROW_NUMBER() OVER (PARTITION BY user_id
+                         ORDER BY n DESC, event_type ASC) AS rn
+              FROM c)
+            SELECT user_id, event_type AS mode_type, n AS n_type
+            FROM r WHERE rn = 1""",
         "parts_churn": """
             -- EXCEPT: parts shipped in 1996 but never in 1997
             SELECT DISTINCT l_partkey FROM lineitem

@@ -267,6 +267,60 @@ def events_hourly(sf_dir: str):
     return agg.map_batches(fix_unit, batch_format="pyarrow")
 
 
+def user_mode_event(sf_dir: str):
+    """Grouped MODE: each user's most frequent event type, tie-break
+    pinned to the lexicographically smallest type among the tied counts
+    (SQL mode() leaves ties unspecified; the oracle replays this exact
+    order with ROW_NUMBER OVER (count DESC, type ASC)).
+
+    Scale shape: per-batch (user, type) count partials (each block
+    collapses to its own distinct pairs), one grouped sum — the only
+    shuffle — then argmax-per-user via PARTIAL TOP-1 combiners: "best
+    under (count DESC, type ASC)" is an associative-commutative max, so
+    each block keeps one candidate row per user and the final merge
+    folds candidates, never co-locating a user's full history."""
+    ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), np.int64)
+        t = batch.column("event_type").to_numpy(zero_copy_only=False)
+        tvals, tinv = np.unique(t, return_inverse=True)
+        raw = u * np.int64(len(tvals)) + tinv
+        uraw, codes = np.unique(raw, return_inverse=True)
+        cnt = np.bincount(codes, minlength=len(uraw)).astype(np.int64)
+        return pa.table({
+            "user_id": pa.array(uraw // len(tvals), pa.int64()),
+            "event_type": pa.array(
+                np.asarray(tvals[uraw % len(tvals)], object), pa.string()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    counts = (ev.map_batches(partial_counts, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby(["user_id", "event_type"])
+              .aggregate(Sum("cnt", alias_name="n_type")))
+
+    def top1(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), np.int64)
+        t = batch.column("event_type").to_numpy(zero_copy_only=False)
+        n = np.asarray(batch.column("n_type"), np.int64)
+        order = np.lexsort((t, -n, u))
+        g = u[order]
+        first = np.r_[True, g[1:] != g[:-1]]
+        sel = order[first]
+        return pa.table({
+            "user_id": pa.array(u[sel], pa.int64()),
+            "mode_type": pa.array(np.asarray(t[sel], object), pa.string()),
+            "n_type": pa.array(n[sel], pa.int64()),
+        })
+
+    return (counts.map_batches(top1, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(lambda b: top1(b.rename_columns(
+                ["user_id", "event_type", "n_type"])),
+                batch_format="pyarrow", batch_size=None))
+
+
 def events_json_stats(sf_dir: str):
     """JSON extraction over the events props column (string/JSON functions —
     the engine's only JSON op; vectorized via polars' JSON path kernel)."""
