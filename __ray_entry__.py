@@ -360,6 +360,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["user_id"])
         return kmv_distinct(ev, id_col="user_id", k=64, seed=101)
 
+    def q_distinct_hll(sf_dir):
+        """HyperLogLog distinct-count sketch over event user_ids — the
+        mergeable-register sibling of distinct_kmv; the oracle replays
+        hash, register index, leading-zero rank, the 2^62-scaled exact
+        register sum and both estimator branches bit-for-bit
+        (functions/sampling.py::hll_distinct)."""
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import hll_distinct
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["user_id"])
+        return hll_distinct(ev, id_col="user_id", b=5, seed=131)
+
     def q_heavy_hitters(sf_dir):
         """Exact global top-40 tokens via a Misra-Gries candidate sketch
         + exact verify pass; the engine's certificate (k-th exact count
@@ -635,6 +649,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_clusters": q_dup_clusters,
         "heavy_hitters": q_heavy_hitters,
         "distinct_kmv": q_distinct_kmv,
+        "distinct_hll": q_distinct_hll,
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -2693,6 +2708,59 @@ def oracle_sql() -> dict[str, str]:
                                         AS HUGEINT))
                              // (SELECT CAST(h AS HUGEINT) FROM kth)
                         END AS BIGINT) AS kmv_estimate""",
+        "distinct_hll": f"""
+            -- HyperLogLog protocol replay: identical splitmix chain
+            -- (seed 131), register = top-5 hash bits, rank = 60 −
+            -- bitlength of the low-59-bit word (exact via bin(), no
+            -- float log2), Σ 2^(−M_j) scaled by 2^62 into an exact
+            -- HUGEINT, and both estimator branches (raw / linear
+            -- counting) pinned to the engine's IEEE expression order
+            WITH ids AS (SELECT user_id AS v FROM events),
+            s0 AS (SELECT (CAST(v AS HUGEINT)
+                   + {(0x9E3779B97F4A7C15 * 131) % (1 << 64)})
+                   % {1 << 64} AS x FROM ids),
+            s1 AS (SELECT CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+            s2 AS (SELECT ((x % 4294967296) * {0xBF58476D1CE4E5B9}
+                   + ((((x // 4294967296) * {0xBF58476D1CE4E5B9})
+                   % 4294967296) * 4294967296)) % {1 << 64} AS x
+                   FROM s1),
+            s3 AS (SELECT CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 27) AS HUGEINT) AS x FROM s2),
+            s4 AS (SELECT ((x % 4294967296) * {0x94D049BB133111EB}
+                   + ((((x // 4294967296) * {0x94D049BB133111EB})
+                   % 4294967296) * 4294967296)) % {1 << 64} AS x
+                   FROM s3),
+            s5 AS (SELECT CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 31) AS HUGEINT) AS h FROM s4),
+            regs AS (SELECT CAST(h // {1 << 59} AS BIGINT) AS reg,
+                            CAST(h % {1 << 59} AS BIGINT) AS w FROM s5),
+            rk AS (SELECT reg, MAX(CASE WHEN w = 0 THEN 60
+                                        ELSE 60 - LENGTH(bin(w)) END)
+                            AS mx
+                   FROM regs GROUP BY reg),
+            agg AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_present,
+                           CAST(SUM(mx) AS BIGINT) AS rank_sum,
+                           SUM(CAST(CAST(1 AS BIGINT) << (62 - mx)
+                                    AS HUGEINT)) AS s_present
+                    FROM rk),
+            fin AS (SELECT 32 - n_present AS v0, rank_sum,
+                           s_present + CAST(32 - n_present AS HUGEINT)
+                             * {1 << 62} AS s_exact
+                    FROM agg)
+            SELECT CAST((SELECT COUNT(DISTINCT v) FROM ids) AS BIGINT)
+                     AS n_exact,
+                   CAST(32 AS BIGINT) AS m,
+                   CAST(v0 AS BIGINT) AS n_zero_regs,
+                   rank_sum,
+                   CASE WHEN 0.697 * 32 * 32 * {float(1 << 62)!r}
+                             / CAST(s_exact AS DOUBLE) <= 80.0
+                             AND v0 > 0
+                        THEN 32 * ln(CAST(32 AS DOUBLE) / v0)
+                        ELSE 0.697 * 32 * 32 * {float(1 << 62)!r}
+                             / CAST(s_exact AS DOUBLE)
+                   END AS hll_estimate
+            FROM fin""",
         "heavy_hitters": """
             -- exact global token top-40 (the engine's MG sketch +
             -- verify pass certifies equality with this plain count)

@@ -194,3 +194,97 @@ def weighted_sample(ds, weight_col: str = "n_chars",
 
     return merged.map_batches(final, batch_format="pyarrow",
                               batch_size=None)
+
+
+def _splitmix_full(ids: np.ndarray, seed: int) -> np.ndarray:
+    """The FULL splitmix64 finalizer (both multiplies + final shift).
+
+    hll_distinct needs it: the reduced chain `splitmix_value` pins for
+    the sampling oracles leaves the register field of SEQUENTIAL ids
+    structured enough to bias the HLL max-rank statistics ~30% low
+    (measured over 5 seeds on ids 0..1499); the full finalizer is
+    unbiased on the same inputs. Kept separate so the reduced chain's
+    existing oracle transcriptions stay untouched."""
+    with np.errstate(over="ignore"):
+        x = ids.astype(np.uint64) + _GOLDEN * np.uint64(seed)
+        x ^= x >> np.uint64(30)
+        x *= _MIX_B
+        x ^= x >> np.uint64(27)
+        x *= np.uint64(0x94D049BB133111EB)
+        x ^= x >> np.uint64(31)
+    return x
+
+
+def hll_distinct(ds, id_col: str = "user_id", b: int = 5,
+                 seed: int = 131):
+    """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
+    fully deterministic, SQL-replayable protocol, the mergeable-register
+    sibling of kmv_distinct: h = full splitmix64(id, seed); register
+    j = h >> (64−b) (top b bits); rank = (64−b) + 1 − bitlength(h mod
+    2^(64−b)); per-register MAX rank. The estimator replays exactly on
+    both sides because Σ 2^(−M_j) is scaled by 2^62 into an EXACT
+    integer S = Σ 2^(62−M_j) (Python int here, HUGEINT in the oracle),
+    and the small-range linear-counting branch (raw ≤ 2.5m with zero
+    registers present) is pinned identically. Registers are
+    duplicate-insensitive maxes, so no distinct pass is needed.
+
+    Scale shape: each block collapses to its m = 2^b register maxes
+    before the merge (np.maximum.at per batch); the single merge input
+    is O(m · blocks) and the merged sketch is O(m) forever — the exact
+    distinct count emitted alongside (for the accuracy check) is the
+    wide aggregation the sketch REPLACES at 100 TB.
+
+    → single-row pa.Table (n_exact, m, n_zero_regs, rank_sum int64;
+    hll_estimate float64)."""
+    m = 1 << b
+    W = 64 - b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    proj = ds.select_columns([id_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch.column(id_col), np.int64)
+        h = _splitmix_full(ids, seed)
+        reg = (h >> np.uint64(W)).astype(np.int64)
+        w = h & np.uint64((1 << W) - 1)
+        # exact vectorized bit_length (binary clz — no float log2, which
+        # misrounds above 2^53)
+        bl = np.zeros(len(w), np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << s)
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl[w > np.uint64(0)] += 1
+        rank = W + 1 - bl
+        regmax = np.zeros(m, np.int64)
+        np.maximum.at(regmax, reg, rank)
+        return pa.table({
+            "reg": pa.array(np.arange(m, dtype=np.int64), pa.int64()),
+            "mx": pa.array(regmax, pa.int64()),
+        })
+
+    import ray
+
+    parts = (proj.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .repartition(1).take_all())
+    regmax = np.zeros(m, np.int64)
+    for r in parts:
+        regmax[r["reg"]] = max(regmax[r["reg"]], r["mx"])
+    v0 = int((regmax == 0).sum())
+    rank_sum = int(regmax.sum())
+    s_exact = sum(1 << (62 - int(r)) for r in regmax)  # 2^62 · Σ 2^−M_j
+    raw = ((alpha * m) * m) * float(1 << 62) / float(s_exact)
+    if raw <= 2.5 * m and v0 > 0:
+        est = m * float(np.log(float(m) / float(v0)))
+    else:
+        est = raw
+    n_exact = proj.groupby(id_col).count().count()
+    return pa.table({
+        "n_exact": pa.array([int(n_exact)], pa.int64()),
+        "m": pa.array([m], pa.int64()),
+        "n_zero_regs": pa.array([v0], pa.int64()),
+        "rank_sum": pa.array([rank_sum], pa.int64()),
+        "hll_estimate": pa.array([est], pa.float64()),
+    })
