@@ -577,6 +577,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "priority_value_variance": rel.priority_value_variance,
         "lineitem_corr": rel.lineitem_corr,
         "user_mode_event": rel.user_mode_event,
+        "daily_new_users": rel.daily_new_users,
         "parts_churn": rel.parts_churn,
         "above_segment_avg": rel.above_segment_avg,
         "brand_item_counts": rel.brand_item_counts,
@@ -1804,6 +1805,19 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n * sxx - sx * sx AS DOUBLE)
                         ELSE 0.0 END AS slope_qp
             FROM s""",
+        "daily_new_users": """
+            -- running COUNT(DISTINCT user) over time via first-seen
+            -- days: new users per day + cumulative total
+            WITH f AS (
+              SELECT user_id, MIN(strftime(ts, '%Y-%m-%d')) AS day
+              FROM events GROUP BY 1),
+            d AS (
+              SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+              FROM f GROUP BY day)
+            SELECT day, n_new,
+                   CAST(SUM(n_new) OVER (ORDER BY day) AS BIGINT)
+                     AS cum_users
+            FROM d""",
         "user_mode_event": """
             -- grouped MODE with the tie-break pinned: each user's most
             -- frequent event type, ties -> lexicographically smallest

@@ -1306,6 +1306,57 @@ def _week_floor_us(ts: np.ndarray) -> np.ndarray:
     return monday.astype("datetime64[D]").astype("datetime64[us]")
 
 
+def daily_new_users(sf_dir: str):
+    """Running DISTINCT-over-time without a running distinct: each
+    user's FIRST-SEEN day (an associative grouped MIN — per-batch
+    partials, one grouped min), then per-day first-seen counts with a
+    global running total folded in one bounded merge (O(days) rows).
+    The cumulative row for day d equals COUNT(DISTINCT user) over all
+    events up to d — computed without ever holding a distinct set.
+
+    → (day ISO string, n_new, cum_users), exact BIGINTs."""
+    ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        u = np.asarray(batch.column("user_id"), np.int64)
+        day = pc.strftime(batch.column("ts"),
+                          format="%Y-%m-%d").to_numpy(zero_copy_only=False)
+        order = np.lexsort((day, u))
+        us, ds_ = u[order], day[order]
+        first = np.r_[True, us[1:] != us[:-1]]
+        return pa.table({
+            "user_id": pa.array(us[first], pa.int64()),
+            "day": pa.array(np.asarray(ds_[first], object), pa.string()),
+        })
+
+    firsts = (ev.map_batches(partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+              .groupby("user_id").aggregate(Min("day", alias_name="day")))
+
+    def day_counts(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        ud, cnt = np.unique(day, return_counts=True)
+        return pa.table({
+            "day": pa.array(np.asarray(ud, object), pa.string()),
+            "n_new": pa.array(cnt.astype(np.int64), pa.int64()),
+        })
+
+    def running(batch: pa.Table) -> pa.Table:
+        day = batch.column("day").to_numpy(zero_copy_only=False)
+        n = np.asarray(batch.column("n_new"), np.int64)
+        ud, inv = np.unique(day, return_inverse=True)
+        tot = int_bincount(inv, n, len(ud))
+        return pa.table({
+            "day": pa.array(np.asarray(ud, object), pa.string()),
+            "n_new": pa.array(tot, pa.int64()),
+            "cum_users": pa.array(np.cumsum(tot), pa.int64()),
+        })
+
+    return (firsts.map_batches(day_counts, batch_format="pyarrow")
+            .repartition(1).map_batches(running, batch_format="pyarrow",
+                                        batch_size=None))
+
+
 def retention_cohorts(sf_dir: str, num_partitions: int = 64):
     """Cohort retention matrix: users grouped by their FIRST event week
     (cohort), counted once per (cohort, activity week) they were active
