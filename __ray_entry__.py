@@ -578,6 +578,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_corr": rel.lineitem_corr,
         "user_mode_event": rel.user_mode_event,
         "daily_new_users": rel.daily_new_users,
+        "priority_price_quartiles": rel.priority_price_quartiles,
         "parts_churn": rel.parts_churn,
         "above_segment_avg": rel.above_segment_avg,
         "brand_item_counts": rel.brand_item_counts,
@@ -1805,6 +1806,54 @@ def oracle_sql() -> dict[str, str]:
                              / CAST(n * sxx - sx * sx AS DOUBLE)
                         ELSE 0.0 END AS slope_qp
             FROM s""",
+        "priority_price_quartiles": """
+            -- grouped INTERPOLATED quantiles (quantile_cont semantics)
+            -- + upper-IQR outlier count; ranks selected explicitly with
+            -- ROW_NUMBER and the interpolation replayed as the engine's
+            -- exact IEEE expression (no reliance on quantile_cont
+            -- internals)
+            WITH t AS (SELECT o_orderpriority AS prio,
+                              CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                                AS c
+                       FROM orders),
+            nn AS (SELECT prio, CAST(COUNT(*) AS BIGINT) AS n
+                   FROM t GROUP BY 1),
+            r AS (SELECT prio, c,
+                         ROW_NUMBER() OVER (PARTITION BY prio
+                                            ORDER BY c) - 1 AS rn
+                  FROM t),
+            sel AS (
+              SELECT r.prio, MAX(nn.n) AS n,
+                MAX(CASE WHEN rn = CAST(FLOOR(0.25*(nn.n-1)) AS BIGINT)
+                         THEN c END) AS v1lo,
+                MAX(CASE WHEN rn = LEAST(CAST(FLOOR(0.25*(nn.n-1))
+                         AS BIGINT) + 1, nn.n - 1) THEN c END) AS v1hi,
+                MAX(CASE WHEN rn = CAST(FLOOR(0.5*(nn.n-1)) AS BIGINT)
+                         THEN c END) AS v2lo,
+                MAX(CASE WHEN rn = LEAST(CAST(FLOOR(0.5*(nn.n-1))
+                         AS BIGINT) + 1, nn.n - 1) THEN c END) AS v2hi,
+                MAX(CASE WHEN rn = CAST(FLOOR(0.75*(nn.n-1)) AS BIGINT)
+                         THEN c END) AS v3lo,
+                MAX(CASE WHEN rn = LEAST(CAST(FLOOR(0.75*(nn.n-1))
+                         AS BIGINT) + 1, nn.n - 1) THEN c END) AS v3hi
+              FROM r JOIN nn ON nn.prio = r.prio GROUP BY r.prio),
+            q AS (
+              SELECT prio, n,
+                CAST(v1lo AS DOUBLE) + (0.25*(n-1) - FLOOR(0.25*(n-1)))
+                  * (CAST(v1hi AS DOUBLE) - CAST(v1lo AS DOUBLE)) AS q1,
+                CAST(v2lo AS DOUBLE) + (0.5*(n-1) - FLOOR(0.5*(n-1)))
+                  * (CAST(v2hi AS DOUBLE) - CAST(v2lo AS DOUBLE))
+                  AS median,
+                CAST(v3lo AS DOUBLE) + (0.75*(n-1) - FLOOR(0.75*(n-1)))
+                  * (CAST(v3hi AS DOUBLE) - CAST(v3lo AS DOUBLE)) AS q3
+              FROM sel)
+            SELECT q.prio AS o_orderpriority, q.n, q.q1, q.median, q.q3,
+                   CAST((SELECT COUNT(*) FROM t
+                         WHERE t.prio = q.prio
+                           AND CAST(t.c AS DOUBLE)
+                               > q.q3 + 1.5 * (q.q3 - q.q1)) AS BIGINT)
+                     AS n_outliers_hi
+            FROM q""",
         "daily_new_users": """
             -- running COUNT(DISTINCT user) over time via first-seen
             -- days: new users per day + cumulative total

@@ -45,6 +45,18 @@ def pair_group_codes(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     return ainv.astype(np.int64) * np.int64(len(bvals)) + binv
 
 
+def dense_pair_codes(a: np.ndarray, b: np.ndarray):
+    """pair_group_codes densified for bincount: (codes 0..k−1, one
+    representative (a, b) per group). Collision-free for every
+    vocabulary (integer pair composition, never string concat)."""
+    raw = pair_group_codes(a, b)
+    _, codes = np.unique(raw, return_inverse=True)
+    k = int(codes.max()) + 1 if len(codes) else 0
+    rep = np.empty(k, np.int64)
+    rep[codes] = np.arange(len(codes), dtype=np.int64)
+    return codes, (a[rep], b[rep])
+
+
 def int_bincount(codes: np.ndarray, values: np.ndarray,
                  minlength: int) -> np.ndarray:
     """Exact int64 grouped sum: bincount(weights=...) casts to float64

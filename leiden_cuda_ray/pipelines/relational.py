@@ -16,7 +16,8 @@ import pyarrow.compute as pc
 import ray.data
 from ray.data.aggregate import Count, Max, Mean, Min, Sum
 
-from leiden_cuda_ray.functions.arrowutil import (int_bincount,
+from leiden_cuda_ray.functions.arrowutil import (dense_pair_codes,
+                                                 int_bincount,
                                                  pair_group_codes)
 from leiden_cuda_ray.stages.joins import hash_join
 
@@ -948,16 +949,6 @@ def lineitem_corr(sf_dir: str):
                 "l_extendedprice"])
     _LO = np.int64((1 << 31) - 1)
 
-    def _dense_pair(flag, stat):
-        """Collision-free (flag, stat) codes densified for bincount,
-        plus one representative (flag, stat) per group."""
-        raw = pair_group_codes(flag, stat)
-        _, codes = np.unique(raw, return_inverse=True)
-        k = int(codes.max()) + 1 if len(codes) else 0
-        rep = np.empty(k, np.int64)
-        rep[codes] = np.arange(len(codes), dtype=np.int64)
-        return codes, (flag[rep], stat[rep])
-
     def partial(batch: pa.Table) -> pa.Table:
         flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
         stat = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
@@ -967,7 +958,7 @@ def lineitem_corr(sf_dir: str):
                                np.float64) * 100.0).astype(np.int64)
         assert y.size == 0 or (y.max() < (1 << 31) and x.max() < (1 << 16)), \
             "value exceeds the hi/lo split bounds: widen the split"
-        codes, uniq = _dense_pair(flag, stat)
+        codes, uniq = dense_pair_codes(flag, stat)
         k = len(uniq[0])
         xy = x * y
         yy = y * y
@@ -991,7 +982,7 @@ def lineitem_corr(sf_dir: str):
     def fold(batch: pa.Table) -> pa.Table:
         flag = batch.column("l_returnflag").to_numpy(zero_copy_only=False)
         stat = batch.column("l_linestatus").to_numpy(zero_copy_only=False)
-        codes, uniq = _dense_pair(flag, stat)
+        codes, uniq = dense_pair_codes(flag, stat)
         k = len(uniq[0])
         acc = {c: int_bincount(codes, np.asarray(batch.column(c), np.int64),
                                k)
@@ -1304,6 +1295,157 @@ def _week_floor_us(ts: np.ndarray) -> np.ndarray:
     dse = ts.astype("datetime64[D]").astype(np.int64)
     monday = dse - ((dse - 4) % 7)  # 1970-01-05 (dse=4) was a Monday
     return monday.astype("datetime64[D]").astype("datetime64[us]")
+
+
+def priority_price_quartiles(sf_dir: str, shift: int = 12):
+    """Grouped INTERPOLATED quantiles (quantile_cont semantics: value at
+    fractional rank h = p·(n−1) is v[⌊h⌋] + (h−⌊h⌋)·(v[⌊h⌋+1]−v[⌊h⌋]))
+    — q1/median/q3 of order totals per priority, plus the count of
+    upper-IQR outliers (price > q3 + 1.5·IQR). Complements order_deciles
+    (discrete NTILE): this is the continuous-percentile op.
+
+    Scale shape (the deciles 2-pass selection, no sort, no fact row
+    moves): pass 1 folds a per-priority COARSE histogram
+    (price_c >> shift — domain-bounded, ≤ |price domain|/2^shift rows);
+    the needed order-statistic ranks land in ≤ 6 buckets per group;
+    pass 2 folds an EXACT-price histogram restricted to those buckets
+    (≤ 6·2^shift entries per group, bounded by bucket WIDTH — mass ties
+    cannot blow it); pass 3 counts outliers against thresholds shipped
+    in the task closure. The interpolation DOUBLE is one pinned IEEE
+    expression over exact integer order statistics — the oracle selects
+    the same ranks with ROW_NUMBER and replays the identical formula."""
+    orders = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+    def proj(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch.column("o_totalprice"),
+                               np.float64) * 100.0).astype(np.int64)
+        return pa.table({
+            "prio": batch.column("o_orderpriority"),
+            "price_c": pa.array(c, pa.int64()),
+        })
+
+    po = orders.map_batches(proj, batch_format="pyarrow",
+                            zero_copy_batch=True).materialize()
+
+    def bucket_hist(batch: pa.Table) -> pa.Table:
+        prio = batch.column("prio").to_numpy(zero_copy_only=False)
+        b = np.asarray(batch.column("price_c"), np.int64) >> shift
+        codes, uniq = dense_pair_codes(prio, b)
+        cnt = np.bincount(codes, minlength=len(uniq[0])).astype(np.int64)
+        return pa.table({
+            "prio": pa.array(np.asarray(uniq[0], object), pa.string()),
+            "bucket": pa.array(uniq[1].astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    hist = (po.map_batches(bucket_hist, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby(["prio", "bucket"]).aggregate(
+                Sum("cnt", alias_name="cnt")).take_all())
+    prios = sorted({r["prio"] for r in hist})
+    P_QS = (0.25, 0.5, 0.75)
+    # per prio: cumulative coarse histogram → needed (rank → bucket)
+    need: dict = {}
+    ranks: dict = {}
+    ns: dict = {}
+    for p in prios:
+        rows = sorted((r["bucket"], r["cnt"]) for r in hist
+                      if r["prio"] == p)
+        bks = np.array([b for b, _ in rows], np.int64)
+        cs = np.array([c for _, c in rows], np.int64)
+        cum = np.concatenate([[0], np.cumsum(cs)])
+        n = int(cum[-1])
+        ns[p] = n
+        want = []
+        for q in P_QS:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            want += [lo, min(lo + 1, n - 1)]
+        ranks[p] = want
+        bpos = np.searchsorted(cum[1:], np.array(want), side="right")
+        need[p] = set(bks[bpos].tolist())
+
+    def exact_price(batch: pa.Table) -> pa.Table:
+        prio = batch.column("prio").to_numpy(zero_copy_only=False)
+        c = np.asarray(batch.column("price_c"), np.int64)
+        keep = np.zeros(len(c), bool)
+        for p, bset in need.items():
+            keep |= (prio == p) & np.isin(c >> shift,
+                                          np.fromiter(bset, np.int64))
+        prio, c = prio[keep], c[keep]
+        codes, uniq = dense_pair_codes(prio, c)
+        cnt = np.bincount(codes, minlength=len(uniq[0])).astype(np.int64)
+        return pa.table({
+            "prio": pa.array(np.asarray(uniq[0], object), pa.string()),
+            "price_c": pa.array(uniq[1].astype(np.int64), pa.int64()),
+            "cnt": pa.array(cnt, pa.int64()),
+        })
+
+    ep = (po.map_batches(exact_price, batch_format="pyarrow",
+                         zero_copy_batch=True)
+          .repartition(1)
+          .groupby(["prio", "price_c"]).aggregate(
+              Sum("cnt", alias_name="cnt")).take_all())
+    qs: dict = {}
+    for p in prios:
+        rows = sorted((r["price_c"], r["cnt"]) for r in ep
+                      if r["prio"] == p)
+        vals = np.array([v for v, _ in rows], np.int64)
+        cs = np.array([c for _, c in rows], np.int64)
+        # global start rank of each exact value = rows in earlier coarse
+        # buckets + rows on smaller values within the same bucket
+        hrows = sorted((r["bucket"], r["cnt"]) for r in hist
+                       if r["prio"] == p)
+        hb = np.array([b for b, _ in hrows], np.int64)
+        hc = np.array([c for _, c in hrows], np.int64)
+        hcum = np.concatenate([[0], np.cumsum(hc)])
+        vb = vals >> shift
+        run = np.cumsum(cs) - cs
+        first = np.r_[True, vb[1:] != vb[:-1]]
+        seg0 = np.maximum.accumulate(np.where(first, run, 0))
+        start = hcum[np.searchsorted(hb, vb)] + (run - seg0)
+
+        def val_at(rank: int) -> int:
+            i = int(np.searchsorted(start, rank, side="right")) - 1
+            return int(vals[i])
+
+        n = ns[p]
+        out = []
+        for qi, q in enumerate(P_QS):
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            vlo = val_at(ranks[p][2 * qi])
+            vhi = val_at(ranks[p][2 * qi + 1])
+            out.append(float(vlo) + (h - lo)
+                       * (float(vhi) - float(vlo)))
+        qs[p] = out
+
+    thr = {p: qs[p][2] + 1.5 * (qs[p][2] - qs[p][0]) for p in prios}
+
+    def outlier_partial(batch: pa.Table) -> pa.Table:
+        prio = batch.column("prio").to_numpy(zero_copy_only=False)
+        c = np.asarray(batch.column("price_c"), np.int64)
+        ps, cnts = [], []
+        for p, t in thr.items():
+            ps.append(p)
+            cnts.append(int((c[prio == p].astype(np.float64) > t).sum()))
+        return pa.table({"prio": pa.array(ps, pa.string()),
+                         "n_out": pa.array(cnts, pa.int64())})
+
+    outs = (po.map_batches(outlier_partial, batch_format="pyarrow",
+                           zero_copy_batch=True)
+            .groupby("prio").aggregate(
+                Sum("n_out", alias_name="n_out")).take_all())
+    omap = {r["prio"]: int(r["n_out"]) for r in outs}
+    return pa.table({
+        "o_orderpriority": pa.array(prios, pa.string()),
+        "n": pa.array([ns[p] for p in prios], pa.int64()),
+        "q1": pa.array([qs[p][0] for p in prios], pa.float64()),
+        "median": pa.array([qs[p][1] for p in prios], pa.float64()),
+        "q3": pa.array([qs[p][2] for p in prios], pa.float64()),
+        "n_outliers_hi": pa.array([omap.get(p, 0) for p in prios],
+                                  pa.int64()),
+    })
 
 
 def daily_new_users(sf_dir: str):
