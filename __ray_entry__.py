@@ -113,6 +113,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pack_sequences(_docs(sf_dir), budget=2048)
 
+    def q_prepare_corpus(sf_dir):
+        """End-to-end LLM training-data prep — the composition a corpus
+        pipeline actually runs: exact-dedup keepers ∧ quality ≥ 0.5,
+        then contiguous sequence packing of the survivors. Every stage
+        is an independently-oracled operator (exact_dedup,
+        quality_score, pack_sequences); this query pins the
+        COMPOSITION, id-joined with the size-aware hash join."""
+        import pyarrow.compute as pc
+
+        from leiden_cuda_ray.functions.dedup import exact_dedup_keepers
+        from leiden_cuda_ray.functions.packing import pack_sequences
+        from leiden_cuda_ray.stages.joins import hash_join
+
+        docs = _docs(sf_dir)
+        keep = exact_dedup_keepers(docs)
+
+        def qpass(batch):
+            m = pc.greater_equal(batch.column("quality"), 0.5)
+            return batch.filter(m).select(["doc_id"])
+
+        qids = text.quality_score(docs).map_batches(
+            qpass, batch_format="pyarrow", zero_copy_batch=True)
+        eligible = hash_join(keep, qids, on=["doc_id"])
+        kept_docs = hash_join(docs.select_columns(["doc_id", "text"]),
+                              eligible, on=["doc_id"])
+        return pack_sequences(kept_docs, budget=2048)
+
     def q_embedding_centroids(sf_dir):
         return similarity.embedding_centroids(_emb(sf_dir))
 
@@ -618,6 +645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_entropy": q_doc_entropy,
         "embedding_centroids": q_embedding_centroids,
         "pack_sequences": q_pack_sequences,
+        "prepare_corpus": q_prepare_corpus,
         "events_hopping": rel.events_hopping,
         "distinct_users_by_type": rel.distinct_users_by_type,
         "zipf_sums": q_zipf_sums,
@@ -2492,6 +2520,51 @@ def oracle_sql() -> dict[str, str]:
                      CAST(len(regexp_extract_all(text, '\\S+'))
                           AS BIGINT) AS n_tokens
               FROM documents),
+            p AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS start
+              FROM t)
+            SELECT doc_id, n_tokens,
+                   CAST(start // 2048 AS BIGINT) AS bin,
+                   CAST(start % 2048 AS BIGINT) AS bin_offset
+            FROM p""",
+        "prepare_corpus": """
+            -- end-to-end prep composition: exact-dedup keepers AND
+            -- quality >= 0.5, then contiguous packing of the survivors
+            -- (each stage's protocol is pinned by its own oracle; this
+            -- replays the chained semantics)
+            WITH k AS (
+              SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY text),
+            s AS (
+              SELECT doc_id,
+                0.4 * LEAST(GREATEST(n_tok / 100.0, 0), 1)
+                + 0.4 * LEAST(GREATEST(n_stop / GREATEST(n_tok, 1.0) * 5,
+                                       0), 1)
+                + 0.2 * (1.0 - LEAST(GREATEST(
+                      n_punct / GREATEST(n_chars, 1.0) * 10, 0), 1))
+                  AS quality
+              FROM (SELECT doc_id,
+                      CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+                      CAST(LEN(regexp_extract_all(text, '\\S+'))
+                        AS DOUBLE) AS n_tok,
+                      CAST(LEN(regexp_extract_all(text, '[.,;:!?]'))
+                        AS DOUBLE) AS n_punct,
+                      CAST(LEN(regexp_extract_all(text,
+                        '\\b(the|and|of|to|in|is|that|for|with|was)\\b'))
+                        AS DOUBLE) AS n_stop
+                    FROM documents)),
+            e AS (
+              SELECT k.doc_id FROM k
+              JOIN s ON s.doc_id = k.doc_id
+              WHERE s.quality >= 0.5),
+            t AS (
+              SELECT d.doc_id,
+                     CAST(len(regexp_extract_all(d.text, '\\S+'))
+                          AS BIGINT) AS n_tokens
+              FROM documents d JOIN e ON e.doc_id = d.doc_id),
             p AS (
               SELECT doc_id, n_tokens,
                      COALESCE(SUM(n_tokens) OVER (
