@@ -698,6 +698,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_components": cq.graph_components,
         "graph_hits": cq.graph_hits,
         "graph_bfs": cq.graph_bfs,
+        "graph_sssp": cq.graph_sssp,
         "graph_tri_support": cq.graph_tri_support,
         "graph_clustering": cq.graph_clustering,
         "graph_jaccard": cq.graph_jaccard_edges,
@@ -1482,6 +1483,48 @@ sym AS MATERIALIZED (
 r0 AS MATERIALIZED (SELECT v, v AS l FROM vid),
 {','.join(steps)}
 SELECT v AS vertex, l AS label FROM r{iters}"""
+
+
+def _sssp_sql(iters: int = 40, seed_mod: int = 97) -> str:
+    """Unrolled synchronous weighted Bellman–Ford matching the engine
+    exactly (algorithms/sssp.py): d_{{k+1}}(v) = min(d_k(v),
+    min_{{(u,v,w)}} d_k(u) + w) over the symmetrized union graph with
+    its integer weights. The engine converges (changed == 0) well
+    before `iters` and asserts so; post-fixpoint rounds are no-ops.
+    Unreachable = the 2^62 sentinel, reported as -1 on both sides."""
+    inf = 1 << 62
+    steps = []
+    for k in range(iters):
+        steps.append(f"""
+r{k + 1} AS MATERIALIZED (
+  SELECT p.v AS v, LEAST(p.d, COALESCE(m.nd, p.d)) AS d
+  FROM r{k} p
+  LEFT JOIN (
+    SELECT s.t AS v, MIN(p2.d + s.wi) AS nd
+    FROM r{k} p2 JOIN sym s ON s.u = p2.v
+    GROUP BY s.t) m ON m.v = p.v)""")
+    return f"""WITH {_CORPUS_CTE},
+vid AS MATERIALIZED (SELECT repo || '|' || path AS key,
+        ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v FROM files),
+wpair AS (
+  SELECT src_repo||'|'||src_path AS ks, dst_repo||'|'||dst_path AS kd,
+         CAST(1 AS DOUBLE) AS w FROM import_edges
+  UNION ALL
+  SELECT src_repo||'|'||src_path, dst_repo||'|'||dst_path,
+         CAST(weight AS DOUBLE) FROM cocommit_edges),
+wedge AS (SELECT LEAST(ks, kd) AS ka, GREATEST(ks, kd) AS kb, SUM(w) AS w
+          FROM wpair GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT va.v AS u, vb.v AS t, CAST(w AS BIGINT) AS wi FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb
+  UNION ALL
+  SELECT vb.v, va.v, CAST(w AS BIGINT) FROM wedge
+    JOIN vid va ON va.key = ka JOIN vid vb ON vb.key = kb),
+r0 AS MATERIALIZED (SELECT v, CASE WHEN v % {seed_mod} = 0 THEN 0
+        ELSE {inf} END AS d FROM vid),
+{','.join(steps)}
+SELECT v AS vertex, CASE WHEN d >= {inf} THEN CAST(-1 AS BIGINT)
+       ELSE CAST(d AS BIGINT) END AS dist FROM r{iters}"""
 
 
 def _splitmix_split_sql(train_pct: int = 80, seed: int = 42) -> str:
@@ -3167,6 +3210,7 @@ def oracle_sql() -> dict[str, str]:
                              / CAST((SELECT COUNT(*) FROM nz) AS DOUBLE)
                         ELSE 0.0 END AS reciprocity""",
         "graph_matching": _matching_sql(),
+        "graph_sssp": _sssp_sql(),
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_weight_hist": f"""

@@ -630,6 +630,27 @@ def graph_ktruss(sf_dir: str, k: int = 4):
     return ds
 
 
+def graph_sssp(sf_dir: str, seed_mod: int = 97,
+               max_oracle_iters: int = 40):
+    """Weighted multi-source shortest paths to the nearest seed vertex
+    (vertex % seed_mod == 0) over the symmetrized union graph with its
+    integer edge weights — algorithms/sssp.py (synchronous Bellman–Ford
+    relaxation, the weighted sibling of graph_bfs's hop distances).
+    Exact int64 distances, -1 for unreachable. The DuckDB oracle
+    unrolls the identical relaxation `max_oracle_iters` rounds;
+    post-fixpoint rounds are no-ops, so the engine asserts its
+    convergence superstep stays under the unroll."""
+    from leiden_cuda_ray.algorithms.sssp import sssp_weighted
+
+    graph, _ = _build_graph(sf_dir)
+    dists, steps, _max_dist = sssp_weighted(graph, seed_mod=seed_mod)
+    if steps >= max_oracle_iters:
+        raise ValueError(
+            f"SSSP took {steps} supersteps, >= the oracle's unroll "
+            f"({max_oracle_iters}); raise _sssp_sql's iters to match")
+    return state_to_dataset(graph, dists, "dist")
+
+
 def graph_bfs(sf_dir: str, seed_mod: int = 97):
     """Multi-source BFS hop distance to the nearest seed vertex
     (vertex % seed_mod == 0) over the symmetrized union graph —

@@ -475,7 +475,9 @@ def test_personalized_pagerank_matches_dense(P):
     mass restricted to seeds, fixed iterations."""
     from leiden_cuda_ray.algorithms.pagerank import personalized_pagerank
 
-    src, dst, w = clique_ring_weighted_edges()
+    src, dst, w = clique_ring_edges()
+    # varied INTEGER weights (the engine graph's weights are counts)
+    w = (np.arange(len(src)) % 5 + 1).astype(np.float64)
     V = 20
     g = build_graph_from_arrays(src, dst, w, P=P)
     ranks = personalized_pagerank(g, seed_mod=7, alpha=0.85, iters=15)
@@ -1192,3 +1194,48 @@ def test_jp_coloring_proper_and_greedy_equivalent(seed, P):
     assert (got[V - 5:] == 1).all()   # isolated vertices
     for u, v in pairs:                # proper coloring
         assert got[u] != got[v]
+
+
+def sssp_oracle(src, dst, w, V, seed_mod):
+    """Dense Bellman-Ford reference over the symmetrized graph."""
+    s, d, ww = _sym(src, dst, w)
+    wi = np.rint(ww).astype(np.int64)
+    INF = np.int64(1) << np.int64(62)
+    dist = np.where(np.arange(V) % seed_mod == 0, np.int64(0), INF)
+    for _ in range(V):
+        nd = dist.copy()
+        np.minimum.at(nd, d, dist[s] + wi)
+        if np.array_equal(nd, dist):
+            break
+        dist = nd
+    return np.where(dist >= INF, np.int64(-1), dist)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_sssp_weighted_clique_ring(P):
+    from leiden_cuda_ray.algorithms.sssp import sssp_weighted
+
+    src, dst, w = clique_ring_edges()
+    # varied INTEGER weights (the engine graph's weights are counts)
+    w = (np.arange(len(src)) % 5 + 1).astype(np.float64)
+    V = 20
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    dists, steps, max_dist = sssp_weighted(g, seed_mod=7)
+    got = _gather_state(dists)
+    want = sssp_oracle(src, dst, w, V, 7)
+    assert np.array_equal(got, want)
+    fin = got[got >= 0]
+    assert len(fin) and max_dist == int(fin.max())
+
+
+def test_sssp_p_invariant():
+    from leiden_cuda_ray.algorithms.sssp import sssp_weighted
+
+    src, dst, w = clique_ring_edges()
+    outs = []
+    for P in (1, 2, 4):
+        g = build_graph_from_arrays(src, dst, w, P=P)
+        dists, _, _ = sssp_weighted(g, seed_mod=7)
+        outs.append(_gather_state(dists))
+    assert np.array_equal(outs[0], outs[1])
+    assert np.array_equal(outs[1], outs[2])
