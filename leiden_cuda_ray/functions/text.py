@@ -1221,43 +1221,159 @@ def _editdist1_pairs_from_vocab(toks: np.ndarray):
     return toks, key // n, key % n
 
 
+def _editdist1_emit_variants(num_buckets: int):
+    """distinct tokens → (bucket, key, pos, owner) rows: one SELF row
+    (pos = −1, key = token) plus one row per single-deletion variant
+    (key = variant, pos = deletion index). bucket = hash(key) %
+    num_buckets, so every row that can form a pair with a given key
+    lands in the same groupby partition (del-pairs match a variant to a
+    SELF row of the same key string; sub-pairs share (key, pos))."""
+    import pandas as pd
+
+    def fn(batch: pa.Table) -> pa.Table:
+        toks = np.unique(np.asarray(
+            batch.column("tok").to_numpy(zero_copy_only=False), dtype=str))
+        lens = np.char.str_len(toks) if len(toks) else np.zeros(0, np.int64)
+        keys = [toks]
+        poss = [np.full(len(toks), -1, np.int64)]
+        owns = [toks]
+        for L in np.unique(lens):
+            sel = np.flatnonzero(lens == L)
+            if L == 1:
+                keys.append(np.full(len(sel), "", dtype="U1"))
+                poss.append(np.zeros(len(sel), np.int64))
+                owns.append(toks[sel])
+                continue
+            mat = toks[sel].astype(f"U{L}").view(np.uint32).reshape(
+                -1, int(L))
+            for i in range(int(L)):
+                keys.append(np.ascontiguousarray(
+                    np.delete(mat, i, axis=1)).view(
+                        f"U{int(L) - 1}").ravel())
+                poss.append(np.full(len(sel), i, np.int64))
+                owns.append(toks[sel])
+        key = np.concatenate(keys) if keys else np.zeros(0, "U1")
+        bucket = (pd.util.hash_array(key.astype(object))
+                  % num_buckets).astype(np.int64)
+        return pa.table({
+            "bucket": pa.array(bucket, pa.int64()),
+            "key": pa.array(key, pa.string()),
+            "pos": pa.array(np.concatenate(poss), pa.int64()),
+            "owner": pa.array(np.concatenate(owns), pa.string()),
+        })
+
+    return fn
+
+
+def _editdist1_pairs_in_bucket(group: pa.Table) -> pa.Table:
+    """One bucket's (key, pos, owner) rows → its distance-1 pairs.
+
+    Complete and non-overlapping across buckets: a del-pair (a, b)
+    |a|=|b|+1 exists iff some variant row of a has key == b, and b's
+    SELF row shares that key (same bucket by construction); a sub-pair
+    exists iff two owners share (key, pos). Every derivation of the
+    same pair uses the same key string, so the per-bucket dedupe is
+    globally sufficient."""
+    import pandas as pd
+
+    empty = pa.table({"tok_a": pa.array([], pa.string()),
+                      "tok_b": pa.array([], pa.string())})
+    if group.num_rows == 0:
+        return empty
+    key = np.asarray(group.column("key").to_numpy(zero_copy_only=False),
+                     dtype=str)
+    pos = np.asarray(group.column("pos"), np.int64)
+    own = np.asarray(group.column("owner").to_numpy(zero_copy_only=False),
+                     dtype=str)
+    selfm = pos == -1
+    selfkeys = np.unique(key[selfm])
+    vkey, vpos, vown = key[~selfm], pos[~selfm], own[~selfm]
+    pair_a, pair_b = [], []
+    if len(vkey) and len(selfkeys):
+        loc = np.searchsorted(selfkeys, vkey)
+        loc[loc == len(selfkeys)] = 0
+        hit = selfkeys[loc] == vkey
+        pair_a.append(vown[hit])
+        pair_b.append(vkey[hit])
+    if len(vkey):
+        vcode, _ = pd.factorize(vkey)
+        gid = vcode.astype(np.int64) * np.int64(vpos.max() + 1) + vpos
+        order = np.argsort(gid, kind="stable")
+        g, o = gid[order], vown[order]
+        first = np.searchsorted(g, g, side="left")
+        starts = np.unique(first)
+        counts = np.diff(np.append(starts, len(g)))
+        for c in np.unique(counts[counts >= 2]):
+            gs = starts[counts == c]
+            members = o[gs[:, None] + np.arange(c)]
+            iu, ju = np.triu_indices(int(c), k=1)
+            pair_a.append(members[:, iu].ravel())
+            pair_b.append(members[:, ju].ravel())
+    if not pair_a:
+        return empty
+    a = np.concatenate(pair_a)
+    b = np.concatenate(pair_b)
+    if len(a) == 0:
+        return empty
+    swap = a > b
+    a, b = np.where(swap, b, a), np.where(swap, a, b)
+    order = np.lexsort((b, a))
+    a, b = a[order], b[order]
+    keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+    return pa.table({"tok_a": pa.array(a[keep], pa.string()),
+                     "tok_b": pa.array(b[keep], pa.string())})
+
+
 def vocab_editdist_pairs(ds, column: str = "text",
-                         vocab_cap: int = 2_000_000):
+                         vocab_cap: int = 2_000_000,
+                         num_buckets: int = 256):
     """documents → every unordered pair of distinct vocabulary tokens at
     Levenshtein distance exactly 1: (tok_a, tok_b), tok_a < tok_b —
     typo-variant detection, the character-level cousin of the MinHash
     document dedup (north-rule training-data op; no reference analogue).
 
     Scale shape: per-batch DISTINCT-token partials (each block shrinks
-    to its own vocabulary before the shuffle), a global distinct over
-    the corpus vocabulary (sublinear in corpus size, Heaps' law), then
-    deletion-variant candidate generation whose cost is
-    O(Σ_tok len(tok)²) characters — linear in vocabulary bytes for
-    bounded token length and INDEPENDENT of document count; no
-    all-pairs comparison ever happens (the DuckDB oracle's quadratic
-    levenshtein join is the semantics, not the plan). The merge is one
-    task guarded by `vocab_cap`; past the cap the same variant stream
-    hash-partitions by variant (groupby) and emits pairs per partition
-    — raise the cap consciously, it fails loud."""
+    to its own vocabulary before the shuffle), a global distinct
+    (grouped, stays sharded), then deletion-variant candidate
+    generation whose cost is O(Σ_tok len(tok)²) characters — linear in
+    vocabulary bytes for bounded token length and INDEPENDENT of
+    document count; no all-pairs comparison ever happens (the DuckDB
+    oracle's quadratic levenshtein join is the semantics, not the
+    plan). Vocabularies ≤ `vocab_cap` pair in one task; bigger ones
+    take the VARIANT-HASH SCALE PATH: every token emits a self row
+    plus its deletion-variant rows, rows hash-partition by key string
+    (one groupby), and each bucket emits its pairs independently —
+    per-bucket dedupe is globally sufficient because every derivation
+    of a pair shares its key string (pytest pins scale == small-path
+    output bit-for-bit; the sf1 corpus, 25.6M distinct tokens, runs
+    only this path)."""
+    from ray.data.aggregate import Count
+
     distinct = (ds.select_columns([column])
                 .map_batches(_distinct_tokens_partial,
                              batch_format="pyarrow", zero_copy_batch=True)
-                .repartition(1))
+                .groupby("tok").aggregate(Count(alias_name="c"))
+                .select_columns(["tok"]).materialize())
+    n = distinct.count()
+
+    if n > vocab_cap:
+        return (distinct
+                .map_batches(_editdist1_emit_variants(num_buckets),
+                             batch_format="pyarrow",
+                             zero_copy_batch=True)
+                .groupby("bucket")
+                .map_groups(_editdist1_pairs_in_bucket,
+                            batch_format="pyarrow"))
 
     def final(batch: pa.Table) -> pa.Table:
         toks = pc.unique(batch.column("tok")).to_numpy(
             zero_copy_only=False)
-        if len(toks) > vocab_cap:
-            raise ValueError(
-                f"vocabulary {len(toks)} exceeds vocab_cap={vocab_cap} "
-                "for the one-task merge; switch to the variant-hash "
-                "groupby scale path (partition the (variant, pos, token) "
-                "stream by variant hash and emit pairs per partition)")
         toks, ia, ib = _editdist1_pairs_from_vocab(toks)
         return pa.table({
             "tok_a": pa.array(toks[ia], pa.string()),
             "tok_b": pa.array(toks[ib], pa.string()),
         })
 
-    return distinct.map_batches(final, batch_format="pyarrow",
-                                batch_size=None)
+    return distinct.repartition(1).map_batches(final,
+                                               batch_format="pyarrow",
+                                               batch_size=None)

@@ -64,3 +64,27 @@ def test_pairs_are_ordered_and_distinct():
     assert (t[ia] < t[ib]).all()
     keys = set(zip(ia.tolist(), ib.tolist()))
     assert len(keys) == len(ia)
+
+
+def test_scale_path_equals_small_path(ray_session):
+    """The variant-hash groupby scale path must produce bit-identical
+    pairs to the one-task kernel on the same corpus."""
+    import ray.data
+
+    from leiden_cuda_ray.functions.text import vocab_editdist_pairs
+    from leiden_cuda_ray.sources.corpus import (
+        ensure_corpus_for_sf_dir,
+        read_corpus,
+    )
+
+    p = ensure_corpus_for_sf_dir("/root/testdata/sf0.001")
+    small = vocab_editdist_pairs(
+        read_corpus(p, columns=["content"]), column="content",
+        vocab_cap=10**9).to_pandas()
+    scale = vocab_editdist_pairs(
+        read_corpus(p, columns=["content"]), column="content",
+        vocab_cap=0, num_buckets=17).to_pandas()
+    key = ["tok_a", "tok_b"]
+    s1 = small.sort_values(key).reset_index(drop=True)
+    s2 = scale.sort_values(key).reset_index(drop=True)
+    assert len(s1) and s1.equals(s2)
