@@ -202,6 +202,16 @@ def run_single(graph_only: bool = False) -> dict:
             t_bfs = min(t_bfs, time.perf_counter() - t0)
         queries["bfs"] = t_bfs
 
+        from leiden_cuda_ray.algorithms.sssp import sssp_weighted
+
+        t_sssp = float("inf")
+        for _rep in range(2):
+            t0 = time.perf_counter()
+            sd_refs, _steps, _maxd = sssp_weighted(graph)
+            ray.get(sd_refs)
+            t_sssp = min(t_sssp, time.perf_counter() - t0)
+        queries["sssp"] = t_sssp
+
         from leiden_cuda_ray.algorithms.mis import maximal_independent_set
 
         t_mis = float("inf")
