@@ -699,6 +699,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "graph_hits": cq.graph_hits,
         "graph_bfs": cq.graph_bfs,
         "graph_sssp": cq.graph_sssp,
+        "graph_diameter": cq.graph_diameter,
         "graph_tri_support": cq.graph_tri_support,
         "graph_clustering": cq.graph_clustering,
         "graph_jaccard": cq.graph_jaccard_edges,
@@ -3211,6 +3212,41 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 0.0 END AS reciprocity""",
         "graph_matching": _matching_sql(),
         "graph_sssp": _sssp_sql(),
+        "graph_diameter": f"""
+            -- double-sweep pseudo-diameter: BFS from 0 -> farthest a
+            -- (tie -> min id), BFS from a -> eccentricity; same argmax
+            -- tie-break as the engine (dist DESC, vertex ASC)
+            WITH RECURSIVE {_CORPUS_CTE},
+            vid AS (
+              SELECT repo || '|' || path AS key,
+                     ROW_NUMBER() OVER (ORDER BY repo, path) - 1 AS v
+              FROM files),
+            e AS (
+              SELECT va.v AS u, vb.v AS w
+              FROM canon c
+              JOIN vid va ON va.key = c.key_a
+              JOIN vid vb ON vb.key = c.key_b),
+            sym AS (
+              SELECT u, w FROM e UNION SELECT w, u FROM e),
+            w1(v, d) AS (
+              SELECT CAST(0 AS BIGINT), 0
+              UNION
+              SELECT s.u, r.d + 1 FROM w1 r JOIN sym s ON s.w = r.v
+              WHERE r.d < 64),
+            d1 AS (SELECT v, MIN(d) AS d FROM w1 GROUP BY v),
+            fa AS (SELECT v, d FROM d1 ORDER BY d DESC, v ASC LIMIT 1),
+            w2(v, d) AS (
+              SELECT (SELECT v FROM fa), 0
+              UNION
+              SELECT s.u, r.d + 1 FROM w2 r JOIN sym s ON s.w = r.v
+              WHERE r.d < 64),
+            d2 AS (SELECT v, MIN(d) AS d FROM w2 GROUP BY v),
+            fb AS (SELECT v, d FROM d2 ORDER BY d DESC, v ASC LIMIT 1)
+            SELECT CAST((SELECT v FROM fa) AS BIGINT) AS far_a,
+                   CAST((SELECT d FROM fa) AS BIGINT) AS ecc_0,
+                   CAST((SELECT v FROM fb) AS BIGINT) AS far_b,
+                   CAST((SELECT d FROM fb) AS BIGINT) AS diameter_lb""",
+
         "graph_spcount": _spcount_sql(),
         "graph_betweenness": _betweenness_sql(),
         "graph_weight_hist": f"""

@@ -46,17 +46,18 @@ def _reduce_dist(dist, vlo, *shards):
 
 
 def bfs_hops(graph: Graph, seed_mod: int = 97,
-             max_iterations: int = 10_000):
+             max_iterations: int = 10_000, source: int | None = None):
     """Returns (dist_refs per partition, supersteps, max_dist).
 
     dist arrays hold the exact hop count to the nearest seed
-    (vertex % seed_mod == 0); unreachable vertices hold -1."""
+    (vertex % seed_mod == 0, or the single `source` vertex when given);
+    unreachable vertices hold -1."""
     P = graph.P
 
     @ray.remote
     def _init(csr):
         v = np.arange(csr["vlo"], csr["vhi"], dtype=np.int64)
-        seed = (v % seed_mod) == 0
+        seed = (v == source) if source is not None else (v % seed_mod) == 0
         dist = np.where(seed, np.int64(0), _UNREACHED)
         return dist, seed.copy()
 
@@ -91,3 +92,36 @@ def bfs_hops(graph: Graph, seed_mod: int = 97,
     dists = [f[0] for f in fin]
     max_dist = max(ray.get([f[1] for f in fin]), default=-1)
     return dists, steps, max_dist
+
+
+def pseudo_diameter(graph: Graph):
+    """Double-sweep diameter lower bound (Magnien–Latapy–Habib, JEA
+    2009): BFS from vertex 0 finds a farthest vertex a (tie → min id);
+    a second BFS from a reports its eccentricity — a classic, often
+    tight lower bound on the true diameter (exact on trees). Both
+    sweeps are the engine's frontier-sparse BFS waves; the argmax fold
+    is P partition-level rows. Deterministic and P-invariant.
+
+    Returns (far_a, ecc_0, far_b, diameter_lb) over vertex 0's
+    component."""
+    import ray as _ray
+
+    @ray.remote
+    def _argmax(d, vlo):
+        if len(d) == 0 or d.max() < 0:
+            return -1, np.int64(-1)
+        mx = d.max()
+        return int(mx), np.int64(vlo + int(np.argmax(d)))
+
+    def _far(dists):
+        outs = _ray.get([
+            _argmax.remote(d, graph.ranges()[i][0])
+            for i, d in enumerate(dists)])
+        best = max(outs, key=lambda t: (t[0], -t[1]))
+        return int(best[1]), int(best[0])
+
+    d0, _, _ = bfs_hops(graph, source=0)
+    far_a, ecc_0 = _far(d0)
+    d1, _, _ = bfs_hops(graph, source=far_a)
+    far_b, diameter_lb = _far(d1)
+    return far_a, ecc_0, far_b, diameter_lb

@@ -630,6 +630,30 @@ def graph_ktruss(sf_dir: str, k: int = 4):
     return ds
 
 
+def graph_diameter(sf_dir: str):
+    """Double-sweep pseudo-diameter (algorithms/bfs.py::pseudo_diameter):
+    BFS from vertex 0 → farthest vertex a (tie → min id), BFS from a →
+    its eccentricity, a classic tight lower bound on the true diameter.
+    One row (far_a, ecc_0, far_b, diameter_lb), exact BIGINTs; the
+    DuckDB oracle replays both sweeps as recursive CTEs with the same
+    (dist DESC, vertex ASC) argmax tie-break."""
+    from leiden_cuda_ray.algorithms.bfs import pseudo_diameter
+
+    graph, _ = _build_graph(sf_dir)
+    far_a, ecc_0, far_b, dlb = pseudo_diameter(graph)
+    if max(ecc_0, dlb) >= 64:
+        raise ValueError(
+            f"eccentricity {max(ecc_0, dlb)} exceeds the oracle's "
+            f"recursion cap (64); raise the cap in the graph_diameter "
+            f"oracle to match")
+    return pa.table({
+        "far_a": pa.array([far_a], pa.int64()),
+        "ecc_0": pa.array([ecc_0], pa.int64()),
+        "far_b": pa.array([far_b], pa.int64()),
+        "diameter_lb": pa.array([dlb], pa.int64()),
+    })
+
+
 def graph_sssp(sf_dir: str, seed_mod: int = 97,
                max_oracle_iters: int = 40):
     """Weighted multi-source shortest paths to the nearest seed vertex

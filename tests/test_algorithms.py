@@ -1239,3 +1239,20 @@ def test_sssp_p_invariant():
         outs.append(_gather_state(dists))
     assert np.array_equal(outs[0], outs[1])
     assert np.array_equal(outs[1], outs[2])
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_pseudo_diameter_clique_ring(P):
+    from leiden_cuda_ray.algorithms.bfs import pseudo_diameter
+
+    src, dst, w = clique_ring_edges()
+    g = build_graph_from_arrays(src, dst, w, P=P)
+    far_a, ecc_0, far_b, dlb = pseudo_diameter(g)
+    # 5 cliques of 4 on a ring: true diameter 5 (hop across the ring
+    # via bridges); BFS from 0 reaches a farthest vertex at its
+    # eccentricity, the return sweep can only match or improve it
+    d = sssp_oracle(src, dst, np.ones_like(w), 20, seed_mod=10**9)
+    # seed_mod > V ⟹ only vertex 0 seeds; oracle dist = BFS from 0
+    assert ecc_0 == int(d.max())
+    assert far_a == int(np.flatnonzero(d == d.max()).min())
+    assert dlb >= ecc_0
