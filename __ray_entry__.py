@@ -401,6 +401,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
                                    columns=["user_id"])
         return hll_distinct(ev, id_col="user_id", b=5, seed=131)
 
+    def q_distinct_hll_by_type(sf_dir):
+        """Per-group HyperLogLog: distinct users per event type, one
+        register bank per group, identical pinned protocol
+        (functions/sampling.py::hll_distinct_grouped)."""
+        import ray.data
+
+        from leiden_cuda_ray.functions.sampling import hll_distinct_grouped
+
+        ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["event_type", "user_id"])
+        return hll_distinct_grouped(ev, b=5, seed=131)
+
     def q_heavy_hitters(sf_dir):
         """Exact global top-40 tokens via a Misra-Gries candidate sketch
         + exact verify pass; the engine's certificate (k-th exact count
@@ -680,6 +692,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "heavy_hitters": q_heavy_hitters,
         "distinct_kmv": q_distinct_kmv,
         "distinct_hll": q_distinct_hll,
+        "distinct_hll_by_type": q_distinct_hll_by_type,
         "embedding_dups_consistency": q_embedding_dups_consistency,
         "knn_brute": q_knn,
         "knn_ivf": q_knn_ivf,
@@ -2888,6 +2901,56 @@ def oracle_sql() -> dict[str, str]:
                                         AS HUGEINT))
                              // (SELECT CAST(h AS HUGEINT) FROM kth)
                         END AS BIGINT) AS kmv_estimate""",
+        "distinct_hll_by_type": f"""
+            -- per-group HyperLogLog replay: the distinct_hll protocol
+            -- with one register bank per event_type
+            WITH ev AS (SELECT event_type AS g, user_id AS v FROM events),
+            s0 AS (SELECT g, (CAST(v AS HUGEINT) + 17754115434574872255)
+                   % 18446744073709551616 AS x FROM ev),
+            s1 AS (SELECT g, CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 30) AS HUGEINT) AS x FROM s0),
+            s2 AS (SELECT g, ((x % 4294967296) * 13787848793156543929
+                   + ((((x // 4294967296) * 13787848793156543929)
+                   % 4294967296) * 4294967296)) % 18446744073709551616 AS x
+                   FROM s1),
+            s3 AS (SELECT g, CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 27) AS HUGEINT) AS x FROM s2),
+            s4 AS (SELECT g, ((x % 4294967296) * 10723151780598845931
+                   + ((((x // 4294967296) * 10723151780598845931)
+                   % 4294967296) * 4294967296)) % 18446744073709551616 AS x
+                   FROM s3),
+            s5 AS (SELECT g, CAST(xor(CAST(x AS UBIGINT),
+                   CAST(x AS UBIGINT) >> 31) AS HUGEINT) AS h FROM s4),
+            regs AS (SELECT g, CAST(h // 576460752303423488 AS BIGINT) AS reg,
+                            CAST(h % 576460752303423488 AS BIGINT) AS w FROM s5),
+            rk AS (SELECT g, reg, MAX(CASE WHEN w = 0 THEN 60
+                                           ELSE 60 - LENGTH(bin(w)) END)
+                            AS mx
+                   FROM regs GROUP BY g, reg),
+            agg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS n_present,
+                           CAST(SUM(mx) AS BIGINT) AS rank_sum,
+                           SUM(CAST(CAST(1 AS BIGINT) << (62 - mx)
+                                    AS HUGEINT)) AS s_present
+                    FROM rk GROUP BY g),
+            fin AS (SELECT g, 32 - n_present AS v0, rank_sum,
+                           s_present + CAST(32 - n_present AS HUGEINT)
+                             * 4611686018427387904 AS s_exact
+                    FROM agg),
+            ex AS (SELECT event_type AS g,
+                          CAST(COUNT(DISTINCT user_id) AS BIGINT)
+                            AS n_exact
+                   FROM events GROUP BY 1)
+            SELECT fin.g AS event_type, ex.n_exact,
+                   CAST(32 AS BIGINT) AS m,
+                   CAST(v0 AS BIGINT) AS n_zero_regs, rank_sum,
+                   CASE WHEN 0.697 * 32 * 32 * 4.611686018427388e+18
+                             / CAST(s_exact AS DOUBLE) <= 80.0
+                             AND v0 > 0
+                        THEN 32 * ln(CAST(32 AS DOUBLE) / v0)
+                        ELSE 0.697 * 32 * 32 * 4.611686018427388e+18
+                             / CAST(s_exact AS DOUBLE)
+                   END AS hll_estimate
+            FROM fin JOIN ex ON ex.g = fin.g""",
         "distinct_hll": f"""
             -- HyperLogLog protocol replay: identical splitmix chain
             -- (seed 131), register = top-5 hash bits, rank = 60 −

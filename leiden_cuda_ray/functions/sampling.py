@@ -288,3 +288,103 @@ def hll_distinct(ds, id_col: str = "user_id", b: int = 5,
         "rank_sum": pa.array([rank_sum], pa.int64()),
         "hll_estimate": pa.array([est], pa.float64()),
     })
+
+
+def hll_distinct_grouped(ds, id_col: str = "user_id",
+                         group_col: str = "event_type", b: int = 5,
+                         seed: int = 131):
+    """Per-GROUP HyperLogLog distinct counts — hll_distinct with one
+    register bank per group value, the shape a 100-TB pipeline actually
+    runs ("distinct users per surface/day"). Identical pinned protocol
+    (full splitmix64, exact clz ranks, 2^62-scaled exact register sum,
+    both estimator branches); per-batch partials carry only the NONZERO
+    (group, register, max-rank) triples, so a block's partial is
+    ≤ groups·2^b rows regardless of row count, and banks merge by
+    elementwise max. The exact per-group distinct count rides along as
+    the accuracy reference (the wide aggregation the sketch replaces).
+
+    → pa.Table (group, n_exact, m, n_zero_regs, rank_sum,
+    hll_estimate), one row per group value, group-sorted."""
+    m = 1 << b
+    W = 64 - b
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
+        m, 0.7213 / (1.0 + 1.079 / m))
+    proj = ds.select_columns([group_col, id_col])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        h = _splitmix_full(ids, seed)
+        reg = (h >> np.uint64(W)).astype(np.int64)
+        w = h & np.uint64((1 << W) - 1)
+        bl = np.zeros(len(w), np.int64)
+        v = w.copy()
+        for s in (32, 16, 8, 4, 2, 1):
+            big = v >= np.uint64(1 << s)
+            bl[big] += s
+            v[big] >>= np.uint64(s)
+        bl[w > np.uint64(0)] += 1
+        rank = W + 1 - bl
+        gu, ginv = np.unique(g, return_inverse=True)
+        bank = np.zeros(len(gu) * m, np.int64)
+        np.maximum.at(bank, ginv * m + reg, rank)
+        nz = np.flatnonzero(bank)
+        return pa.table({
+            group_col: pa.array(np.asarray(gu[nz // m], object),
+                                pa.string()),
+            "reg": pa.array(nz % m, pa.int64()),
+            "mx": pa.array(bank[nz], pa.int64()),
+        })
+
+    parts = (proj.map_batches(partial, batch_format="pyarrow",
+                              zero_copy_batch=True)
+             .repartition(1).take_all())
+
+    def _distinct_pairs(batch: pa.Table) -> pa.Table:
+        g = batch.column(group_col).to_numpy(zero_copy_only=False)
+        ids = np.asarray(batch.column(id_col), np.int64)
+        gu, ginv = np.unique(g, return_inverse=True)
+        uniq = np.unique(np.stack([ginv, ids]), axis=1)
+        return pa.table({
+            group_col: pa.array(np.asarray(gu[uniq[0]], object),
+                                pa.string()),
+            id_col: pa.array(uniq[1], pa.int64()),
+        })
+
+    from ray.data.aggregate import Count
+
+    exact_rows = (proj.map_batches(_distinct_pairs,
+                                   batch_format="pyarrow",
+                                   zero_copy_batch=True)
+                  .groupby([group_col, id_col])
+                  .aggregate(Count(alias_name="c"))
+                  .groupby(group_col)
+                  .aggregate(Count(alias_name="n_exact")).take_all())
+    n_exact = {r[group_col]: int(r["n_exact"]) for r in exact_rows}
+
+    banks: dict = {}
+    for r in parts:
+        bank = banks.setdefault(r[group_col], np.zeros(m, np.int64))
+        bank[r["reg"]] = max(bank[r["reg"]], r["mx"])
+    groups = sorted(banks)
+    v0s, rsums, ests = [], [], []
+    for gname in groups:
+        regmax = banks[gname]
+        v0 = int((regmax == 0).sum())
+        s_exact = sum(1 << (62 - int(r)) for r in regmax)
+        raw = ((alpha * m) * m) * float(1 << 62) / float(s_exact)
+        if raw <= 2.5 * m and v0 > 0:
+            est = m * float(np.log(float(m) / float(v0)))
+        else:
+            est = raw
+        v0s.append(v0)
+        rsums.append(int(regmax.sum()))
+        ests.append(est)
+    return pa.table({
+        group_col: pa.array(groups, pa.string()),
+        "n_exact": pa.array([n_exact[g] for g in groups], pa.int64()),
+        "m": pa.array([m] * len(groups), pa.int64()),
+        "n_zero_regs": pa.array(v0s, pa.int64()),
+        "rank_sum": pa.array(rsums, pa.int64()),
+        "hll_estimate": pa.array(ests, pa.float64()),
+    })
