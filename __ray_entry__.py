@@ -143,6 +143,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_embedding_centroids(sf_dir):
         return similarity.embedding_centroids(_emb(sf_dir))
 
+    def q_embedding_quantize(sf_dir):
+        return similarity.embedding_quantize(_emb(sf_dir))
+
     def q_docs_global_rank(sf_dir):
         # distributed TOTAL-ORDER rank: Ray's range-partitioned sort
         # orders the blocks, zip_with_index assigns dense global ranks
@@ -656,6 +659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_surprisal": q_doc_surprisal,
         "doc_entropy": q_doc_entropy,
         "embedding_centroids": q_embedding_centroids,
+        "embedding_quantize": q_embedding_quantize,
         "pack_sequences": q_pack_sequences,
         "prepare_corpus": q_prepare_corpus,
         "events_hopping": rel.events_hopping,
@@ -2871,6 +2875,23 @@ def oracle_sql() -> dict[str, str]:
                         || '| ?[0-9]+| ?[^A-Za-z0-9\\s]+|\\s+'))
                         AS BIGINT) AS n_bpe_tokens
             FROM documents""",
+        "embedding_quantize": """
+            -- per-vector max-abs int8 quantization, LONG layout; the
+            -- floor(x/s*127 + 0.5) chain over DOUBLE-cast float32
+            -- components is the engine's identical IEEE expression
+            WITH t AS (
+              SELECT vec_id,
+                     list_max(list_transform(embedding,
+                         x -> abs(CAST(x AS DOUBLE)))) AS s,
+                     unnest(embedding) AS v,
+                     generate_subscripts(embedding, 1) AS i
+              FROM embeddings)
+            SELECT vec_id, CAST(i AS BIGINT) AS dim,
+                   CAST(CASE WHEN s = 0 THEN 0
+                        ELSE FLOOR(CAST(v AS DOUBLE) / s
+                                   * 127 + 0.5) END AS BIGINT) AS qval,
+                   s AS scale
+            FROM t""",
         "distinct_kmv": f"""
             -- KMV sketch protocol replay: the identical splitmix chain
             -- (seed 101) over distinct user_ids, k-th minimum hash,

@@ -421,3 +421,38 @@ def kmeans_quantized(ds, k: int = 8, iters: int = 2,
         })
 
     return rep.map_batches(fin, batch_format="pyarrow")
+
+
+def embedding_quantize(ds, bits: int = 8):
+    """Per-vector max-abs int8 post-training quantization (the standard
+    embedding-compression preprocessing step): scale = max|x| over the
+    vector, q_i = floor(x_i / scale · 127 + 0.5) ∈ [−127, 127]
+    (all-zero vectors quantize to 0 with scale 0). Output is the LONG
+    layout (vec_id, dim, qval, scale) — one row per component — so the
+    protocol is exactly SQL-replayable (floor(x/s·127 + 0.5) over
+    float64-cast components is the identical IEEE chain on both sides;
+    list indexing replays per-dim).
+
+    Scale shape: stateless per-batch map over the zero-copy matrix view
+    — no shuffle, no state; compression-side work a 100-TB embedding
+    store runs in one streaming pass."""
+    qmax = float((1 << (bits - 1)) - 1)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        M = _to_matrix(batch.column("embedding"), np.float64)
+        n, d = M.shape
+        vid = np.asarray(batch.column("vec_id"), np.int64)
+        s = np.max(np.abs(M), axis=1)
+        safe = np.where(s == 0.0, 1.0, s)
+        q = np.floor(M / safe[:, None] * qmax + 0.5).astype(np.int64)
+        q[s == 0.0, :] = 0
+        return pa.table({
+            "vec_id": pa.array(np.repeat(vid, d), pa.int64()),
+            "dim": pa.array(np.tile(np.arange(1, d + 1, dtype=np.int64),
+                                    n), pa.int64()),
+            "qval": pa.array(q.ravel(), pa.int64()),
+            "scale": pa.array(np.repeat(s, d), pa.float64()),
+        })
+
+    return ds.select_columns(["vec_id", "embedding"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
