@@ -37,8 +37,11 @@ is small. Rounds are two pipelined task waves (propose, decide); the
 driver probes convergence `lookahead` rounds behind the submission
 front so its blocking ray.get stays off the critical path —
 post-convergence rounds are strict no-ops (zero proposals → mate
-unchanged), so overshooting is harmless and the reported round count
-stays the first all-quiet round. Matching runs on FEWER, larger
+unchanged), so overshooting is harmless. The reported round count is
+the first all-quiet round on the distributed path; when the drain
+cutover lands in the ≤`lookahead`-round window after the true
+fixpoint, the drain reports its own (slightly later) quiet round —
+mate arrays are identical either way. Matching runs on FEWER, larger
 partitions than the graph (~2M simple slots each): per-round cost is a
 fixed task-wave overhead plus frontier work, so big-but-few wins for
 50+ round drains.
@@ -298,8 +301,12 @@ def maximal_matching(graph: Graph, seed: int = 13, max_rounds: int = 256,
     pending: list = []  # (round, mate-refs, seen-refs, delta-refs)
     matched_probed = 0
     result = None
+    # slot-cap backoff: a failed drain attempt pays a full O(alive-slot)
+    # gather, so don't retry until the probed alive count has HALVED
+    drain_retry_below = graph.V + 1
     for rnd in range(1, max_rounds + 1):
-        if graph.V - matched_probed <= drain_cutover:
+        alive_est = graph.V - matched_probed
+        if alive_est <= drain_cutover and alive_est < drain_retry_below:
             gaths = [_mm_gather_alive.options(num_returns=2).remote(
                 plans[i], mates[i]) for i in range(P)]
             if sum(ray.get([gth[1] for gth in gaths])) <= drain_slot_cap:
@@ -309,6 +316,7 @@ def maximal_matching(graph: Graph, seed: int = 13, max_rounds: int = 256,
                 blocks = [_mm_emit_range.remote(mate_ref, lo, hi)
                           for lo, hi in ranges]
                 return ray.data.from_arrow_refs(blocks), rounds
+            drain_retry_below = alive_est // 2
         pv = [_mm_propose.options(num_returns=P + 1).remote(
             plans[i], graph.V, props[i], mates[i], bitmap, block, P,
             *deltas)

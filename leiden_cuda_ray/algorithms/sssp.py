@@ -33,11 +33,17 @@ _UNREACHED = np.int64(1) << np.int64(62)
 
 
 @ray.remote
-def _push_wdist(csr, dist, active, block, P):
+def _wplan(csr):
+    """Once-per-run immutable plan: integer slot weights (weights are
+    static; converting them every superstep would cost S x O(E))."""
+    return np.rint(np.asarray(csr["weights"],
+                              np.float64)).astype(np.int64)
+
+
+@ray.remote
+def _push_wdist(csr, wi, dist, active, block, P):
     src_slot = local_src_per_slot(csr)
     sel = active[src_slot]
-    wi = np.rint(np.asarray(csr["weights"],
-                            np.float64)).astype(np.int64)
     ids, mins = segmin_by_key(csr["indices"][sel],
                               dist[src_slot][sel] + wi[sel])
     shards = shard_by_owner(ids, block, P, mins)
@@ -72,12 +78,14 @@ def sssp_weighted(graph: Graph, seed_mod: int = 97,
              for i in range(P)]
     dists = [o[0] for o in inits]
     actives = [o[1] for o in inits]
+    wis = [_wplan.remote(graph.parts[i]) for i in range(P)]
 
     steps = 0
     for steps in range(1, max_iterations + 1):
         shards = fanout(
             _push_wdist,
-            [(graph.parts[i], dists[i], actives[i], graph.block, P)
+            [(graph.parts[i], wis[i], dists[i], actives[i],
+              graph.block, P)
              for i in range(P)], P)
         outs = [
             _reduce_wdist.options(num_returns=3).remote(

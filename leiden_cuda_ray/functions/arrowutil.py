@@ -62,7 +62,15 @@ def int_bincount(codes: np.ndarray, values: np.ndarray,
     """Exact int64 grouped sum: bincount(weights=...) casts to float64
     and silently loses exactness past 2^53; np.add.at accumulates in
     native int64 (wrapping only past 2^63, which the exact-integer
-    protocols bound-check separately)."""
+    protocols bound-check separately).
+
+    Unlike np.bincount, np.add.at would silently fold a -1 code (e.g.
+    pd.factorize's null marker) into the LAST group — reject it loudly
+    to keep bincount's failure mode."""
+    if len(codes) and codes.min() < 0:
+        raise ValueError(
+            "int_bincount: negative group code (factorize null marker?) "
+            "— drop or encode nulls before folding")
     out = np.zeros(minlength, np.int64)
     np.add.at(out, codes, values.astype(np.int64, copy=False))
     return out

@@ -215,6 +215,40 @@ def _splitmix_full(ids: np.ndarray, seed: int) -> np.ndarray:
     return x
 
 
+def _hll_ranks(ids: np.ndarray, b: int, seed: int):
+    """The pinned HLL observation protocol shared by the global and
+    grouped sketches (and transcribed twice in oracle SQL): full
+    splitmix64 hash → (register = top-b bits, rank = (64−b)+1 −
+    bitlength of the low word, bitlength via exact binary clz — no
+    float log2, which misrounds above 2^53)."""
+    W = 64 - b
+    h = _splitmix_full(ids, seed)
+    reg = (h >> np.uint64(W)).astype(np.int64)
+    w = h & np.uint64((1 << W) - 1)
+    bl = np.zeros(len(w), np.int64)
+    v = w.copy()
+    for s_ in (32, 16, 8, 4, 2, 1):
+        big = v >= np.uint64(1 << s_)
+        bl[big] += s_
+        v[big] >>= np.uint64(s_)
+    bl[w > np.uint64(0)] += 1
+    return reg, W + 1 - bl
+
+
+def _hll_estimate(regmax: np.ndarray, m: int, alpha: float):
+    """Pinned estimator over a merged register bank: exact 2^62-scaled
+    register sum, raw vs linear-counting branch — the identical IEEE
+    expression order the oracles replay. → (v0, rank_sum, estimate)."""
+    v0 = int((regmax == 0).sum())
+    s_exact = sum(1 << (62 - int(r)) for r in regmax)
+    raw = ((alpha * m) * m) * float(1 << 62) / float(s_exact)
+    if raw <= 2.5 * m and v0 > 0:
+        est = m * float(np.log(float(m) / float(v0)))
+    else:
+        est = raw
+    return v0, int(regmax.sum()), est
+
+
 def hll_distinct(ds, id_col: str = "user_id", b: int = 5,
                  seed: int = 131):
     """HyperLogLog distinct-count sketch (Flajolet et al. 2007) with a
@@ -237,26 +271,13 @@ def hll_distinct(ds, id_col: str = "user_id", b: int = 5,
     → single-row pa.Table (n_exact, m, n_zero_regs, rank_sum int64;
     hll_estimate float64)."""
     m = 1 << b
-    W = 64 - b
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1.0 + 1.079 / m))
     proj = ds.select_columns([id_col])
 
     def partial(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch.column(id_col), np.int64)
-        h = _splitmix_full(ids, seed)
-        reg = (h >> np.uint64(W)).astype(np.int64)
-        w = h & np.uint64((1 << W) - 1)
-        # exact vectorized bit_length (binary clz — no float log2, which
-        # misrounds above 2^53)
-        bl = np.zeros(len(w), np.int64)
-        v = w.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            big = v >= np.uint64(1 << s)
-            bl[big] += s
-            v[big] >>= np.uint64(s)
-        bl[w > np.uint64(0)] += 1
-        rank = W + 1 - bl
+        reg, rank = _hll_ranks(ids, b, seed)
         regmax = np.zeros(m, np.int64)
         np.maximum.at(regmax, reg, rank)
         return pa.table({
@@ -272,14 +293,7 @@ def hll_distinct(ds, id_col: str = "user_id", b: int = 5,
     regmax = np.zeros(m, np.int64)
     for r in parts:
         regmax[r["reg"]] = max(regmax[r["reg"]], r["mx"])
-    v0 = int((regmax == 0).sum())
-    rank_sum = int(regmax.sum())
-    s_exact = sum(1 << (62 - int(r)) for r in regmax)  # 2^62 · Σ 2^−M_j
-    raw = ((alpha * m) * m) * float(1 << 62) / float(s_exact)
-    if raw <= 2.5 * m and v0 > 0:
-        est = m * float(np.log(float(m) / float(v0)))
-    else:
-        est = raw
+    v0, rank_sum, est = _hll_estimate(regmax, m, alpha)
     n_exact = proj.groupby(id_col).count().count()
     return pa.table({
         "n_exact": pa.array([int(n_exact)], pa.int64()),
@@ -306,7 +320,6 @@ def hll_distinct_grouped(ds, id_col: str = "user_id",
     → pa.Table (group, n_exact, m, n_zero_regs, rank_sum,
     hll_estimate), one row per group value, group-sorted."""
     m = 1 << b
-    W = 64 - b
     alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(
         m, 0.7213 / (1.0 + 1.079 / m))
     proj = ds.select_columns([group_col, id_col])
@@ -314,17 +327,7 @@ def hll_distinct_grouped(ds, id_col: str = "user_id",
     def partial(batch: pa.Table) -> pa.Table:
         g = batch.column(group_col).to_numpy(zero_copy_only=False)
         ids = np.asarray(batch.column(id_col), np.int64)
-        h = _splitmix_full(ids, seed)
-        reg = (h >> np.uint64(W)).astype(np.int64)
-        w = h & np.uint64((1 << W) - 1)
-        bl = np.zeros(len(w), np.int64)
-        v = w.copy()
-        for s in (32, 16, 8, 4, 2, 1):
-            big = v >= np.uint64(1 << s)
-            bl[big] += s
-            v[big] >>= np.uint64(s)
-        bl[w > np.uint64(0)] += 1
-        rank = W + 1 - bl
+        reg, rank = _hll_ranks(ids, b, seed)
         gu, ginv = np.unique(g, return_inverse=True)
         bank = np.zeros(len(gu) * m, np.int64)
         np.maximum.at(bank, ginv * m + reg, rank)
@@ -369,16 +372,9 @@ def hll_distinct_grouped(ds, id_col: str = "user_id",
     groups = sorted(banks)
     v0s, rsums, ests = [], [], []
     for gname in groups:
-        regmax = banks[gname]
-        v0 = int((regmax == 0).sum())
-        s_exact = sum(1 << (62 - int(r)) for r in regmax)
-        raw = ((alpha * m) * m) * float(1 << 62) / float(s_exact)
-        if raw <= 2.5 * m and v0 > 0:
-            est = m * float(np.log(float(m) / float(v0)))
-        else:
-            est = raw
+        v0, rsum, est = _hll_estimate(banks[gname], m, alpha)
         v0s.append(v0)
-        rsums.append(int(regmax.sum()))
+        rsums.append(rsum)
         ests.append(est)
     return pa.table({
         group_col: pa.array(groups, pa.string()),

@@ -1140,11 +1140,77 @@ def zipf_sums(ds, k: int = 100):
 
 def _distinct_tokens_partial(batch: pa.Table) -> pa.Table:
     """One batch → its DISTINCT '\\S+' tokens (the dedup combiner: each
-    block collapses to its own vocabulary before the shuffle)."""
+    block collapses to its own vocabulary before the shuffle).
+
+    Tokens containing NUL are rejected LOUDLY here, at the single entry
+    point of both pair paths: the pairing kernels view vocabularies as
+    numpy fixed-width U-dtype, which strips trailing NULs — "a" and
+    "a\\x00" would silently merge (the oracle's levenshtein join keeps
+    them distinct). \\x00 is a distance-1 edit like any other char, so
+    supporting it needs a NUL-free encoding, not a separator trick."""
     flat = pc.list_flatten(pc.split_pattern_regex(batch.column(0),
                                                   r"\s+"))
     toks = pc.unique(flat.filter(pc.not_equal(flat, "")))
+    has_nul = pc.any(pc.match_substring(toks, "\x00")).as_py()
+    if has_nul:
+        raise ValueError(
+            "vocab_editdist_pairs: vocabulary contains NUL bytes, which "
+            "numpy U-dtype strips (tokens would silently merge); "
+            "pre-filter or re-encode NUL-bearing tokens")
     return pa.table({"tok": toks})
+
+
+def _deletion_variants(toks: np.ndarray):
+    """Single-deletion variants of a U-dtype token array, vectorized
+    per length class: (variant, deletion position, owner index into
+    `toks`). Length-1 tokens yield the empty-string variant at pos 0.
+    The ONE implementation behind both pair paths — the scale-path ==
+    small-path bit-for-bit pytest depends on them sharing it."""
+    lens = np.char.str_len(toks) if len(toks) else np.zeros(0, np.int64)
+    var_strs, var_pos, var_own = [], [], []
+    for L in np.unique(lens):
+        sel = np.flatnonzero(lens == L)
+        if L == 1:
+            var_strs.append(np.full(len(sel), "", dtype="U1"))
+            var_pos.append(np.zeros(len(sel), np.int64))
+            var_own.append(sel)
+            continue
+        mat = toks[sel].astype(f"U{L}").view(np.uint32).reshape(-1, int(L))
+        for i in range(int(L)):
+            var_strs.append(np.ascontiguousarray(
+                np.delete(mat, i, axis=1)).view(f"U{int(L) - 1}").ravel())
+            var_pos.append(np.full(len(sel), i, np.int64))
+            var_own.append(sel)
+    if not var_strs:
+        return (np.zeros(0, "U1"), np.zeros(0, np.int64),
+                np.zeros(0, np.int64))
+    return (np.concatenate(var_strs), np.concatenate(var_pos),
+            np.concatenate(var_own))
+
+
+def _subpairs_by_key_pos(vkey: np.ndarray, vpos: np.ndarray,
+                         vown: np.ndarray):
+    """Owners sharing a (variant, deletion-position) group differ at
+    exactly that position → substitution pairs. Returns (a, b) owner
+    arrays (unordered, undeduped) — shared by both pair paths."""
+    import pandas as pd
+
+    out_a, out_b = [], []
+    if len(vkey):
+        vcode, _ = pd.factorize(vkey)
+        gid = vcode.astype(np.int64) * np.int64(vpos.max() + 1) + vpos
+        order = np.argsort(gid, kind="stable")
+        g, o = gid[order], vown[order]
+        first = np.searchsorted(g, g, side="left")
+        starts = np.unique(first)
+        counts = np.diff(np.append(starts, len(g)))
+        for c in np.unique(counts[counts >= 2]):
+            gs = starts[counts == c]
+            members = o[gs[:, None] + np.arange(c)]
+            iu, ju = np.triu_indices(int(c), k=1)
+            out_a.append(members[:, iu].ravel())
+            out_b.append(members[:, ju].ravel())
+    return out_a, out_b
 
 
 def _editdist1_pairs_from_vocab(toks: np.ndarray):
@@ -1165,26 +1231,7 @@ def _editdist1_pairs_from_vocab(toks: np.ndarray):
     n = len(toks)
     if n == 0:
         return toks, np.zeros(0, np.int64), np.zeros(0, np.int64)
-    lens = np.char.str_len(toks)
-    var_strs, var_pos, var_own = [], [], []
-    for L in np.unique(lens):
-        sel = np.flatnonzero(lens == L)
-        if L == 1:
-            # the single deletion yields '' for every length-1 token
-            var_strs.append(np.full(len(sel), "", dtype="U1"))
-            var_pos.append(np.zeros(len(sel), np.int64))
-            var_own.append(sel)
-            continue
-        mat = toks[sel].astype(f"U{L}").view(np.uint32).reshape(-1, int(L))
-        for i in range(int(L)):
-            v = np.ascontiguousarray(
-                np.delete(mat, i, axis=1)).view(f"U{int(L) - 1}").ravel()
-            var_strs.append(v)
-            var_pos.append(np.full(len(sel), i, np.int64))
-            var_own.append(sel)
-    variants = np.concatenate(var_strs)
-    pos = np.concatenate(var_pos)
-    owner = np.concatenate(var_own)
+    variants, pos, owner = _deletion_variants(toks)
 
     # insert/delete pairs: variant present verbatim in the vocabulary
     # (never the owner itself — lengths differ by one)
@@ -1194,28 +1241,11 @@ def _editdist1_pairs_from_vocab(toks: np.ndarray):
     del_a = np.minimum(owner[hit], loc[hit])
     del_b = np.maximum(owner[hit], loc[hit])
 
-    # substitution pairs: same (variant, position) group ⟹ the owners
-    # agree everywhere except that position
-    import pandas as pd
-
-    vcode, _ = pd.factorize(variants)
-    gid = vcode.astype(np.int64) * int(pos.max() + 1) + pos
-    order = np.argsort(gid, kind="stable")
-    g, own_s = gid[order], owner[order]
-    uq_first = np.searchsorted(g, g, side="left")
-    starts = np.unique(uq_first)
-    counts = np.diff(np.append(starts, len(g)))
-    sub_a, sub_b = [], []
-    for s in np.unique(counts[counts >= 2]):
-        gs = starts[counts == s]
-        members = own_s[gs[:, None] + np.arange(s)]
-        iu, ju = np.triu_indices(int(s), k=1)
-        a = members[:, iu].ravel()
-        b = members[:, ju].ravel()
-        sub_a.append(np.minimum(a, b))
-        sub_b.append(np.maximum(a, b))
-    a = np.concatenate([del_a] + sub_a) if sub_a else del_a
-    b = np.concatenate([del_b] + sub_b) if sub_b else del_b
+    sub_a, sub_b = _subpairs_by_key_pos(variants, pos, owner)
+    a = np.concatenate([del_a] + [np.minimum(x, y)
+                                  for x, y in zip(sub_a, sub_b)])
+    b = np.concatenate([del_b] + [np.maximum(x, y)
+                                  for x, y in zip(sub_a, sub_b)])
     # dedupe (one pair can arise from several deletion positions)
     key = np.unique(a.astype(np.int64) * n + b)
     return toks, key // n, key % n
@@ -1233,33 +1263,17 @@ def _editdist1_emit_variants(num_buckets: int):
     def fn(batch: pa.Table) -> pa.Table:
         toks = np.unique(np.asarray(
             batch.column("tok").to_numpy(zero_copy_only=False), dtype=str))
-        lens = np.char.str_len(toks) if len(toks) else np.zeros(0, np.int64)
-        keys = [toks]
-        poss = [np.full(len(toks), -1, np.int64)]
-        owns = [toks]
-        for L in np.unique(lens):
-            sel = np.flatnonzero(lens == L)
-            if L == 1:
-                keys.append(np.full(len(sel), "", dtype="U1"))
-                poss.append(np.zeros(len(sel), np.int64))
-                owns.append(toks[sel])
-                continue
-            mat = toks[sel].astype(f"U{L}").view(np.uint32).reshape(
-                -1, int(L))
-            for i in range(int(L)):
-                keys.append(np.ascontiguousarray(
-                    np.delete(mat, i, axis=1)).view(
-                        f"U{int(L) - 1}").ravel())
-                poss.append(np.full(len(sel), i, np.int64))
-                owns.append(toks[sel])
-        key = np.concatenate(keys) if keys else np.zeros(0, "U1")
+        vkey, vpos, vown = _deletion_variants(toks)
+        key = np.concatenate([toks, vkey])
+        pos = np.concatenate([np.full(len(toks), -1, np.int64), vpos])
+        owner = np.concatenate([toks, toks[vown]])
         bucket = (pd.util.hash_array(key.astype(object))
                   % num_buckets).astype(np.int64)
         return pa.table({
             "bucket": pa.array(bucket, pa.int64()),
             "key": pa.array(key, pa.string()),
-            "pos": pa.array(np.concatenate(poss), pa.int64()),
-            "owner": pa.array(np.concatenate(owns), pa.string()),
+            "pos": pa.array(pos, pa.int64()),
+            "owner": pa.array(owner, pa.string()),
         })
 
     return fn
@@ -1295,20 +1309,9 @@ def _editdist1_pairs_in_bucket(group: pa.Table) -> pa.Table:
         hit = selfkeys[loc] == vkey
         pair_a.append(vown[hit])
         pair_b.append(vkey[hit])
-    if len(vkey):
-        vcode, _ = pd.factorize(vkey)
-        gid = vcode.astype(np.int64) * np.int64(vpos.max() + 1) + vpos
-        order = np.argsort(gid, kind="stable")
-        g, o = gid[order], vown[order]
-        first = np.searchsorted(g, g, side="left")
-        starts = np.unique(first)
-        counts = np.diff(np.append(starts, len(g)))
-        for c in np.unique(counts[counts >= 2]):
-            gs = starts[counts == c]
-            members = o[gs[:, None] + np.arange(c)]
-            iu, ju = np.triu_indices(int(c), k=1)
-            pair_a.append(members[:, iu].ravel())
-            pair_b.append(members[:, ju].ravel())
+    sa, sb = _subpairs_by_key_pos(vkey, vpos, vown)
+    pair_a += sa
+    pair_b += sb
     if not pair_a:
         return empty
     a = np.concatenate(pair_a)

@@ -2210,11 +2210,15 @@ def orders_cube(sf_dir: str):
         s = np.zeros(len(u), np.int64)
         np.add.at(s, inv, price_c)
         cnt = np.bincount(inv, minlength=len(u)).astype(np.int64)
+        # object arrays, never .astype(str): numpy U-dtype strips
+        # trailing NULs, re-merging groups the pair code kept distinct
         return pa.table({
-            "o_orderstatus": pa.array(st_vals[u // len(pr_vals)]
-                                      .astype(str), pa.string()),
-            "o_orderpriority": pa.array(pr_vals[u % len(pr_vals)]
-                                        .astype(str), pa.string()),
+            "o_orderstatus": pa.array(
+                np.asarray(st_vals[u // len(pr_vals)], object),
+                pa.string()),
+            "o_orderpriority": pa.array(
+                np.asarray(pr_vals[u % len(pr_vals)], object),
+                pa.string()),
             "n_orders": pa.array(cnt, pa.int64()),
             "revenue_c": pa.array(s, pa.int64()),
         })
@@ -2246,12 +2250,12 @@ def orders_cube(sf_dir: str):
         rows_pr += list(pr)
         rows_c += list(cnt)
         rows_r += list(rev)
-        u, c, r = fold(st.astype(str))
+        u, c, r = fold(st)
         rows_st += list(u)
         rows_pr += ["ALL"] * len(u)
         rows_c += list(c)
         rows_r += list(r)
-        u, c, r = fold(pr.astype(str))
+        u, c, r = fold(pr)
         rows_st += ["ALL"] * len(u)
         rows_pr += list(u)
         rows_c += list(c)

@@ -127,8 +127,10 @@ def test_orders_cube_adversarial(tmp_path):
 
     rng = np.random.default_rng(3)
     n = 2500
-    sts = ["O", "O x", "Ox", "F\x1f", "F"]
-    prs = ["1-URGENT", " 1-URGENT", "x 2", "2", "\x1f2"]
+    # trailing NULs probe the numpy U-dtype strip (astype(str) would
+    # merge "F" and "F\x00"); \x1f and spaces probe separator reuse
+    sts = ["O", "O x", "Ox", "F\x1f", "F", "F\x00"]
+    prs = ["1-URGENT", " 1-URGENT", "x 2", "2", "\x1f2", "2\x00"]
     df = pd.DataFrame({
         "o_orderkey": np.arange(n, dtype=np.int64),
         "o_orderstatus": rng.choice(sts, n),
